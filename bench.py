@@ -1,0 +1,70 @@
+"""Benchmark harness: runs every registered headline query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query seconds.
+
+Plans execute via the noop sink (full pipeline runs, zero driver-collect
+skew), after a warmup pass that absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from debias_spark.registry import load_all_queries
+from debias_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_query(spec, spark, sf_dir: str) -> float:
+    start = time.perf_counter()
+    df = spec.fn(spark, sf_dir)
+    if df.isStreaming:  # streaming specs execute inside fn; just materialize
+        df.count()
+    else:
+        df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    spark = get_spark("debias-spark-bench")
+    specs = load_all_queries()
+    bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
+
+    # Warmup: every query shape once at sf0.001 so codegen compilation and
+    # Arrow/Python-worker startup are excluded from the measured runs.
+    for spec in bench_specs.values():
+        try:
+            wdf = spec.fn(spark, "/root/testdata/sf0.001")
+            if not wdf.isStreaming:
+                wdf.write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+
+    per_query: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        try:
+            per_query[name] = round(run_query(spec, spark, SF_DIR), 4)
+        except Exception as exc:  # a failing query shows as -1, not a dead bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            per_query[name] = -1.0
+    total = round(sum(v for v in per_query.values() if v >= 0), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

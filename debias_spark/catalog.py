@@ -1,0 +1,59 @@
+"""Testdata catalog: parquet loaders for the driver's tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file each under an sf dir.
+
+At 100 TB these would be partitioned/bucketed external tables; the loaders
+keep the access path declarative (spark.read.parquet) so predicate pushdown,
+column pruning and partition pruning all happen at the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS, ntz) — read as epoch-nanos
+        # long (session.py nanosAsLong) and rebuilt here at µs precision.
+        # Integer division keeps the arithmetic exact; timestamps everywhere
+        # else in the engine are NTZ with UTC session semantics.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql access."""
+    for t in TABLES:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
