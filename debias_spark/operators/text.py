@@ -1,0 +1,100 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.  All built-in functions — no UDFs, so the whole
+pack runs inside whole-stage codegen and is fully expressible as SQL
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language function-word lists for the overlap heuristic.  Order
+# matters: ties resolve in list order (en > de > es > fr), deterministically.
+LANG_STOPWORDS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "to", "in", "is"]),
+    ("de", ["der", "die", "das", "und", "zu", "ein", "ist"]),
+    ("es", ["el", "la", "de", "y", "que", "un", "es"]),
+    ("fr", ["le", "la", "de", "et", "les", "un", "est"]),
+]
+
+PUNCT_CLASS = r"[.,;:!?'\"]"
+# BPE-ish lexer: letter runs | digit runs | single non-space symbol
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != ""))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-overlap score (count of distinct function words
+    present)."""
+    toks = distinct_tokens(text)
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).cast("long")
+        for lang, words in LANG_STOPWORDS
+    }
+
+
+def lang_predict(scores: dict[str, Column]) -> Column:
+    """Argmax with deterministic tie order = LANG_STOPWORDS order."""
+    langs = [lang for lang, _ in LANG_STOPWORDS]
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [scores[lg] for lg in langs[langs.index(lang) + 1 :]]
+        cond = scores[lang] >= F.greatest(*later) if len(later) > 1 else scores[lang] >= later[0]
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Token count on whitespace runs; empty/blank text counts 0."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Lexer-style token count (letter runs / digit runs / symbols)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return n.cast("double") / F.nullif(F.length(text), F.lit(0)).cast("double")
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Share of tokens that are (any-language) function words."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    all_sw = sorted({w for _, words in LANG_STOPWORDS for w in words})
+    sw = F.array(*[F.lit(w) for w in all_sw])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.nullif(F.size(toks), F.lit(0)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    reasonable stopword share.  Weights are explicit so the SQL oracle can
+    restate them verbatim."""
+    n_tok = whitespace_token_count(text)
+    len_ok = (
+        F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(1.0))
+        .when(n_tok > 0, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    p = F.coalesce(punct_ratio(text), F.lit(0.0))
+    s = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    return F.round(0.5 * len_ok + 0.25 * (1.0 - F.least(p * 10, F.lit(1.0))) + 0.25 * F.least(s * 5, F.lit(1.0)), 4) + 0.0
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """Canonical form: lowercase, whitespace runs collapsed, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint of the normalized text (md5 — stable across
+    engines and platforms; the exact-dedup shuffle key at scale)."""
+    return F.md5(normalize_for_fingerprint(text))

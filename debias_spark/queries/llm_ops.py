@@ -1,5 +1,341 @@
-"""LLM-data-pipeline operators (SURVEY §2.H: H7-H10 + dedup/similarity/
-multimodal/text-analysis extensions).
+"""LLM-data-pipeline queries (SURVEY §2.H H7-H10 + the north-star dedup /
+similarity / multimodal / text-analysis surface), over ``documents`` and
+``embeddings``.
 
-Filled in milestone M4.
+Implementation lives in debias_spark.operators.*; these wrappers pin the
+query-key parameters (probe sets, thresholds, k) and pair each with a DuckDB
+oracle where the semantics are SQL-expressible.  Thresholds are applied to
+ROUNDED scores so membership is reproducible across engines.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from debias_spark.catalog import table
+from debias_spark.operators import multimodal, similarity
+from debias_spark.operators.dedup import minhash_dedup, simhash_pairs
+from debias_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    fingerprint_md5,
+    lang_predict,
+    lang_scores,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    whitespace_token_count,
+)
+from debias_spark.registry import register
+
+# --- dedup -------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    "H7",
+    oracle="""
+    SELECT min(doc_id) AS rep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a hash aggregate with a deterministic representative
+    (min doc_id) — not dropDuplicates, whose survivor is partition-order
+    dependent.  At 100 TB, group by md5(text) first so the shuffle key is 16
+    bytes (see text_fingerprint), then resolve representatives."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies")
+    ).select("rep_id", "n_copies")
+
+
+@register("dedup_minhash_lsh", "H9", oracle=None)  # rows-only: hash internals
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: shingle -> 32-hash signature -> 4
+    bands -> bucket join -> verify exact Jaccard >= 0.8 against the bucket
+    representative.  Unigram shingles fit this bag-of-words corpus; n is a
+    parameter.  No SQL oracle (xxhash64 sketch internals) -> rows-only;
+    set-level properties asserted in tests."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "doc_id", "text", shingle_n=1, num_hashes=32, bands=4, threshold=0.8)
+
+
+@register("dedup_simhash", "H9b", oracle=None)  # rows-only: hash internals
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit majority fingerprint over token
+    hashes, candidates blocked on the top 8 fingerprint bits, Hamming <= 8
+    via bit_count(xor)."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=8, block_bits=8)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "H9c",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct([substr(lower(text), i, 3)
+                              FOR i IN range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / len(list_distinct(a.grams || b.grams)), 4) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                / len(list_distinct(a.grams || b.grams)), 4) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 3-gram Jaccard near-dup pairs over a bounded probe window
+    (doc_id < 60 keeps the demo pairwise; the scale path for unbounded
+    corpora is the LSH variant above)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    norm = F.lower("text")
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, 3)))
+    g = docs.select(F.col("doc_id").alias("id"), grams.alias("grams"))
+    a = g.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_distinct(F.concat("ga", "gb")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", inter.cast("long").alias("n_common"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    "H9d",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+           round(list_cosine_similarity(p.v, c.v), 4) AS sim
+    FROM e p JOIN e c ON p.vec_id < c.vec_id
+    WHERE p.vec_id < 100
+      AND round(list_cosine_similarity(p.v, c.v), 4) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bounded probe set vs corpus,
+    rounded cosine >= 0.4 (this corpus's max pairwise cosine is ~0.51).
+    Norms precomputed per row; probes broadcast."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_above(emb, F.col("vec_id") < 100, threshold=0.4)
+
+
+# --- similarity search -------------------------------------------------------
+
+
+@register(
+    "similarity_cosine_topk",
+    "H8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+               round(list_cosine_similarity(p.v, c.v), 4) AS sim
+        FROM e p JOIN e c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10
+    )
+    SELECT query_id, cand_id, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, cand_id) AS rn
+        FROM s
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): 10 probe vectors
+    against the corpus, top-5 each, ties broken on cand_id."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+@register("similarity_ann_lsh", "H8b", oracle=None)  # rows-only: approximate
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: sign-LSH over 4 fixed random
+    hyperplanes; probes score only their own bucket (~2^4 fewer pairs).
+    Approximate by construction -> rows-only; recall vs the exact baseline
+    is asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ann_cosine_topk(emb, F.col("vec_id") < 10, k=3, n_planes=4, dim=64)
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+@register(
+    "text_tokenize_topterms",
+    "H10",
+    oracle=r"""
+    SELECT token, count(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ) GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def text_tokenize_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + global term frequencies, top-20 with deterministic
+    tiebreak.  explode stays JVM-side; the agg combines map-side."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_lang_id",
+    "H10b",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '')) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+            CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is'])) AS BIGINT) AS s_en,
+            CAST(len(list_intersect(toks, ['der','die','das','und','zu','ein','ist'])) AS BIGINT) AS s_de,
+            CAST(len(list_intersect(toks, ['el','la','de','y','que','un','es'])) AS BIGINT) AS s_es,
+            CAST(len(list_intersect(toks, ['le','la','de','et','les','un','est'])) AS BIGINT) AS s_fr
+        FROM t
+    )
+    SELECT doc_id, s_en, s_de, s_es, s_fr,
+           CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by function-word overlap (n-gram-free heuristic): score
+    per language, argmax with deterministic tie order."""
+    docs = table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    cols = [scores[lg].alias(f"s_{lg}") for lg in ("en", "de", "es", "fr")]
+    return docs.select("doc_id", *cols, lang_predict(scores).alias("pred_lang"))
+
+
+@register(
+    "text_quality_score",
+    "H10c",
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+            (length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')))::DOUBLE
+                / nullif(length(text), 0) AS p,
+            len(list_filter(string_split_regex(lower(text), '\s+'),
+                t -> list_contains(['a','and','das','de','der','die','el','es','est','et',
+                                    'ein','in','is','ist','la','le','les','of','que','the',
+                                    'to','un','und','y','zu'], t)))::DOUBLE
+                / nullif(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                         t -> t <> '')), 0) AS s
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(coalesce(p, 0), 4) + 0.0 AS p_ratio,
+           round(coalesce(s, 0), 4) + 0.0 AS sw_ratio,
+           round(0.5 * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0
+                             WHEN n_tokens > 0 THEN 0.5 ELSE 0.0 END)
+                 + 0.25 * (1.0 - least(coalesce(p, 0) * 10, 1.0))
+                 + 0.25 * least(coalesce(s, 0) * 5, 1.0), 4) + 0.0 AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics: token count, punctuation ratio, stopword
+    ratio, and a composite [0,1] score with explicit weights."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(t).alias("n_tokens"),
+        (F.round(F.coalesce(punct_ratio(t), F.lit(0.0)), 4) + 0.0).alias("p_ratio"),
+        (F.round(F.coalesce(stopword_ratio(t), F.lit(0.0)), 4) + 0.0).alias("sw_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    "H10d",
+    oracle=r"""
+    SELECT doc_id,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace runs, and a BPE-ish lexer regex
+    (letter runs / digit runs / single symbols)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    "H10e",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT doc_id, fp, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same
+    FROM f
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of whitespace-normalized text + per-fingerprint
+    group size — the 16-byte shuffle key exact dedup uses at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    f = docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+    w = Window.partitionBy("fp")
+    return f.withColumn("n_same", F.count("*").over(w))
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@register(
+    "multimodal_extract",
+    "MM1",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS fmt,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN length(text) = 0 THEN NULL
+                ELSE CAST(ascii(substr(text, 1, 1)) AS INTEGER) END AS first_byte,
+           substr(md5(text), 1, 8) AS md5_8
+    FROM documents
+    """,
+)
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: opaque binary payload + typed
+    metadata struct -> Arrow-batched mapInPandas feature extraction.  The
+    byte-level features are oracle-checked; the media decode itself is the
+    stubbed step (no PIL/ffmpeg in this container)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return multimodal.extract_features(multimodal.attach_binary(docs))
