@@ -1,4 +1,78 @@
-"""Event-time window + streaming operators (SURVEY §2.H: H14-H16).
+"""Event-time window + streaming queries (SURVEY §2.H H14-H16)."""
 
-Filled in milestone M5.
-"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.registry import register
+from debias_spark.streaming import (
+    run_available_now,
+    session_window_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+
+@register(
+    "window_tumbling_event_time",
+    "H14",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) + 0.0 AS sum_val
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def window_tumbling_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows, batch mode.  The identical plan
+    (streaming.tumbling_counts) runs under Structured Streaming; the
+    batch-vs-stream equivalence test proves result parity."""
+    return tumbling_counts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "window_sliding",
+    "H15",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS w1, value
+        FROM events
+    ), w AS (
+        SELECT w1 AS ws, value FROM b
+        UNION ALL
+        SELECT w1 - 1800 AS ws, value FROM b
+    )
+    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) + 0.0 AS sum_val
+    FROM w GROUP BY ws
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour every 30 minutes): each event lands in two
+    overlapping windows — Spark's window() generates both rows; the oracle
+    states the same as a two-bucket UNION."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), (F.round(F.sum("value"), 2) + 0.0).alias("sum_val"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_val",
+        )
+    )
+
+
+@register("stream_session_window", "H16", oracle=None, bench=False)  # rows-only
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows + watermark over a real file stream, availableNow
+    trigger — the dashboard's Refresh re-scan (dashboard_widget.py:73) as an
+    incremental stream.  Append mode emits sessions finalized by the
+    watermark.  No faithful DuckDB oracle (gaps-and-islands + watermark
+    semantics) -> rows-only; session invariants asserted in tests."""
+    stream = stream_events(spark, sf_dir)
+    return run_available_now(session_window_counts(stream), spark)

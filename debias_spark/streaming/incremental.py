@@ -1,0 +1,89 @@
+"""Structured Streaming surface (SURVEY §2.H H14-H16).
+
+The reference's only incremental behavior is the dashboard Refresh button —
+a full re-scan of the output directory per click (dashboard_widget.py:73-89).
+The Spark-native answer is a file stream over the same directory: the SAME
+window aggregation plan runs in batch and under readStream, and
+``availableNow`` gives exactly the Refresh semantics (process everything
+currently there, then stop) with checkpointed incremental state instead of
+a full re-read.
+
+Event-time columns here are TimestampType (not NTZ): watermarks and
+session windows operate on event-time semantics, and the session timezone
+is pinned to UTC in session.py so wall-clock values agree with the NTZ
+batch tables.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file stream (the schema must be supplied for
+    streaming reads; ts arrives as epoch-nanos long and is rebuilt at µs)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file stream sources take a directory; glob-filter to the events table
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling event-time windows — identical plan for batch and
+    stream inputs (the batch-vs-stream equivalence test relies on this)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), (F.round(F.sum("value"), 2) + 0.0).alias("sum_val"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_val",
+        )
+    )
+
+
+def session_window_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows (gap-based), watermarked 10 minutes for late
+    data.  applyInPandasWithState is the escape hatch for session logic this
+    declarative form can't express; this one it can."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with the availableNow trigger
+    (the dashboard-Refresh semantics: drain what exists, then stop) into a
+    memory sink; returns the materialized result.
+
+    output_mode: "append" for watermarked aggs (emits finalized windows);
+    "complete" for unwatermarked aggs (emits every window — what the
+    batch-equivalence test uses)."""
+    name = f"snap_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

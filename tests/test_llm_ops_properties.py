@@ -1,0 +1,92 @@
+"""Set-level property checks for the sketch-based operators (the ones whose
+internals are not SQL-expressible) + the annotator's pure client, which gets
+a hypothesis sweep."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from debias_spark.annotate import LexiconClient
+from debias_spark.catalog import table
+from debias_spark.operators.dedup import jaccard, minhash_dedup, word_shingles
+from debias_spark.operators.similarity import cosine_topk
+from debias_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """HLL estimate within ±5% of the exact distinct count per group."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in SPECS["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_minhash_pairs_truly_near(spark, sf_dir):
+    """Every reported near-dup pair must verify against ground truth: exact
+    unigram Jaccard >= threshold, rep strictly smaller."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", shingle_n=1, threshold=0.8)
+    sh = docs.select(
+        F.col("doc_id").alias("k"), word_shingles(F.col("text"), 1).alias("sh")
+    )
+    joined = (
+        pairs.join(sh.withColumnRenamed("k", "id").withColumnRenamed("sh", "sa"), "id")
+        .join(
+            sh.withColumnRenamed("k", "rep_id").withColumnRenamed("sh", "sb"), "rep_id"
+        )
+        .withColumn("true_j", jaccard(F.col("sa"), F.col("sb")))
+        .collect()
+    )
+    assert len(joined) > 0
+    assert all(r.id > r.rep_id for r in joined)
+    assert all(r.true_j >= 0.8 for r in joined)
+    assert all(abs(r.true_j - r.jaccard) < 1e-3 for r in joined)
+
+
+def test_ann_lsh_scores_are_exact_cosines(spark, sf_dir):
+    """The ANN path approximates the candidate SET, never the scores: every
+    returned sim must equal the brute-force cosine for that pair."""
+    emb = table(spark, sf_dir, "embeddings")
+    ann = SPECS["similarity_ann_lsh"].fn(spark, sf_dir).collect()
+    exact = {
+        (r.query_id, r.cand_id): r.sim
+        for r in cosine_topk(emb, F.col("vec_id") < 10, k=10**9).collect()
+    }
+    assert len(ann) > 0
+    for r in ann:
+        assert r.query_id < 10
+        assert exact[(r.query_id, r.cand_id)] == r.sim
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    values=st.lists(
+        st.text(alphabet=st.sampled_from("ab slowbig "), max_size=30), max_size=5
+    ),
+    language=st.sampled_from(["en", "de", "xx"]),
+)
+def test_lexicon_client_properties(values, language):
+    """Pure-client invariants for arbitrary input: one result per value,
+    literals echoed, tags deduped, every tag literal a token of its line."""
+    out = LexiconClient()(values, language)
+    results = out["results"]
+    assert [r["literal"] for r in results] == values
+    for v, r in zip(values, results):
+        tokens = v.lower().split()
+        lits = [t["literal"] for t in r["tags"]]
+        assert len(lits) == len(set(lits))
+        assert all(lit in tokens for lit in lits)
