@@ -89,10 +89,15 @@ def annotate(
     """
     cfg = config or AnnotateConfig()
     in_schema = df.schema
-    out_schema = StructType(list(in_schema.fields) + ANNOTATION_FIELDS)
     names = [f.name for f in in_schema.fields]
     if text_col not in names or lang_col not in names:
         raise ValueError(f"df must contain {text_col!r} and {lang_col!r}")
+    # The echoed literal/language fields are redundant when the input already
+    # uses those column names (e.g. the corpus reader's 'language') — skip
+    # them rather than emitting duplicate column names.
+    added = [f for f in ANNOTATION_FIELDS if f.name not in names]
+    added_names = {f.name for f in added}
+    out_schema = StructType(list(in_schema.fields) + added)
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = cfg.client_factory()
@@ -121,11 +126,16 @@ def annotate(
                         for t in (res.get("tags") or [])
                     ]
             out = pdf.copy()
-            out["literal"] = values
-            out["language"] = langs
-            out["tags"] = out_tags
-            out["_error"] = out_err
-            out["_attempts"] = out_att
+            cols = {
+                "literal": values,
+                "language": langs,
+                "tags": out_tags,
+                "_error": out_err,
+                "_attempts": out_att,
+            }
+            for name, vals in cols.items():
+                if name in added_names:
+                    out[name] = vals
             yield out
 
     return df.mapInPandas(run_batches, schema=out_schema)

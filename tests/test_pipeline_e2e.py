@@ -1,0 +1,123 @@
+"""End-to-end pipeline golden test (SURVEY §5.3): fixture corpus ->
+annotate -> JSON sink (naming contract) -> analytics re-read -> dashboard
+queries.  Mirrors the reference's full lifecycle including its edge
+semantics (blank lines, unknown-language dirs, no-comma lines, 0-tag
+records in the histogram)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from debias_spark.pipeline import (
+    PipelineConfig,
+    analytics_view,
+    issue_distribution,
+    record_distribution,
+    report_rows,
+    run_pipeline,
+)
+
+CORPUS = {
+    "en/alpha.csv": "1, the slow old system\n2, all good here\n\n3, big and slow\n",
+    "en/beta.csv": "1, nothing flagged\n",
+    "de/gamma.csv": "1, ein big system\nno comma line\n",
+    "xx/ignored.csv": "1, slow\n",  # unknown language dir -> skipped entirely
+}
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    inp, out = root / "input", root / "output"
+    for rel, content in CORPUS.items():
+        f = inp / rel
+        f.parent.mkdir(parents=True, exist_ok=True)
+        f.write_text(content)
+    cfg = PipelineConfig(str(inp), str(out), max_retries=2)
+    annotated = run_pipeline(spark, cfg)
+    return annotated, out
+
+
+def test_naming_contract_and_doc_shape(pipeline_out):
+    """'<stem>-output.json' naming (call-debias.py:141) and the nested
+    response document shape (SURVEY §1.2)."""
+    _, out = pipeline_out
+    names = sorted(p.name for p in out.glob("*.json"))
+    assert names == ["alpha-output.json", "beta-output.json", "gamma-output.json"]
+    doc = json.loads((out / "alpha-output.json").read_text())
+    assert set(doc) == {"results"}
+    # blank line dropped: 3 records, not 4
+    assert len(doc["results"]) == 3
+    r0 = {r["literal"]: r for r in doc["results"]}["1, the slow old system"]
+    assert {t["literal"] for t in r0["tags"]} == {"slow", "old"}
+
+
+def test_unknown_language_skipped(pipeline_out):
+    annotated, _ = pipeline_out
+    langs = {r.language for r in annotated.select("language").distinct().collect()}
+    assert langs == {"en", "de"}
+
+
+def test_analytics_roundtrip_n_plus_one(spark, pipeline_out):
+    """Re-read outputs -> §1.3 frame: N-tag record -> N+1 rows."""
+    annotated, out = pipeline_out
+    frame = analytics_view(spark, str(out))
+    n_records = annotated.count()
+    n_tags = sum(len(r.tags) for r in annotated.select("tags").collect())
+    assert frame.count() == n_records + n_tags
+    assert frame.filter(frame.issue_literal.isNull()).count() == n_records
+
+
+def test_issue_distribution(spark, pipeline_out):
+    _, out = pipeline_out
+    frame = analytics_view(spark, str(out))
+    dist = {r.issue_literal: r.n for r in issue_distribution(frame).collect()}
+    # slow x2 (alpha), old x1 (alpha), big x2 (alpha, gamma)
+    assert dist == {"slow": 2, "big": 2, "old": 1}
+    only_de = {r.issue_literal: r.n for r in issue_distribution(frame, "de").collect()}
+    assert only_de == {"big": 1}
+
+
+def test_record_distribution_includes_zero_bucket(spark, pipeline_out):
+    """0-tag records must appear in the 0 bucket — guaranteed by the
+    record-level rows, the exact reason the frame is a UNION not an
+    explode_outer (dashboard_widget.py:166-169)."""
+    _, out = pipeline_out
+    hist = {r.n_issues: r.n_records for r in record_distribution(analytics_view(spark, str(out))).collect()}
+    assert hist == {0: 3, 1: 1, 2: 2}
+
+
+def test_report_rows_blanking(pipeline_out):
+    """PDF table semantics: one row per tag, record cells blank after the
+    first tag row (call-debias.py:106-107); no-comma -> empty literal_text
+    is split AFTER flagging, so the full line is still annotated."""
+    annotated, _ = pipeline_out
+    rows = report_rows(annotated).collect()
+    alpha = [r for r in rows if r.src_file == "alpha.csv"]
+    assert len(alpha) == 4  # records 1 and 3 carry 2 tags each
+    # each record: record cells shown on tag_pos 0, blanked on tag_pos 1
+    assert sorted(r.record_cell for r in alpha if r.tag_pos == 0) == ["1", "3"]
+    assert all(r.record_cell == "" and r.literal_cell == "" for r in alpha if r.tag_pos > 0)
+    assert all("Literal:" in r.tag_details and "Issue:" in r.tag_details for r in rows)
+
+
+def test_partitioned_sink_roundtrip(spark, tmp_path_factory, pipeline_out):
+    """The scale-path sink: language-partitioned NDJSON, re-readable with
+    partition pruning; same record count as the compat sink."""
+    annotated, _ = pipeline_out
+    out2 = tmp_path_factory.mktemp("part_out")
+    from debias_spark.sources import write_outputs_partitioned
+
+    write_outputs_partitioned(annotated, str(out2))
+    back = spark.read.json(str(out2))
+    assert back.count() == annotated.count()
+    assert set(back.select("language").distinct().toPandas()["language"]) == {"en", "de"}
+
+
+def test_config_ini_roundtrip(tmp_path):
+    cfg = PipelineConfig("/in", "/out", use_ner=False, use_llm=True, max_retries=3)
+    path = tmp_path / "config.ini"
+    cfg.to_ini(str(path))
+    assert PipelineConfig.from_ini(str(path)) == cfg
