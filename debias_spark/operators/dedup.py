@@ -85,32 +85,40 @@ def minhash_dedup(
     corpus size — the standard cluster-by-bucket dedup shape, not an
     all-pairs join.
     """
+    from pyspark.sql.window import Window
+
     rows_per_band = num_hashes // bands
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     ).filter(F.size("sh") > 0)
+    # Bands only — the heavy signature expression is evaluated exactly once
+    # per doc, and the band shuffle carries (id, band) rows, not shingles.
     banded = sh.select(
         "id",
-        "sh",
-        F.posexplode(lsh_bands(minhash_signature(F.col("sh"), num_hashes), bands, rows_per_band)).alias(
-            "band_id", "band_hash"
-        ),
+        F.posexplode(
+            lsh_bands(minhash_signature(F.col("sh"), num_hashes), bands, rows_per_band)
+        ).alias("band_id", "band_hash"),
     )
-    # bucket representative = min id in the (band_id, band_hash) bucket
-    rep = (
-        banded.groupBy("band_id", "band_hash")
-        .agg(F.min("id").alias("rep_id"))
-    )
+    # bucket representative = min id per (band_id, band_hash): a window min
+    # on the single band shuffle (no second aggregate + join pass)
+    w = Window.partitionBy("band_id", "band_hash")
     cand = (
-        banded.join(rep, ["band_id", "band_hash"])
+        banded.withColumn("rep_id", F.min("id").over(w))
         .filter(F.col("id") > F.col("rep_id"))
-        .select("id", "rep_id", "sh")
+        .select("id", "rep_id")
         .dropDuplicates(["id", "rep_id"])
     )
-    rep_sh = sh.select(F.col("id").alias("rep_id"), F.col("sh").alias("rep_sh"))
+    # verification joins re-attach shingles (cheap to recompute) per side
+    a_sh = sh
+    b_sh = sh.select(F.col("id").alias("rep_id"), F.col("sh").alias("rep_sh"))
     return (
-        cand.join(rep_sh, "rep_id")
-        .select("id", "rep_id", F.round(jaccard(F.col("sh"), F.col("rep_sh")), 4).alias("jaccard"))
+        cand.join(a_sh, "id")
+        .join(b_sh, "rep_id")
+        .select(
+            "id",
+            "rep_id",
+            F.round(jaccard(F.col("sh"), F.col("rep_sh")), 4).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -161,8 +169,13 @@ def simhash_pairs(
     sh = sh.withColumn("block", F.shiftright("sh", 64 - block_bits))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block")
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block")
+    # shuffle_hash, not broadcast: a broadcast build would evaluate the
+    # (interpreted, higher-order-function) fingerprint single-threaded on
+    # the driver; the shuffle evaluates it once per row, fully parallel,
+    # and both join inputs then read materialized values.  At 100 TB the
+    # fingerprint table can't broadcast anyway.
     return (
-        a.join(b, "block")
+        a.hint("shuffle_hash").join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)

@@ -66,10 +66,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash", "H9b", oracle=None)  # rows-only: hash internals
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit majority fingerprint over token
-    hashes, candidates blocked on the top 8 fingerprint bits, Hamming <= 8
+    hashes, candidates blocked on the top 8 fingerprint bits, Hamming <= 4
     via bit_count(xor)."""
     docs = table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=8, block_bits=8)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=4, block_bits=8)
 
 
 @register(

@@ -32,6 +32,12 @@ _BASE_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Nested-schema pruning so tag-struct projections prune at the scan.
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # InferFiltersFromConstraints substitutes computed columns into inferred
+    # isnotnull filters, inlining expensive expressions (sketch fingerprints
+    # are interpreted higher-order lambdas) several times per row below the
+    # projection that computes them.  Our plans carry explicit filters, so
+    # inferred constraints only cost here.
+    "spark.sql.constraintPropagation.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
     # The driver's events.parquet carries TIMESTAMP(NANOS) which Spark has no
