@@ -1,0 +1,227 @@
+"""LLM-data-pipeline second wave: corpus quality filters in the C4/Gopher
+style (rule-based quality gates, repetition detection, PII redaction) and
+the MLlib-backed sketch variants (MinHashLSH model, k-means IVF ANN) that
+complement the hash-native implementations in operators/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.registry import register
+
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+@register(
+    "text_gopher_rules",
+    "Y1",
+    oracle=rf"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+               list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE AS sum_len
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(coalesce(sum_len / nullif(n_tokens, 0), 0), 4) + 0.0 AS mean_word_len,
+           round(coalesce(n_distinct::DOUBLE / nullif(n_tokens, 0), 0), 4) + 0.0 AS frac_unique,
+           (n_tokens >= 10 AND n_tokens <= 100000
+            AND coalesce(sum_len / nullif(n_tokens, 0), 0) BETWEEN 2 AND 12
+            AND coalesce(n_distinct::DOUBLE / nullif(n_tokens, 0), 0) >= 0.1) AS passes
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate: token-count band, mean word
+    length band, unique-token fraction floor.  Pure codegen arithmetic —
+    the shape of every rule-based corpus filter at 100 TB (one scan, no
+    shuffle, fully pushed)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ).cast("double")
+    mean_wl = F.coalesce(sum_len / F.nullif(n_tokens, F.lit(0)), F.lit(0.0))
+    frac_uq = F.coalesce(
+        n_distinct.cast("double") / F.nullif(n_tokens, F.lit(0)), F.lit(0.0)
+    )
+    passes = (
+        (n_tokens >= 10)
+        & (n_tokens <= 100000)
+        & (mean_wl >= 2)
+        & (mean_wl <= 12)
+        & (frac_uq >= 0.1)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.round(mean_wl, 4) + 0.0).alias("mean_word_len"),
+        (F.round(frac_uq, 4) + 0.0).alias("frac_unique"),
+        passes.alias("passes"),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    "Y2",
+    oracle=r"""
+    WITH g AS (
+        SELECT doc_id,
+               [w[i] || ' ' || w[i + 1] FOR i IN range(1, greatest(len(w), 1))] AS grams
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+              FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_bigrams,
+           round(CASE WHEN len(grams) = 0 THEN 0
+                 ELSE list_max(list_transform(list_distinct(grams),
+                          d -> len(list_filter(grams, x -> x = d))))::DOUBLE / len(grams)
+                 END, 4) + 0.0 AS top_bigram_ratio
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detector (Gopher's duplicate-n-gram family): share of all
+    word bigrams taken by the single most frequent bigram.  High ratio =
+    boilerplate/spam.  In-array counting is O(distinct x n) per doc but
+    never shuffles; the global variant is text_tokenize_topterms."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    d = docs.select("doc_id", w.alias("w"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(0)))
+    grams = F.when(F.size("w") < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.get(F.col("w"), i - 1), F.get(F.col("w"), i)))
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("grams"),
+            lambda dd: F.size(F.filter("grams", lambda x: x == dd)),
+        )
+    )
+    ratio = F.when(F.size("grams") == 0, F.lit(0.0)).otherwise(
+        top.cast("double") / F.size("grams")
+    )
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_bigrams"),
+        (F.round(ratio, 4) + 0.0).alias("top_bigram_ratio"),
+    )
+
+
+@register(
+    "text_pii_redact",
+    "Y3",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               substr(text, 1, 20) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS line
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(line,
+               '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM t
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone patterns replaced with typed placeholders.
+    (The corpus is synthetic, so PII-ish strings are injected first — the
+    redaction plan is what matters.)  Pure regexp_replace: codegen, no UDF,
+    patterns chosen to behave identically under Java regex and RE2."""
+    docs = table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.substring("text", 1, 20),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(line, "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+        "[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    )
+    return docs.select("doc_id", redacted.alias("redacted"))
+
+
+@register("dedup_minhash_mllib", "Y4", oracle=None, bench=False)  # rows-only
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH variant of dedup_minhash_lsh: HashingTF token
+    vectors -> fitted MinHashLSH model -> approxSimilarityJoin on Jaccard
+    distance.  Kept alongside the hash-native implementation to exercise
+    the MLlib integration path (fitted-model state, fixed seed).  Excluded
+    from bench: the model fit is a constant cost the native path avoids."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+")
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 16, binary=True)
+    feats = tf.transform(tok.transform(docs)).select("doc_id", "features")
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+@register("similarity_ann_ivf", "Y5", oracle=None)  # rows-only: approximate
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: k-means centroids (MLlib, fixed seed) partition the
+    corpus into cells; probes score only their own cell.  Same shape as the
+    sign-LSH variant with learned instead of random partitions — the
+    standard trade: better cell balance, one extra fit pass."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    from debias_spark.operators.similarity import dot, l2_norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell").fit(vecs)
+    cells = model.transform(vecs).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+        "cell",
+    )
+    probes = cells.filter(F.col("cand_id") < 10).select(
+        F.col("cand_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "cand_id", "sim")
+    )
