@@ -10,3 +10,4 @@ import debias_spark.queries.relational_ext2  # noqa: F401  X1-X10 second wave
 import debias_spark.queries.llm_ops  # noqa: F401  H7-H10 + dedup/similarity/text
 import debias_spark.queries.llm_ops2  # noqa: F401  Y1-Y5 quality filters + MLlib
 import debias_spark.queries.streaming_ext  # noqa: F401  H14-H16
+import debias_spark.queries.temporal_udf  # noqa: F401  T1-T5 as-of/sessions/UDFs

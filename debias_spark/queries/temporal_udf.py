@@ -1,0 +1,186 @@
+"""Temporal joins, sessionization, and the vectorized Python UDF surface.
+
+The as-of join and gaps-and-islands sessionization are the two canonical
+"Spark lacks the operator, compose it from windows" cases (SURVEY §2
+custom-operator guidance): both are single-shuffle window plans, no UDFs.
+
+The two UDF queries exist to pin down the Arrow path with value-level
+oracles: a scalar pandas_udf and a grouped applyInPandas, each stated in
+SQL on the oracle side — proving the Python boundary does not change
+results, only execution.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+from pyspark.sql.window import Window
+
+from debias_spark.catalog import table
+from debias_spark.registry import register
+
+
+@register(
+    "join_asof_last_click",
+    "T1",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           strftime(max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    '%Y-%m-%d %H:%M:%S') AS last_click_s
+    FROM events
+    QUALIFY event_type = 'error'
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every error event, the most recent click at-or-before
+    it by the same user.  Not a join at all in Spark terms: a running max
+    over a (user, time)-ordered window — ONE shuffle on user_id, no range
+    explosion, which is exactly how an as-of join should execute at 100 TB
+    (a naive range self-join is quadratic per user)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_click", last_click)
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.date_format("last_click", "yyyy-MM-dd HH:mm:ss").alias("last_click_s"),
+        )
+    )
+
+
+@register(
+    "sessionize_batch",
+    "T2",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), flagged AS (
+        SELECT user_id, sec,
+               CASE WHEN sec - lag(sec) OVER w > 300 OR lag(sec) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ), sessions AS (
+        SELECT user_id, sec,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(max(sec) - min(sec) AS BIGINT) AS duration_s
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (5-minute gap): lag to flag session
+    starts, running sum to number them, aggregate per session.  The batch
+    oracle-checked twin of the rows-only streaming session_window (H16) —
+    same sessions, declarative windows instead of state store.  Timestamps
+    truncated to whole seconds in BOTH engines so the gap comparison is
+    precision-independent (events.ts is ns in parquet, µs in Spark)."""
+    ev = table(spark, sf_dir, "events")
+    sec = F.unix_seconds(F.col("ts").cast("timestamp"))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select("user_id", sec.alias("sec"), F.lag(sec).over(wo).alias("prev_sec"))
+    flagged = flagged.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") > 300), 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(ws))
+    return sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        (F.max("sec") - F.min("sec")).cast("long").alias("duration_s"),
+    )
+
+
+@register(
+    "pandas_udf_sigmoid",
+    "T3",
+    oracle="""
+    SELECT event_id, round(1.0 / (1.0 + exp(-value)), 6) + 0.0 AS score
+    FROM events
+    """,
+)
+def pandas_udf_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow-vectorized pandas_udf (the 10-100x-over-row-at-a-time
+    path when Python is unavoidable).  The oracle states the same sigmoid
+    in SQL: the Python boundary must not change values."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def sigmoid(v: pd.Series) -> pd.Series:
+        return 1.0 / (1.0 + np.exp(-v))
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", (F.round(sigmoid("value"), 6) + 0.0).alias("score")
+    )
+
+
+@register(
+    "grouped_zscore_applyinpandas",
+    "T4",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) + 0.0 AS z
+    FROM events
+    """,
+)
+def grouped_zscore_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-group z-score normalization in pandas
+    (sample stddev, matching stddev_samp).  One shuffle on the group key,
+    one Arrow batch per group — the custom-aggregation escape hatch, here
+    oracle-checked against the pure-SQL window formulation."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame({"event_id": pdf["event_id"], "z": (z.round(4) + 0.0)})
+
+    return ev.groupBy("event_type").applyInPandas(zscore, schema="event_id long, z double")
+
+
+@register(
+    "set_except_all",
+    "T5",
+    oracle="""
+    SELECT k, count(*) AS n FROM (
+        SELECT l_partkey AS k FROM lineitem
+        EXCEPT ALL
+        SELECT p_partkey FROM part
+    ) GROUP BY k
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, duplicates preserved) — the bag
+    semantics exceptAll exposes beyond H11's distinct set ops."""
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    pt = table(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    return li.exceptAll(pt).groupBy("k").agg(F.count("*").alias("n"))
