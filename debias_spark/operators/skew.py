@@ -1,0 +1,64 @@
+"""Skew-handling join utilities (SURVEY §6 / SCALE.md).
+
+AQE's skew-join splitting handles most skew at runtime; explicit salting is
+the library recipe for the pathological case — one join key holding a
+double-digit percentage of the fact table — where even a split partition's
+build side is hot.  The transform is semantics-preserving: results equal
+the plain join exactly (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi join with the fact side salted across ``salt`` sub-keys.
+
+    The fact side gets a deterministic pseudo-random salt (hash of its key
+    and a row-unique column is unnecessary — spraying rows of the SAME hot
+    key is the goal, so a per-row uniform salt is used); the dim side is
+    replicated ``salt`` times.  The join key becomes (key, salt), splitting
+    each hot key's rows across ``salt`` reducers.
+
+    Cost: dim side inflates x salt — use only when dim is the small side
+    and the fact key distribution is pathological.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    salted_dim = dim.withColumn("_salt", salts)
+    cond = (salted_fact[fact_key] == salted_dim[dim_key]) & (
+        salted_fact["_salt"] == salted_dim["_salt"]
+    )
+    return salted_fact.join(salted_dim, cond, how).drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Skew diagnostic: row count of the hottest keys vs the mean — run this
+    before deciding between AQE-only and explicit salting."""
+    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    total = counts.agg(
+        F.sum("n").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "n",
+            F.round(F.col("n") * F.col("n_keys") / F.col("total_rows"), 2).alias(
+                "x_mean"
+            ),
+        )
+        .orderBy(F.desc("n"), F.asc(key))
+        .limit(top)
+    )

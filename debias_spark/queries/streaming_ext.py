@@ -67,6 +67,18 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_stateful_user_counts", "H16b", oracle=None, bench=False)
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    counts in explicit group state, drained with availableNow.  rows-only
+    here; the equivalence test asserts the final state matches the batch
+    aggregate exactly."""
+    from debias_spark.streaming.stateful import running_user_counts
+
+    stream = stream_events(spark, sf_dir)
+    return run_available_now(running_user_counts(stream), spark, output_mode="update")
+
+
 @register("stream_session_window", "H16", oracle=None, bench=False)  # rows-only
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows + watermark over a real file stream, availableNow

@@ -1,0 +1,77 @@
+"""Report sink: the reference's PDF report (call-debias.py:54-136) as a
+driver-side renderer over the ``pipeline.report_rows`` DataFrame.
+
+The dataflow (flagged-only filter, first-comma split, one row per tag,
+record cells blanked after the first tag row) is the declarative plan in
+``report_rows``; this module is ONLY the rendering sink.  reportlab renders
+the landscape-A4 table when available (readme.md:147-155 layout); this
+container doesn't ship it, so the text renderer is the default and the PDF
+path raises cleanly.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame
+
+try:  # optional dependency, exactly like the reference's reportlab
+    import reportlab  # noqa: F401
+
+    HAVE_REPORTLAB = True
+except ImportError:
+    HAVE_REPORTLAB = False
+
+HEADER = ("Record #", "Literal", "Tag details")
+
+
+def render_reports(rows: DataFrame, output_dir: str, fmt: str = "text") -> list[str]:
+    """Render one report per src_file from a report_rows frame.
+
+    Returns written filenames ('<stem>.txt' / '<stem>.pdf' — the reference
+    derives report names from input names with a suffix swap,
+    call-debias.py:64).  Only files with >= 1 flagged record get a report
+    (the frame is already flagged-only)."""
+    out = pathlib.Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    collected = rows.orderBy("src_file", "record_cell", "tag_pos").collect()
+    by_file: dict[str, list] = {}
+    for r in collected:
+        by_file.setdefault(r.src_file, []).append(r)
+    written = []
+    for src_file, file_rows in sorted(by_file.items()):
+        stem = src_file.rsplit(".", 1)[0]
+        if fmt == "pdf":
+            if not HAVE_REPORTLAB:
+                raise NotImplementedError(
+                    "PDF rendering requires reportlab (not in this container); "
+                    "use fmt='text'"
+                )
+            name = _render_pdf(stem, file_rows, out)
+        else:
+            name = _render_text(stem, file_rows, out)
+        written.append(name)
+    return written
+
+
+def _render_text(stem: str, rows: list, out: pathlib.Path) -> str:
+    name = f"{stem}.txt"
+    lines = [f"De-bias report: {stem}", "", " | ".join(HEADER), "-" * 60]
+    for r in rows:
+        details = r.tag_details.replace("\n", "; ")
+        lines.append(f"{r.record_cell} | {r.literal_cell} | {details}")
+    (out / name).write_text("\n".join(lines) + "\n")
+    return name
+
+
+def _render_pdf(stem: str, rows: list, out: pathlib.Path) -> str:
+    from reportlab.lib.pagesizes import A4, landscape
+    from reportlab.platypus import SimpleDocTemplate, Table
+
+    name = f"{stem}.pdf"
+    data = [list(HEADER)] + [
+        [r.record_cell, r.literal_cell, r.tag_details] for r in rows
+    ]
+    doc = SimpleDocTemplate(str(out / name), pagesize=landscape(A4))
+    doc.build([Table(data)])
+    return name
