@@ -202,7 +202,7 @@ def window_rank_lag_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.rank().over(w).alias("rk"),
+        F.rank().over(w).cast("long").alias("rk"),
         F.lag("l_quantity").over(w).alias("prev_qty"),
         F.round(F.sum("l_quantity").over(frame), 2).alias("running_qty"),
     )

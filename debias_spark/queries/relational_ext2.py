@@ -189,14 +189,14 @@ def scalar_string_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.levenshtein(F.substring("lang", 1, 2), F.lit("en")).alias("lev_en"),
+        F.levenshtein(F.substring("lang", 1, 2), F.lit("en")).cast("long").alias("lev_en"),
         F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
         F.translate("lang", "aeiou", "AEIOU").alias("vowels_up"),
         F.reverse("source").alias("rev_source"),
         F.concat(F.repeat(F.lit("-"), 3), F.col("source")).alias("dashed"),
         F.expr("left(text, 10)").alias("head10"),
         F.expr("right(text, 5)").alias("tail5"),
-        F.instr("text", "data").alias("data_pos"),
+        F.instr("text", "data").cast("long").alias("data_pos"),
         F.replace("source", F.lit("src"), F.lit("source-")).alias("renamed"),
     )
 

@@ -58,10 +58,39 @@ def normalize_frame(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+# Spark simpleString / DuckDB type -> comparable family, to catch e.g.
+# Spark int vs DuckDB BIGINT schema drift before the driver does.
+_SPARK_FAMILY = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "double": "f64",
+    "float": "f32", "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+}
+_DUCK_FAMILY = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "DOUBLE": "f64",
+    "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "DATE": "date",
+}
+
+
+def _check_schema_families(spark_df, oracle_sql: str, con) -> None:
+    stypes = {f.name.lower(): f.dataType.simpleString() for f in spark_df.schema.fields}
+    dtypes = {r[0].lower(): r[1] for r in con.execute(f"DESCRIBE {oracle_sql}").fetchall()}
+    for col, st in stypes.items():
+        if col not in dtypes:
+            continue  # column-set equality is asserted separately
+        sf = _SPARK_FAMILY.get(st)
+        df_ = _DUCK_FAMILY.get(dtypes[col].split("(")[0])
+        if sf and df_ and sf != df_:
+            raise AssertionError(
+                f"schema family mismatch on {col!r}: spark={st} duckdb={dtypes[col]}"
+            )
+
+
 def compare_to_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     """Assert the Spark result matches the DuckDB oracle (raises AssertionError)."""
     con = duck_connection(sf_dir)
     try:
+        _check_schema_families(spark_df, oracle_sql, con)
         duck_pdf = con.execute(oracle_sql).fetchdf()
     finally:
         con.close()
