@@ -75,3 +75,45 @@ def extract_features(df: DataFrame, decode: bool = False) -> DataFrame:
             )
 
     return df.select("doc_id", "payload", "meta").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_chars", LongType()),
+        StructField("frame_md5_8", StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 3, decode: bool = False) -> DataFrame:
+    """Frame sampling: each payload fans out to ``n_frames`` rows (the
+    video-frame-extraction shape: 1 input row -> N feature rows through
+    mapInPandas).  Frames here are equal character slices of the decoded
+    payload; a real pipeline would seek keyframes with ffmpeg at the
+    ``decode=True`` hook (stubbed in this container)."""
+
+    def run(batches):
+        if decode:
+            raise NotImplementedError("real frame decode requires ffmpeg")
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_chars": [], "frame_md5_8": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = payload.decode("utf-8")
+                if not s:
+                    continue
+                k = max((len(s) + n_frames - 1) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = s[i * k : (i + 1) * k]
+                    if not frame:
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_chars"].append(len(frame))
+                    out["frame_md5_8"].append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()[:8]
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -187,6 +187,35 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    "MM2",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n,
+               greatest(CAST(ceil(length(text) / 3.0) AS INTEGER), 1) AS k
+        FROM documents WHERE length(text) > 0
+    ), f AS (
+        SELECT doc_id, i AS frame_idx, substr(text, i * k + 1, k) AS frame
+        FROM t, unnest([0, 1, 2]) AS u(i)
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(length(frame) AS BIGINT) AS frame_chars,
+           substr(md5(frame), 1, 8) AS frame_md5_8
+    FROM f WHERE length(frame) > 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: 1 binary payload -> N frame rows through
+    Arrow-batched mapInPandas (the video keyframe-extraction shape).  The
+    slicing features are oracle-checked; the ffmpeg decode is the stubbed
+    step."""
+    from debias_spark.operators.multimodal import attach_binary, sample_frames
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample_frames(attach_binary(docs), n_frames=3)
+
+
 @register("similarity_ann_ivf", "Y5", oracle=None)  # rows-only: approximate
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: k-means centroids (MLlib, fixed seed) partition the

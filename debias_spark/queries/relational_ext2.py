@@ -285,6 +285,38 @@ def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    "X11",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty,
+           round(sum(l_extendedprice) OVER (
+               PARTITION BY l_returnflag ORDER BY l_quantity
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS range_sum
+    FROM lineitem
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-based window frame (value range, peers included): sum of
+    prices over quantities within 5 units below the current row's.  Range
+    frames are tiebreak-free by construction — the frame depends only on
+    the ORDER BY value, so duplicate keys cannot destabilize it."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("qty"),
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("range_sum"),
+    )
+
+
+@register(
     "grouping_cube",
     "X10",
     oracle="""
