@@ -31,9 +31,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+# Confs the engine depends on that are safely settable at RUNTIME — applied
+# on first catalog access so the engine behaves correctly even under a
+# SparkSession we didn't build (the driver harness constructs its own).
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",  # events.ts is TIMESTAMP(NANOS)
+    "spark.sql.session.timeZone": "UTC",  # oracle comparison contract
+    "spark.sql.constraintPropagation.enabled": "false",  # see session.py
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment: keep going
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS, ntz) — read as epoch-nanos
