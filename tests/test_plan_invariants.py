@@ -1,0 +1,82 @@
+"""Plan-shape invariants: the SCALE.md claims, asserted.  If a refactor
+regresses pushdown, broadcasts the wrong side, or adds a shuffle, these
+fail before any benchmark notices."""
+
+from __future__ import annotations
+
+import pytest
+
+from debias_spark.plans import (
+    assert_filter_pushed,
+    assert_join_strategy,
+    assert_max_exchanges,
+    count_nodes,
+    join_strategies,
+)
+from debias_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+
+def q(name, spark, sf_dir):
+    return SPECS[name].fn(spark, sf_dir)
+
+
+def test_partition_filter_reaches_scan(spark, sf_dir):
+    assert_filter_pushed(q("scan_partitioned_source", spark, sf_dir), "lang")
+
+
+def test_blank_line_filter_reaches_scan(spark, sf_dir):
+    assert_filter_pushed(q("scan_lines_drop_blank", spark, sf_dir), "length(trim(text")
+
+
+def test_broadcast_join_broadcasts_dim(spark, sf_dir):
+    assert_join_strategy(q("join_broadcast_hash", spark, sf_dir), "BroadcastHashJoin")
+
+
+def test_fact_fact_join_is_sort_merge(spark, sf_dir):
+    assert_join_strategy(q("join_sortmerge_large", spark, sf_dir), "SortMergeJoin")
+
+
+def test_star_join_uses_broadcasts(spark, sf_dir):
+    joins = join_strategies(q("join_multiway_star", spark, sf_dir))
+    assert len(joins) == 2
+    assert all(j == "BroadcastHashJoin" for j in joins), joins
+
+
+def test_aggs_have_mapside_partial(spark, sf_dir):
+    # partial + final pairs: count of HashAggregate nodes must be even, >= 2
+    n = count_nodes(q("agg_count_by_key", spark, sf_dir), "HashAggregate")
+    assert n >= 2 and n % 2 == 0, n
+
+
+def test_single_shuffle_for_group_count(spark, sf_dir):
+    assert_max_exchanges(q("agg_count_by_key", spark, sf_dir), 1)
+
+
+def test_window_pack_single_shuffle(spark, sf_dir):
+    # three window functions over one spec: exactly one shuffle
+    assert_max_exchanges(q("window_rank_lag_frame", spark, sf_dir), 1)
+
+
+def test_asof_join_is_windowed_not_joined(spark, sf_dir):
+    df = q("join_asof_last_click", spark, sf_dir)
+    assert join_strategies(df) == []  # no join operator at all
+    assert_max_exchanges(df, 1)
+
+
+def test_simhash_join_not_broadcast(spark, sf_dir):
+    # broadcast build would evaluate the fingerprint on the driver
+    joins = join_strategies(q("dedup_simhash", spark, sf_dir))
+    assert joins == ["ShuffledHashJoin"], joins
+
+
+def test_cosine_topk_broadcasts_probes(spark, sf_dir):
+    joins = join_strategies(q("similarity_cosine_topk", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in joins or "BroadcastHashJoin" in joins, joins
+
+
+def test_annotate_single_python_stage(spark, sf_dir):
+    # one mapInPandas stage feeding a JVM-side agg: exactly one Python eval
+    plan = q("annotate_issue_distribution", spark, sf_dir)
+    assert count_nodes(plan, "MapInPandas") == 1
