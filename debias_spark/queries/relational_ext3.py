@@ -1,0 +1,142 @@
+"""Third coverage wave: distribution window functions, extended datetime
+functions, conditional/null handling, and a data-profiling aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from debias_spark.catalog import table
+from debias_spark.registry import register
+
+
+@register(
+    "window_distribution_pack",
+    "X12",
+    oracle="""
+    SELECT event_id,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) + 0.0 AS pct_rank,
+           round(cume_dist() OVER w, 6) + 0.0 AS cume,
+           first_value(event_id) OVER w AS first_id,
+           nth_value(event_id, 2) OVER (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_id
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+    """,
+)
+def window_distribution_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist/
+    first_value/nth_value) over a unique ordering key — one shuffle serves
+    all five."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        (F.round(F.percent_rank().over(w), 6) + 0.0).alias("pct_rank"),
+        (F.round(F.cume_dist().over(w), 6) + 0.0).alias("cume"),
+        F.first("event_id").over(w).alias("first_id"),
+        F.nth_value("event_id", 2).over(wf).alias("second_id"),
+    )
+
+
+@register(
+    "scalar_datetime_pack2",
+    "X13",
+    oracle="""
+    SELECT event_id,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(weekofyear(ts) AS INTEGER) AS woy,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(minute(ts) AS INTEGER) AS m,
+           strftime(last_day(ts), '%Y-%m-%d') AS month_end,
+           strftime(ts + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS plus2m,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+    FROM events
+    """,
+)
+def scalar_datetime_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended datetime functions.  Cross-engine notes: Spark's dayofweek
+    is 1=Sunday while DuckDB's is 0=Sunday (oracle adds 1); weekofyear is
+    ISO in both; month arithmetic clamps end-of-month identically."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.dayofweek("ts").alias("dow"),
+        F.weekofyear("ts").alias("woy"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("m"),
+        F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
+        # interval arithmetic, not add_months(): Spark's add_months returns a
+        # DATE (drops time-of-day); + INTERVAL keeps the timestamp like DuckDB
+        F.date_format(F.expr("ts + INTERVAL 2 MONTH"), "yyyy-MM-dd HH:mm:ss").alias("plus2m"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d"),
+    )
+
+
+@register(
+    "scalar_conditional_pack",
+    "X14",
+    oracle="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'recovered') AS et,
+           CASE WHEN value > 0 THEN 'pos' WHEN value < 0 THEN 'neg' ELSE 'zero' END AS sign_label,
+           round(least(value, 0.5), 4) + 0.0 AS capped,
+           round(greatest(value, -0.5), 4) + 0.0 AS floored,
+           ifnull(NULL, event_type) AS nvl_demo,
+           CASE WHEN props IS NOT NULL THEN 'has_props' ELSE 'no_props' END AS nvl2_demo
+    FROM events
+    """,
+)
+def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / null-handling pack: nullif+coalesce, multi-branch
+    CASE, least/greatest capping, nvl/nvl2 shapes."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.expr("nullif(event_type, 'error')"), F.lit("recovered")).alias("et"),
+        F.when(F.col("value") > 0, "pos").when(F.col("value") < 0, "neg").otherwise("zero").alias("sign_label"),
+        (F.round(F.least("value", F.lit(0.5)), 4) + 0.0).alias("capped"),
+        (F.round(F.greatest("value", F.lit(-0.5)), 4) + 0.0).alias("floored"),
+        F.ifnull(F.lit(None).cast("string"), F.col("event_type")).alias("nvl_demo"),
+        F.nvl2(F.col("props"), F.lit("has_props"), F.lit("no_props")).alias("nvl2_demo"),
+    )
+
+
+@register(
+    "profile_table_stats",
+    "X15",
+    oracle="""
+    SELECT 'events' AS tbl,
+           count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types,
+           count(*) - count(props) AS null_props,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           round(avg(value), 4) AS avg_value,
+           round(stddev_samp(value), 4) AS std_value
+    FROM events
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling in one pass: row count, cardinalities, null
+    counts, numeric distribution — the pre-flight every pipeline run does
+    before trusting a new data drop.  At 100 TB the distinct counts switch
+    to approx_count_distinct (H13); exact here for the oracle."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.lit("events").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        (F.count("*") - F.count("props")).alias("null_props"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+    )
