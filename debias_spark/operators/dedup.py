@@ -123,6 +123,65 @@ def minhash_dedup(
     )
 
 
+def duplicate_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    pair_cols: tuple[str, str] = ("id", "rep_id"),
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every doc gets the
+    min doc-id of its component as cluster_id — the dedup endgame (pairs ->
+    clusters -> keep one representative per cluster).
+
+    Iterative min-label propagation: per round, each node takes the min of
+    its own label and its neighbors' labels.  Converges in O(diameter)
+    rounds (near-dup graphs are dense, so diameter is tiny); iteration is
+    driver-controlled with localCheckpoint() per round to truncate lineage
+    — the standard Spark shape for iterative algorithms without GraphX.
+    Genuinely non-SQL-expressible (recursive), hence rows-only + property
+    tests.
+    """
+    a, b = pair_cols
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def with_simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sh): 64-bit SimHash over the distinct token set — bit b of the
     fingerprint is the majority vote of bit b across xxhash64(token) values.

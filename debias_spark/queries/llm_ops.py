@@ -63,6 +63,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, "doc_id", "text", shingle_n=1, num_hashes=32, bands=4, threshold=0.8)
 
 
+@register("dedup_clusters", "H9e", oracle=None, bench=False)  # rows-only: iterative
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the MinHash near-dup
+    pair graph (min-label propagation, driver-controlled iteration with
+    lineage checkpoints).  The full dedup endgame — from pairs to 'keep
+    doc_id == cluster_id' — and the registry's representative of iterative
+    algorithms.  Recursive -> no SQL oracle; invariants in tests."""
+    from debias_spark.operators.dedup import duplicate_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", shingle_n=1, threshold=0.8)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return duplicate_clusters(ids, pairs, id_col="id", pair_cols=("id", "rep_id"))
+
+
 @register("dedup_simhash", "H9b", oracle=None)  # rows-only: hash internals
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit majority fingerprint over token

@@ -67,6 +67,30 @@ def session_window_counts(events: DataFrame, gap: str = "5 minutes") -> DataFram
     )
 
 
+def incremental_parquet_sink(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental parquet append via foreachBatch, drained with
+    availableNow.  foreachBatch is the sink escape hatch: each micro-batch
+    arrives as a normal DataFrame, so any batch writer (merge/upsert,
+    multi-table fan-out) plugs in; the checkpoint makes re-runs process
+    only NEW files — the Refresh-button economics the reference lacks
+    (full re-scan per click, dashboard_widget.py:73-74)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame, spark: SparkSession, output_mode: str = "append"
 ) -> DataFrame:

@@ -72,6 +72,29 @@ def test_ann_lsh_scores_are_exact_cosines(spark, sf_dir):
         assert exact[(r.query_id, r.cand_id)] == r.sim
 
 
+def test_dedup_clusters_invariants(spark, sf_dir):
+    """Connected-components correctness: both endpoints of every near-dup
+    pair share a cluster; cluster_id is the min member; sizes consistent."""
+    from debias_spark.operators.dedup import duplicate_clusters, minhash_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", shingle_n=1, threshold=0.8)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    clusters = duplicate_clusters(ids, pairs, id_col="id", pair_cols=("id", "rep_id"))
+    label = {r.id: r.cluster_id for r in clusters.collect()}
+    sizes = {r.id: r.cluster_size for r in clusters.collect()}
+    assert set(label) == {r.id for r in ids.collect()}  # every doc labeled
+    for p in pairs.collect():  # pair endpoints co-clustered
+        assert label[p.id] == label[p.rep_id], (p.id, p.rep_id)
+    for node, lab in label.items():
+        assert lab <= node  # min-label: never above own id
+        assert label[lab] == lab  # the representative is its own cluster
+    from collections import Counter
+
+    true_sizes = Counter(label.values())
+    assert all(sizes[n] == true_sizes[label[n]] for n in label)
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     values=st.lists(

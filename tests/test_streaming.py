@@ -25,6 +25,20 @@ def test_tumbling_batch_equals_stream(spark, sf_dir):
     assert _sorted_rows(batch) == _sorted_rows(stream)
 
 
+def test_incremental_parquet_sink_is_incremental(spark, sf_dir, tmp_path):
+    """foreachBatch sink: first drain writes everything; a second drain
+    against the same checkpoint writes NOTHING new (incremental progress,
+    not the reference's full re-scan)."""
+    from debias_spark.streaming.incremental import incremental_parquet_sink
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    incremental_parquet_sink(stream_events(spark, sf_dir), out, ckpt)
+    n_events = spark.read.parquet(out).count()
+    assert n_events == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    incremental_parquet_sink(stream_events(spark, sf_dir), out, ckpt)
+    assert spark.read.parquet(out).count() == n_events  # no re-processing
+
+
 def test_session_window_invariants(spark, sf_dir):
     out = run_available_now(session_window_counts(stream_events(spark, sf_dir)), spark)
     rows = out.collect()
