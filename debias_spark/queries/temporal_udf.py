@@ -168,6 +168,44 @@ def grouped_zscore_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_tokenize_positions",
+    "T6",
+    oracle=r"""
+    SELECT doc_id, t AS token, CAST(ord - 1 AS INTEGER) AS pos
+    FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS t,
+               generate_subscripts(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> ''), 1) AS ord
+        FROM documents
+    )
+    """,
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function): one input row ->
+    N output rows from Python, joined laterally.  Tokenization with
+    positions — deliberately equivalent to posexplode(split(...)) so the
+    UDTF machinery itself is what the oracle checks."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").lower().split()):
+                yield t, i
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM documents_udtf_v d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
+
+
+@register(
     "set_except_all",
     "T5",
     oracle="""

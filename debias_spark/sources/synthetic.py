@@ -1,0 +1,68 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+synthetic-corpus generator.
+
+Demonstrates the non-file source surface: partition planning happens in
+``partitions()`` (one InputPartition per shard -> parallel generation
+across executors), and each partition's ``read`` is a pure function of
+(shard, rows_per_shard, seed) — so the same options always generate the
+same corpus on any cluster size.  This is how you back-fill load-test
+corpora at 100 TB without staging files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog slow big small fast "
+    "data table row scan hash merge join filter sort group window"
+).split()
+_LANGS = ("en", "de", "es", "fr", "zh")
+
+SCHEMA_DDL = "doc_id bigint, text string, lang string"
+
+
+class _Shard(InputPartition):
+    def __init__(self, shard: int):
+        self.shard = shard
+
+
+class SyntheticCorpusReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_shards = int(options.get("shards", "4"))
+        self.rows_per_shard = int(options.get("rowspershard", "100"))
+        self.seed = int(options.get("seed", "42"))
+
+    def partitions(self):
+        return [_Shard(i) for i in range(self.n_shards)]
+
+    def read(self, partition: _Shard):
+        # deterministic per (seed, shard, row): a multiplicative hash drives
+        # word/language selection — no RNG state, reproducible anywhere
+        base = self.seed * 1_000_003 + partition.shard * 7919
+        for r in range(self.rows_per_shard):
+            doc_id = partition.shard * self.rows_per_shard + r
+            h = (base + r * 2_654_435_761) & 0x7FFFFFFF
+            n_words = 5 + h % 8
+            words = [
+                _WORDS[(h // (i + 1)) % len(_WORDS)] for i in range(n_words)
+            ]
+            lang = _LANGS[h % len(_LANGS)]
+            yield (doc_id, " ".join(words), lang)
+
+
+class SyntheticCorpusDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_corpus"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SyntheticCorpusReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticCorpusDataSource)
