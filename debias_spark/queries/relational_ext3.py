@@ -108,6 +108,44 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_fn_pack",
+    "X16",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               map(['lang','source','chars'],
+                   [lang, source, CAST(n_chars AS VARCHAR)]) AS m
+        FROM documents
+    )
+    SELECT doc_id,
+           m['source'][1] AS lookup_source,
+           array_to_string(map_keys(m), ',') AS keys_join,
+           array_to_string(map_values(m), ',') AS vals_join,
+           CAST(cardinality(m) AS INTEGER) AS n_entries,
+           list_contains(map_keys(m), 'lang') AS has_lang
+    FROM t
+    """,
+)
+def map_fn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function pack: construction from arrays, key lookup,
+    keys/values extraction, cardinality, key membership.  Insertion order
+    is preserved by both engines, making the joined projections stable."""
+    docs = table(spark, sf_dir, "documents")
+    m = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source"), F.lit("chars")),
+        F.array(F.col("lang"), F.col("source"), F.col("n_chars").cast("string")),
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(m, "source").alias("lookup_source"),
+        F.array_join(F.map_keys(m), ",").alias("keys_join"),
+        F.array_join(F.map_values(m), ",").alias("vals_join"),
+        F.size(m).alias("n_entries"),
+        F.map_contains_key(m, "lang").alias("has_lang"),
+    )
+
+
+@register(
     "profile_table_stats",
     "X15",
     oracle="""

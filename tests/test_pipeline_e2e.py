@@ -116,6 +116,24 @@ def test_partitioned_sink_roundtrip(spark, tmp_path_factory, pipeline_out):
     assert set(back.select("language").distinct().toPandas()["language"]) == {"en", "de"}
 
 
+def test_corrupt_output_file_does_not_poison_analytics(spark, pipeline_out, tmp_path):
+    """A malformed response document must not crash the analytics re-read
+    (the reference's json.load would abort the whole dashboard refresh);
+    the schema'd PERMISSIVE read nulls it out and every valid file still
+    contributes."""
+    import shutil
+
+    annotated, out = pipeline_out
+    bad_dir = tmp_path / "with_corrupt"
+    shutil.copytree(out, bad_dir)
+    (bad_dir / "broken-output.json").write_text('{"results": [ NOT VALID JSON')
+    frame = analytics_view(spark, str(bad_dir))
+    n_records = annotated.count()
+    n_tags = sum(len(r.tags) for r in annotated.select("tags").collect())
+    assert frame.count() == n_records + n_tags  # corrupt file contributes 0
+    assert frame.filter(frame.file == "broken-output.json").count() == 0
+
+
 def test_config_ini_roundtrip(tmp_path):
     cfg = PipelineConfig("/in", "/out", use_ner=False, use_llm=True, max_retries=3)
     path = tmp_path / "config.ini"
