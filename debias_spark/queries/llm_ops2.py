@@ -160,6 +160,79 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", redacted.alias("redacted"))
 
 
+@register(
+    "text_chunk_documents",
+    "Y6",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, w, unnest(range(0, len(w), 32)) AS s
+        FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id, CAST(s / 32 AS INTEGER) AS chunk_idx,
+           array_to_string(w[s + 1 : s + 48], ' ') AS chunk_text,
+           CAST(least(len(w) - s, 48) AS BIGINT) AS n_tokens
+    FROM starts
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: fixed-size token windows (48 tokens, stride
+    32 -> 16-token overlap), one row per chunk.  Pure explode arithmetic —
+    the pretokenization fan-out stage of every LLM data pipeline, linear
+    and shuffle-free."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    d = docs.select("doc_id", w.alias("w")).filter(F.size("w") > 0)
+    CHUNK, STRIDE = 48, 32
+    # chunk starts = every stride multiple strictly below the token count
+    starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(STRIDE))
+    ex = d.select("doc_id", "w", F.explode(starts).alias("s"))
+    return ex.select(
+        "doc_id",
+        (F.col("s") / STRIDE).cast("int").alias("chunk_idx"),
+        F.array_join(F.slice("w", F.col("s") + 1, CHUNK), " ").alias("chunk_text"),
+        F.least(F.size("w") - F.col("s"), F.lit(CHUNK)).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "text_pack_sequences",
+    "Y7",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                / 512) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to ~512-token training sequences by
+    running token count (doc ordered, offset-based binning — the
+    deterministic streaming-friendly packing; bin-packing-optimal is a
+    shuffle-heavy refinement).  One window over doc order."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).cast("long")
+    t = docs.select("doc_id", n_tok.alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).alias("pack_id"),
+    )
+
+
 @register("dedup_minhash_mllib", "Y4", oracle=None, bench=False)  # rows-only
 def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH variant of dedup_minhash_lsh: HashingTF token
