@@ -209,27 +209,38 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_tokens,
-           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-                / 512) AS BIGINT) AS pack_id
+           CAST(floor(doc_id / 100) * 1000000
+                + floor((sum(n_tokens) OVER (PARTITION BY floor(doc_id / 100)
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                        / 512) AS BIGINT) AS pack_id
     FROM t
     """,
 )
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs to ~512-token training sequences by
-    running token count (doc ordered, offset-based binning — the
-    deterministic streaming-friendly packing; bin-packing-optimal is a
-    shuffle-heavy refinement).  One window over doc order."""
+    running token count within 100-doc shards (offset-based binning).
+    The shard partition keeps the window parallel — a single global
+    ORDER BY window would serialize the whole corpus through one task at
+    100 TB; pack ids are globally unique via the shard prefix."""
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).cast("long")
-    t = docs.select("doc_id", n_tok.alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shard = F.floor(F.col("doc_id") / 100)
+    t = docs.select("doc_id", n_tok.alias("n_tokens"), shard.alias("shard"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return t.select(
         "doc_id",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).alias("pack_id"),
+        (
+            F.col("shard") * 1000000
+            + F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
+        ).alias("pack_id"),
     )
 
 
