@@ -291,6 +291,29 @@ def explode_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "explode_outer_nullable",
+    "D1b",
+    oracle="""
+    SELECT event_id, 'a' AS el FROM events WHERE value > 0
+    UNION ALL
+    SELECT event_id, event_type AS el FROM events WHERE value > 0
+    UNION ALL
+    SELECT event_id, CAST(NULL AS VARCHAR) AS el FROM events WHERE value <= 0
+    """,
+)
+def explode_outer_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: null/empty arrays keep their parent row (one row with
+    a null element) instead of vanishing — the OTHER explode semantics,
+    deliberately distinct from the analytics frame's UNION-ALL shape (D3)
+    and from plain explode (D1)."""
+    ev = table(spark, sf_dir, "events")
+    arr = F.when(F.col("value") > 0, F.array(F.lit("a"), F.col("event_type")))
+    return ev.select("event_id", arr.alias("arr")).select(
+        "event_id", F.explode_outer("arr").alias("el")
+    )
+
+
+@register(
     "union_record_and_tag_rows",
     "D3",
     oracle="""
