@@ -101,6 +101,12 @@ def annotate(
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = cfg.client_factory()
+        # wire the config's API flags into clients that accept them (both
+        # the lexicon and HTTP clients expose use_ner/use_llm like the
+        # reference's payload, call-debias.py:43-48)
+        for flag in ("use_ner", "use_llm"):
+            if hasattr(client, flag):
+                setattr(client, flag, getattr(cfg, flag))
         for pdf in batches:
             values = pdf[text_col].fillna("").tolist()
             # Group the batch by language: the API contract is one language

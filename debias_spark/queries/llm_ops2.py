@@ -161,6 +161,75 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rolling_hash",
+    "Y8",
+    oracle=r"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                       t -> CAST(length(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS roll_hash
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint as a polynomial ROLLING hash over the token
+    stream (Rabin-Karp family): order-sensitive unlike the md5-of-
+    normalized-text fingerprint, so reordered near-dups hash apart.  Token
+    codes and the modular fold are chosen to be exactly computable in both
+    engines (no 64-bit overflow under ANSI: acc < 1e9, step < 1.4e11)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    codes = F.transform(
+        toks,
+        lambda t: (F.length(t) * 31 + F.ascii(F.substring(t, 1, 1))).cast("long"),
+    )
+    roll = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % 1000000007
+    )
+    return docs.select("doc_id", roll.alias("roll_hash"))
+
+
+@register(
+    "multimodal_resize_plan",
+    "MM3",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(100 + doc_id % 500 AS BIGINT) AS w,
+               CAST(80 + (doc_id * 7) % 400 AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id, w, h,
+           CAST(round(w * least(224.0 / w, 224.0 / h), 0) AS BIGINT) AS out_w,
+           CAST(round(h * least(224.0 / w, 224.0 / h), 0) AS BIGINT) AS out_h,
+           round(least(224.0 / w, 224.0 / h), 4) AS scale
+    FROM m
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize planning: aspect-preserving fit into 224x224 from typed
+    width/height metadata (synthesized deterministically — no real image
+    headers in this container).  The geometry is the oracle-checked part;
+    the pixel resample itself is the stubbed decode step, exactly like
+    multimodal_extract's decoder."""
+    docs = table(spark, sf_dir, "documents")
+    w = (100 + F.col("doc_id") % 500).cast("long")
+    h = (80 + (F.col("doc_id") * 7) % 400).cast("long")
+    scale = F.least(224.0 / w, 224.0 / h)
+    return docs.select(
+        "doc_id",
+        w.alias("w"),
+        h.alias("h"),
+        F.round(w * scale, 0).cast("long").alias("out_w"),
+        F.round(h * scale, 0).cast("long").alias("out_h"),
+        F.round(scale, 4).alias("scale"),
+    )
+
+
+@register(
     "text_chunk_documents",
     "Y6",
     oracle=r"""
