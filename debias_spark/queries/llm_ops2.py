@@ -161,6 +161,69 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_decontaminate",
+    "Y9",
+    oracle="""
+    SELECT doc_id,
+           (contains(lower(text), 'data table')
+            OR contains(lower(text), 'hash value')
+            OR contains(lower(text), 'join small')) AS contaminated,
+           CASE WHEN contains(lower(text), 'data table') THEN 'data table'
+                WHEN contains(lower(text), 'hash value') THEN 'hash value'
+                WHEN contains(lower(text), 'join small') THEN 'join small'
+                ELSE NULL END AS matched_phrase
+    FROM documents
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents containing any phrase from
+    the eval-set n-gram list (here 3 fixed phrases; production scale joins
+    against a broadcast n-gram set or a bloom filter of eval 13-grams —
+    same plan shape, the phrase list is the tiny side)."""
+    docs = table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    phrases = ["data table", "hash value", "join small"]
+    flag = None
+    matched = F.lit(None).cast("string")
+    # reversed build => first-listed phrase wins the matched label
+    for p in reversed(phrases):
+        hit = low.contains(p)
+        flag = hit if flag is None else (hit | flag)
+        matched = F.when(hit, F.lit(p)).otherwise(matched)
+    return docs.select("doc_id", flag.alias("contaminated"), matched.alias("matched_phrase"))
+
+
+@register(
+    "sample_train_val_test",
+    "Y10",
+    oracle="""
+    SELECT split, count(*) AS n, min(doc_id) AS first_id FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 100 < 80 THEN 'train'
+                    WHEN doc_id % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ) GROUP BY split
+    """,
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by key arithmetic
+    (hash the key first when ids are clustered).  Assignment is a pure
+    projection — no shuffle, no RNG state, stable across reruns and
+    cluster sizes, which is what makes the split reproducible at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.col("doc_id") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_id"))
+    )
+
+
+@register(
     "text_rolling_hash",
     "Y8",
     oracle=r"""
