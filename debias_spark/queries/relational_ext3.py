@@ -108,6 +108,31 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_json_pack",
+    "X17",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') AS missing_field,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    """,
+)
+def variant_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse_json once into a binary semi-structured
+    value, then typed variant_get extraction — the modern replacement for
+    repeated get_json_object string re-parsing (one parse per row instead
+    of one per field at 100 TB)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string')").alias("missing_field"),
+        F.expr("variant_get(parse_json(props), '$.k', 'long') IS NOT NULL").alias("has_k"),
+    )
+
+
+@register(
     "map_fn_pack",
     "X16",
     oracle="""
