@@ -108,6 +108,76 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_range_banded",
+    "X18",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS dt_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 300
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join, banded: pairs of same-user events within 300 s.
+
+    The naive plan is an inequality join — O(n^2) per user.  The banded
+    rewrite buckets time into 300 s bands and replicates ONE side into its
+    adjacent bands, turning the range join into an equi join on
+    (user_id, band) + a cheap residual filter: each candidate pair meets on
+    exactly one band key, so no dedup is needed.  This is the standard
+    scalable interval-join shape (and what a time-series as-of/range engine
+    does under the hood)."""
+    ev = table(spark, sf_dir, "events")
+    sec = F.unix_seconds(F.col("ts").cast("timestamp"))
+    e = ev.select("user_id", "event_id", sec.alias("sec"))
+    band = F.floor(F.col("sec") / 300)
+    left = e.select("user_id", F.col("event_id").alias("id_a"), F.col("sec").alias("sec_a"), band.alias("band"))
+    right = e.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("sec").alias("sec_b"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    return (
+        left.join(right, ["user_id", "band"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("sec_a") - F.col("sec_b")) <= 300)
+        )
+        .select("id_a", "id_b", (F.col("sec_b") - F.col("sec_a")).alias("dt_s"))
+    )
+
+
+@register(
+    "agg_stats_pack",
+    "X19",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS corr_vu,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS covar_vu,
+           round(var_samp(value), 4) AS var_v,
+           round(stddev_samp(value), 4) AS std_v
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, sample covariance/variance/
+    stddev per group — one shuffle, all mergeable partial states.
+    (skewness/kurtosis exist in both engines but use different bias
+    conventions, so they stay out of the oracle contract.)"""
+    ev = table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        (F.round(F.corr("value", u), 4) + 0.0).alias("corr_vu"),
+        (F.round(F.covar_samp("value", u), 4) + 0.0).alias("covar_vu"),
+        F.round(F.var_samp("value"), 4).alias("var_v"),
+        F.round(F.stddev_samp("value"), 4).alias("std_v"),
+    )
+
+
+@register(
     "variant_json_pack",
     "X17",
     oracle="""

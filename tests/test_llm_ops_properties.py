@@ -72,6 +72,33 @@ def test_ann_lsh_scores_are_exact_cosines(spark, sf_dir):
         assert exact[(r.query_id, r.cand_id)] == r.sim
 
 
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    """Chunk coverage property: the stride-aligned prefix of each chunk
+    (first 32 tokens) concatenated in chunk order reconstructs the exact
+    original token stream — no token lost or duplicated by the fan-out."""
+    from debias_spark.operators.text import distinct_tokens  # noqa: F401
+
+    chunks = SPECS["text_chunk_documents"].fn(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == {d for d, toks in docs.items() if toks}
+    for doc_id, cl in by_doc.items():
+        cl.sort(key=lambda c: c.chunk_idx)
+        rebuilt = []
+        for c in cl:
+            rebuilt.extend(c.chunk_text.split()[:32])  # stride-aligned prefix
+        assert rebuilt == docs[doc_id], doc_id
+        # overlap property: chunk i's tokens past the stride reappear in i+1
+        for a, b in zip(cl, cl[1:]):
+            tail = a.chunk_text.split()[32:]
+            assert b.chunk_text.split()[: len(tail)] == tail
+
+
 def test_dedup_clusters_invariants(spark, sf_dir):
     """Connected-components correctness: both endpoints of every near-dup
     pair share a cluster; cluster_id is the min member; sizes consistent."""
