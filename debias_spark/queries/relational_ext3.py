@@ -108,6 +108,62 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_quantifiers",
+    "X20",
+    oracle="""
+    SELECT vec_id,
+           (len(list_filter(embedding, x -> x > 0.1)) > 0) AS any_big,
+           (len(list_filter(embedding, x -> x > -10)) = len(embedding)) AS all_sane,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           (len(list_filter(embedding, x -> abs(x) > 1)) = 0) AS none_huge
+    FROM embeddings
+    """,
+)
+def array_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order quantifier predicates over arrays: exists / forall /
+    filter-count / negated-exists — all codegen, no explode needed for
+    per-row array predicates."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.exists(e, lambda x: x > 0.1).alias("any_big"),
+        F.forall(e, lambda x: x > -10).alias("all_sane"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        (~F.exists(e, lambda x: F.abs(x) > 1)).alias("none_huge"),
+    )
+
+
+@register(
+    "regexp_pack",
+    "X21",
+    oracle=r"""
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(text, '[a-z]{5,}'), ',') AS long_words,
+           CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INTEGER) AS n_long,
+           regexp_matches(text, '^[a-z]') AS starts_lower,
+           regexp_replace(text, '[aeiou]', '_', 'g') LIKE '%;_%' AS has_semivowel,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word
+    FROM documents
+    """,
+)
+def regexp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function pack: extract_all, match-count, anchored match,
+    global replace, group extraction — patterns restricted to the
+    Java-regex/RE2 common subset so both engines agree."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.regexp_extract_all(t, F.lit("[a-z]{5,}"), 0), ",").alias("long_words"),
+        F.size(F.regexp_extract_all(t, F.lit("[a-z]{5,}"), 0)).alias("n_long"),
+        t.rlike("^[a-z]").alias("starts_lower"),
+        F.regexp_replace(t, "[aeiou]", "_").like("%;_%").alias("has_semivowel"),
+        F.regexp_extract(t, "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+    )
+
+
+@register(
     "join_range_banded",
     "X18",
     oracle="""
