@@ -108,6 +108,38 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_metrics",
+    "X22",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'qty' AS metric, round(l_quantity, 2) AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', round(l_extendedprice, 2) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 2) FROM lineitem
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, the inverse of X3's pivot): three measure
+    columns melt into (metric, val) rows.  A generator projection — rows
+    triple but nothing shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    pre = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("qty"),
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round("l_discount", 2).alias("discount"),
+    )
+    return pre.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["qty", "price", "discount"],
+        "metric",
+        "val",
+    )
+
+
+@register(
     "array_quantifiers",
     "X20",
     oracle="""
