@@ -1,14 +1,20 @@
 """Query implementations, grouped by SURVEY.md §2 section.
 
 Importing this package registers every query into debias_spark.registry.
+
+Import order IS the driver's correctness-check order (registry dicts keep
+insertion order, the driver iterates queries() in that order and stopped at
+exactly 50 keys in round 1).  The modules whose keys lack driver evidence
+register FIRST so any per-round key cap or time cutoff lands on keys that
+already have green CORRECTNESS_r01 rows, never on unproven ones.
 """
 
-import debias_spark.queries.reference_core  # noqa: F401  A1-F3
-import debias_spark.queries.annotate_queries  # noqa: F401  F1/F2 + flagship
-import debias_spark.queries.relational_ext  # noqa: F401  H1-H6, H11-H13, H17
-import debias_spark.queries.relational_ext2  # noqa: F401  X1-X11 second wave
-import debias_spark.queries.relational_ext3  # noqa: F401  X12-X15 third wave
 import debias_spark.queries.llm_ops  # noqa: F401  H7-H10 + dedup/similarity/text
 import debias_spark.queries.llm_ops2  # noqa: F401  Y1-Y5 quality filters + MLlib
 import debias_spark.queries.streaming_ext  # noqa: F401  H14-H16
 import debias_spark.queries.temporal_udf  # noqa: F401  T1-T5 as-of/sessions/UDFs
+import debias_spark.queries.relational_ext3  # noqa: F401  X12-X15 third wave
+import debias_spark.queries.reference_core  # noqa: F401  A1-F3
+import debias_spark.queries.annotate_queries  # noqa: F401  F1/F2 + flagship
+import debias_spark.queries.relational_ext  # noqa: F401  H1-H6, H11-H13, H17
+import debias_spark.queries.relational_ext2  # noqa: F401  X1-X11 second wave
