@@ -121,12 +121,22 @@ def annotate(
             for lg, idxs in by_lang.items():
                 vals = [values[i] for i in idxs]
                 response, err, attempts = _call_with_retry(client, vals, lg, cfg)
+                # A call can "succeed" yet return a malformed body; a shape
+                # mismatch must land in _error for the batch, not raise out
+                # of mapInPandas and kill the job (the reference logs and
+                # skips the file, call-debias.py:157).
+                results = None
+                if err is None:
+                    results = (response or {}).get("results")
+                    if not isinstance(results, list) or len(results) != len(vals):
+                        got = len(results) if isinstance(results, list) else type(results).__name__
+                        err = f"ShapeMismatch: {got} results for {len(vals)} inputs"
                 for j, i in enumerate(idxs):
                     out_att[i] = attempts
                     if err is not None:
                         out_err[i] = err
                         continue
-                    res = response["results"][j]
+                    res = results[j] or {}
                     out_tags[i] = [
                         (t.get("literal"), t.get("issue"), t.get("source"))
                         for t in (res.get("tags") or [])

@@ -4,12 +4,15 @@
     python -m debias_spark.cli --input in/ --output out/ [--partitioned]
 
 Runs scan -> annotate -> JSON sink and prints a per-file summary (the
-reference's log lines, call-debias.py:151,157).
+reference's log lines, call-debias.py:151,157).  Like the reference it also
+appends the run log to ``debias.log`` (call-debias.py:16-22) — same
+timestamped format, driver-side only.
 """
 
 from __future__ import annotations
 
 import argparse
+import logging
 import sys
 
 from pyspark.sql import functions as F
@@ -30,6 +33,18 @@ def main(argv: list[str] | None = None) -> int:
         help="distributed language-partitioned NDJSON sink instead of "
         "per-file '<stem>-output.json' documents",
     )
+    p.add_argument(
+        "--summary-limit",
+        type=int,
+        default=1000,
+        help="max per-file summary lines to print (further files elided)",
+    )
+    p.add_argument(
+        "--log-file",
+        default=None,
+        help="append run log here (reference parity, call-debias.py:16-22); "
+        "default <output>/debias.log, '' disables",
+    )
     args = p.parse_args(argv)
 
     if args.config:
@@ -39,7 +54,22 @@ def main(argv: list[str] | None = None) -> int:
     else:
         p.error("either --config or both --input and --output are required")
 
+    log = logging.getLogger("debias_spark.cli")
+    log.setLevel(logging.INFO)
+    log_file = args.log_file
+    if log_file is None:
+        import pathlib
+
+        out_dir = pathlib.Path(cfg.output_folder)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        log_file = str(out_dir / "debias.log")
+    if log_file:
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+        log.addHandler(fh)
+
     spark = get_spark("debias-spark-cli")
+    log.info("run start: input=%s output=%s", cfg.input_folder, cfg.output_folder)
     annotated = run_pipeline(spark, cfg, per_file_compat=not args.partitioned)
     summary = (
         annotated.groupBy("src_file", "language")
@@ -49,14 +79,23 @@ def main(argv: list[str] | None = None) -> int:
             F.sum(F.when(F.col("_error").isNotNull(), 1).otherwise(0)).alias("errors"),
         )
         .orderBy("src_file")
-        .collect()
     )
-    for r in summary:
-        print(
+    # toLocalIterator + a line cap: driver memory and terminal output stay
+    # bounded no matter how many input files the corpus has.
+    shown = 0
+    for r in summary.toLocalIterator():
+        if shown >= args.summary_limit:
+            print(f"... (further files elided; --summary-limit {args.summary_limit})")
+            break
+        line = (
             f"{r.src_file} [{r.language}]: {r.records} records, "
             f"{r.flagged} flagged, {r.errors} errors"
         )
+        print(line)
+        log.info("%s", line)
+        shown += 1
     print(f"wrote outputs to {cfg.output_folder}")
+    log.info("run done: outputs in %s", cfg.output_folder)
     return 0
 
 

@@ -26,7 +26,11 @@ from debias_spark.sources import (
     write_outputs_partitioned,
     write_outputs_per_file,
 )
-from debias_spark.sources.text_corpus import SUPPORTED_LANGUAGES, split_record
+from debias_spark.sources.text_corpus import (
+    SUPPORTED_LANGUAGES,
+    split_record,
+    with_line_seq,
+)
 
 
 @dataclass
@@ -78,6 +82,9 @@ def run_pipeline(
     False writes the distributed language-partitioned NDJSON sink (the
     100 TB path)."""
     corpus = read_corpus(spark, cfg.input_folder, languages=languages)
+    # _seq (per-file line number) makes the per-file results arrays and the
+    # report row order deterministic in input order, like the reference.
+    corpus = with_line_seq(corpus)
     ann_cfg = AnnotateConfig(
         max_retries=cfg.max_retries, use_ner=cfg.use_ner, use_llm=cfg.use_llm
     )
@@ -98,8 +105,14 @@ def report_rows(annotated: DataFrame) -> DataFrame:
     semantics at :106-107).  Rendering (reportlab) stays a driver-side sink
     over this frame."""
     base = split_record(flagged(annotated), "value")
+    # seq = input-file line order so rendered rows appear in the same order
+    # as the reference's report (it walks lines sequentially).
+    seq = (
+        F.col("_seq") if "_seq" in base.columns else F.monotonically_increasing_id()
+    )
     ex = base.select(
         "src_file",
+        seq.cast("long").alias("seq"),
         "record_num",
         "literal_text",
         F.posexplode("tags").alias("tag_pos", "tag"),
@@ -107,6 +120,7 @@ def report_rows(annotated: DataFrame) -> DataFrame:
     first = F.col("tag_pos") == 0
     return ex.select(
         "src_file",
+        "seq",
         F.when(first, F.col("record_num")).otherwise("").alias("record_cell"),
         F.when(first, F.col("literal_text")).otherwise("").alias("literal_cell"),
         F.format_string(

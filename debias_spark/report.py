@@ -34,23 +34,38 @@ def render_reports(rows: DataFrame, output_dir: str, fmt: str = "text") -> list[
     (the frame is already flagged-only)."""
     out = pathlib.Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    collected = rows.orderBy("src_file", "record_cell", "tag_pos").collect()
-    by_file: dict[str, list] = {}
-    for r in collected:
-        by_file.setdefault(r.src_file, []).append(r)
+    if fmt == "pdf" and not HAVE_REPORTLAB:
+        raise NotImplementedError(
+            "PDF rendering requires reportlab (not in this container); "
+            "use fmt='text'"
+        )
+    # Stream the globally-sorted frame one partition at a time
+    # (toLocalIterator): driver memory is bounded by one file's rows, not the
+    # corpus.  Sort key is (src_file, seq, tag_pos) — input-file line order,
+    # the reference's report order (record_cell is blanked on tag rows and
+    # must never be a sort key).
+    order_cols = ["src_file", "seq", "tag_pos"] if "seq" in rows.columns else [
+        "src_file", "tag_pos"
+    ]
     written = []
-    for src_file, file_rows in sorted(by_file.items()):
-        stem = src_file.rsplit(".", 1)[0]
+    cur_file: str | None = None
+    buf: list = []
+
+    def _flush() -> None:
+        if cur_file is None:
+            return
+        stem = cur_file.rsplit(".", 1)[0]
         if fmt == "pdf":
-            if not HAVE_REPORTLAB:
-                raise NotImplementedError(
-                    "PDF rendering requires reportlab (not in this container); "
-                    "use fmt='text'"
-                )
-            name = _render_pdf(stem, file_rows, out)
+            written.append(_render_pdf(stem, buf, out))
         else:
-            name = _render_text(stem, file_rows, out)
-        written.append(name)
+            written.append(_render_text(stem, buf, out))
+
+    for r in rows.orderBy(*order_cols).toLocalIterator():
+        if r.src_file != cur_file:
+            _flush()
+            cur_file, buf = r.src_file, []
+        buf.append(r)
+    _flush()
     return written
 
 

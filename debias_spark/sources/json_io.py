@@ -11,14 +11,17 @@ load-bearing.  Two sinks:
 * ``write_outputs_per_file`` — the compatibility path: exact per-file
   response documents with the reference's naming contract, so existing
   consumers of the reference's output directory can point at ours
-  unchanged.  Document assembly happens distributed (groupBy + to_json);
-  only the final small-file writes land on the driver, which is the
-  correct place for a many-small-files contract.
+  unchanged.  Document assembly AND writing happen distributed
+  (groupBy + to_json -> partitionBy(src_file) text write); the driver's
+  only work is an O(#files) metadata rename pass to apply the
+  ``<stem>-output.json`` names — no row data ever lands on the driver.
 """
 
 from __future__ import annotations
 
 import pathlib
+import shutil
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,28 +74,65 @@ def write_outputs_partitioned(annotated: DataFrame, output_dir: str) -> None:
 
 def assemble_response_docs(annotated: DataFrame) -> DataFrame:
     """(src_file, json) — one reference-shaped response document per input
-    file, assembled distributed (collect_list under the src_file shuffle)."""
+    file, assembled distributed (collect_list under the src_file shuffle).
+
+    collect_list order after a shuffle is partition-arrival order — not
+    stable across runs.  The reference emits results in input-file line
+    order (call-debias.py:141 appends in request order), so when the frame
+    carries ``_seq`` (text_corpus.with_line_seq) the results array is
+    rebuilt by aggregating (seq, result) structs and sort_array-ing before
+    to_json: deterministic output consumers can diff."""
+    if "_seq" in annotated.columns:
+        seq = F.col("_seq").cast("long")
+    else:  # no ordering column supplied: fall back to scan order
+        seq = F.monotonically_increasing_id()
     return (
         annotated.groupBy("src_file")
-        .agg(F.collect_list(_result_struct()).alias("results"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(seq.alias("s"), _result_struct().alias("r")))
+            ).alias("ordered")
+        )
         .select(
             "src_file",
-            F.to_json(F.struct(F.col("results"))).alias("json"),
+            F.to_json(
+                F.struct(F.transform("ordered", lambda x: x["r"]).alias("results"))
+            ).alias("json"),
         )
     )
 
 
 def write_outputs_per_file(annotated: DataFrame, output_dir: str) -> list[str]:
     """Compatibility sink honoring the '<stem>-output.json' naming contract.
-    Returns the written filenames."""
+    Returns the written filenames.
+
+    Fully distributed: the assembled documents are written partitioned by
+    src_file (one row -> one part file per partition dir), then the driver
+    performs an O(#files) rename/manifest pass — pure filesystem metadata,
+    no document content through driver memory."""
     out = pathlib.Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
+    staging = out / "_staging_per_file"
+    (
+        assemble_response_docs(annotated)
+        .select("src_file", F.col("json").alias("value"))
+        .repartition("src_file")
+        .write.mode("overwrite")
+        .partitionBy("src_file")
+        .text(str(staging))
+    )
     written = []
-    for row in assemble_response_docs(annotated).collect():
-        stem = row.src_file.rsplit(".", 1)[0]
+    for part_dir in staging.glob("src_file=*"):
+        # partition dir names are URL-encoded partition values
+        src_file = urllib.parse.unquote(part_dir.name.split("=", 1)[1])
+        stem = src_file.rsplit(".", 1)[0]
         name = f"{stem}-output.json"
-        (out / name).write_text(row.json)
+        parts = sorted(p for p in part_dir.glob("part-*") if p.stat().st_size > 0)
+        if not parts:
+            continue
+        parts[0].replace(out / name)
         written.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
     return sorted(written)
 
 

@@ -45,6 +45,26 @@ def read_corpus(
     return df
 
 
+def with_line_seq(df: DataFrame) -> DataFrame:
+    """Append ``_seq``: the 1-based line position within each src_file.
+
+    The reference emits results in input-file line order (call-debias.py:141
+    writes the response array in request order); Spark's collect_list after a
+    shuffle is partition-order nondeterministic, so the per-file sink sorts
+    on this column to restore the reference's ordering contract.
+
+    monotonically_increasing_id() is (partition_id << 33) + row-in-partition;
+    text splits of one file are assigned ascending partition ids in file
+    order, so ordering by it within src_file IS line order.  The window
+    shuffles by src_file — apply it on the per-file compat path only (the
+    partitioned scale sink doesn't need an ordering column).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src_file").orderBy(F.monotonically_increasing_id())
+    return df.withColumn("_seq", F.row_number().over(w))
+
+
 def split_record(df: DataFrame, value_col: str = "value") -> DataFrame:
     """The latent 2-field schema applied at report time (call-debias.py:92-96):
     split on the FIRST comma into (record_num, literal_text), trimmed; a line

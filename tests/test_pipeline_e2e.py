@@ -139,3 +139,59 @@ def test_config_ini_roundtrip(tmp_path):
     path = tmp_path / "config.ini"
     cfg.to_ini(str(path))
     assert PipelineConfig.from_ini(str(path)) == cfg
+
+
+def test_results_order_is_input_line_order(pipeline_out):
+    """Determinism contract: the results array inside each output document
+    follows input-file line order (the reference appends results in request
+    order, call-debias.py:141) — not collect_list's partition-arrival order."""
+    _, out = pipeline_out
+    doc = json.loads((out / "alpha-output.json").read_text())
+    lits = [r["literal"] for r in doc["results"]]
+    assert lits == ["1, the slow old system", "2, all good here", "3, big and slow"]
+
+
+def test_no_staging_dir_left_behind(pipeline_out):
+    _, out = pipeline_out
+    assert not (out / "_staging_per_file").exists()
+
+
+def test_dashboard_html_export(spark, pipeline_out, tmp_path):
+    """Headless parity with the reference's two QChart dashboards
+    (dashboard_widget.py:94-152, :157-204): per-language issue ranking and
+    the issues-per-record histogram, exported as one self-contained HTML."""
+    from debias_spark.dashboard import dashboard_data, export_dashboard_html
+
+    _, out = pipeline_out
+    frame = analytics_view(spark, str(out))
+    data = dashboard_data(frame)
+    # ranked desc by count, ties broken by issue literal asc
+    assert data["issues"]["all"] == [["big", 2], ["slow", 2], ["old", 1]]
+    assert data["issues"]["de"] == [["big", 1]]
+    assert dict(data["histogram"]) == {0: 3, 1: 1, 2: 2}
+
+    path = export_dashboard_html(frame, str(tmp_path / "dash.html"))
+    text = (tmp_path / "dash.html").read_text()
+    assert "issues-chart" in text and "hist-chart" in text
+    assert '"big"' in text  # data payload embedded
+    assert "prefers-color-scheme: dark" in text  # dark mode is selected, not flipped
+
+
+def test_cli_end_to_end_with_log(tmp_path, capsys):
+    """CLI parity run: per-file summary lines on stdout and the reference's
+    debias.log (call-debias.py:16-22) appended in the output folder."""
+    from debias_spark.cli import main
+
+    inp = tmp_path / "input"
+    for rel, content in CORPUS.items():
+        f = inp / rel
+        f.parent.mkdir(parents=True, exist_ok=True)
+        f.write_text(content)
+    out = tmp_path / "out"
+    rc = main(["--input", str(inp), "--output", str(out), "--max-retries", "2"])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "alpha.csv [en]: 3 records, 2 flagged, 0 errors" in stdout
+    log_text = (out / "debias.log").read_text()
+    assert "run start" in log_text and "run done" in log_text
+    assert "alpha.csv [en]" in log_text
