@@ -155,6 +155,9 @@ def duplicate_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # _chg is computed in the same projection (nbr_label < label) so the
+        # convergence check is a scan of the already-materialized checkpoint
+        # blocks — no extra join against the previous round's labels.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
@@ -162,16 +165,14 @@ def duplicate_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.coalesce(F.col("nbr_label") < F.col("label"), F.lit(False)).alias(
+                    "_chg"
+                ),
             )
             .localCheckpoint(eager=True)  # truncate lineage each round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))

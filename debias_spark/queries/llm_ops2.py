@@ -388,7 +388,12 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+")
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 16, binary=True)
-    feats = tf.transform(tok.transform(docs)).select("doc_id", "features")
+    # materialize the tokenized vectors once: the fit plus BOTH sides of the
+    # self-join would otherwise re-run tokenize+TF (3 full scans -> 1)
+    feats = (
+        tf.transform(tok.transform(docs)).select("doc_id", "features")
+        .localCheckpoint(eager=True)
+    )
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(feats)
@@ -445,10 +450,20 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debias_spark.operators.similarity import dot, l2_norm
 
     emb = table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    # One materialized pass over the corpus (localCheckpoint) feeds BOTH the
+    # KMeans fit and the cell-assignment transform — previously each was a
+    # separate full scan + array_to_vector conversion.  The fit itself runs
+    # on a seeded half-sample: centroid quality needs a sample, not the
+    # corpus (at 100 TB the fit input must be a bounded sample regardless;
+    # the transform is the only full pass).
+    vecs = (
+        emb.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+        .localCheckpoint(eager=True)
     )
-    model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell").fit(vecs)
+    fit_sample = vecs.sample(fraction=0.5, seed=42)
+    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="features", predictionCol="cell").fit(
+        fit_sample
+    )
     cells = model.transform(vecs).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("v"),

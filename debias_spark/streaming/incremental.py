@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file stream (the schema must be supplied for
     streaming reads; ts arrives as epoch-nanos long and is rebuilt at µs)."""
+    from debias_spark.catalog import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # nanosAsLong before touching events.parquet
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file stream sources take a directory; glob-filter to the events table
     raw = (
@@ -100,14 +103,27 @@ def run_available_now(
 
     output_mode: "append" for watermarked aggs (emits finalized windows);
     "complete" for unwatermarked aggs (emits every window — what the
-    batch-equivalence test uses)."""
+    batch-equivalence test uses).
+
+    State-store instances are one per shuffle partition, fixed at the first
+    micro-batch; these drain-and-stop snapshots use a fresh temp checkpoint
+    each call, so the partition count is dialed down for the run (8 state
+    dirs instead of 32 — most of availableNow wall-clock at small data is
+    state-store setup) and restored after.  A long-lived production stream
+    keeps the session default and an explicit checkpointLocation."""
     name = f"snap_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
