@@ -32,13 +32,19 @@ def run_query(spec, spark, sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark("debias-spark-bench")
     specs = load_all_queries()
-    bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
+    # Registry order, not alphabetical: registration order is priority order
+    # (flagship LLM ops first), so if the recorded JSON line ever gets
+    # tail-truncated the high-signal per-query numbers survive.
+    bench_specs = {n: s for n, s in specs.items() if s.bench}
 
-    # Warmup: every query shape once at sf0.001 so codegen compilation and
-    # Arrow/Python-worker startup are excluded from the measured runs.
+    # Warmup: every query shape once at the MEASURED sf dir, so codegen
+    # compilation, Arrow/Python-worker startup AND the OS page cache for the
+    # measured tables are all absorbed before timing.  (Warming at sf0.001
+    # left the sf0.1 parquet cold on first touch: run-to-run totals swung
+    # 35-68s purely on page-cache state.)
     for spec in bench_specs.values():
         try:
-            wdf = spec.fn(spark, "/root/testdata/sf0.001")
+            wdf = spec.fn(spark, SF_DIR)
             if not wdf.isStreaming:
                 wdf.write.format("noop").mode("overwrite").save()
         except Exception:
