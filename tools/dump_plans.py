@@ -19,6 +19,9 @@ REPRESENTATIVE = [
     ("join_asof_last_click", "as-of join as a running window max - no join operator"),
     ("dedup_minhash_lsh", "LSH band shuffle + window-min representative"),
     ("annotate_issue_distribution", "one Arrow stage feeding JVM-side aggregation"),
+    ("text_ngram_counts", "per-row bigrams + map-side combine: exploded rows never leave their executor"),
+    ("dedup_within_time_window", "one shuffle; row_number and group count share the window sort"),
+    ("similarity_ann_ivf", "single materialized corpus pass feeds KMeans fit and transform"),
 ]
 
 
