@@ -107,3 +107,31 @@ def test_analytics_frame_n_plus_one(spark):
         F.countDistinct("tag_count_per_record").alias("k")
     ).filter(F.col("k") > 1)
     assert bad.count() == 0
+
+
+def test_malformed_response_shape_sets_error(spark):
+    """A call that 'succeeds' but returns a short / missing / mistyped
+    results array must land in _error for the batch, not raise inside
+    mapInPandas and kill the job (call-debias.py:157 logs and skips)."""
+
+    def short_results(values, language):
+        return {"results": [{"literal": values[0], "tags": []}]}  # too short
+
+    def no_results(values, language):
+        return {"ok": True}
+
+    # short_results: only language groups with >1 row mismatch (the 1-row
+    # de/xx groups legitimately get 1 result back)
+    docs = _docs(spark).coalesce(1)  # one Arrow batch -> multi-row en group
+    cfg = AnnotateConfig(max_retries=2, client_factory=lambda: short_results)
+    out = annotate(docs, config=cfg).collect()
+    en = [r for r in out if r.lang == "en"]
+    assert len(en) > 1
+    assert all(r._error is not None and "ShapeMismatch" in r._error for r in en)
+    assert all(r.tags is None for r in en)
+
+    # no_results: every group mismatches
+    cfg = AnnotateConfig(max_retries=2, client_factory=lambda: no_results)
+    out = annotate(docs, config=cfg).collect()
+    assert all(r._error is not None and "ShapeMismatch" in r._error for r in out)
+    assert all(r.tags is None for r in out)

@@ -80,3 +80,29 @@ def test_annotate_single_python_stage(spark, sf_dir):
     # one mapInPandas stage feeding a JVM-side agg: exactly one Python eval
     plan = q("annotate_issue_distribution", spark, sf_dir)
     assert count_nodes(plan, "MapInPandas") == 1
+
+
+def test_ngram_counts_single_shuffle_mapside_combine(spark, sf_dir):
+    """Bigram counting: exploded rows are combined map-side, so exactly one
+    Exchange carries (bigram, partial-count) rows, never raw bigrams."""
+    df = q("text_ngram_counts", spark, sf_dir)
+    assert_max_exchanges(df, 1)
+    n = count_nodes(df, "HashAggregate")
+    assert n >= 2 and n % 2 == 0, n
+
+
+def test_window_dedup_single_shuffle(spark, sf_dir):
+    """row_number and the per-group count share one window sort: one
+    Exchange total."""
+    assert_max_exchanges(q("dedup_within_time_window", spark, sf_dir), 1)
+
+
+def test_ann_ivf_single_corpus_scan(spark, sf_dir):
+    """similarity_ann_ivf transform must read the materialized checkpoint,
+    not rescan the embeddings parquet (the fit already consumed the
+    checkpoint once)."""
+    df = q("similarity_ann_ivf", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or "Scan parquet" not in plan, (
+        "expected checkpoint-fed plan, got:\n" + plan[:2000]
+    )
