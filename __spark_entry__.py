@@ -25,14 +25,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in load_all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2, in driver
+    priority order (keys without prior-round correctness evidence first,
+    cheapest first — see registry.DRIVER_PRIORITY)."""
+    from debias_spark.registry import priority_ordered
+
+    return {name: spec.fn for name, spec in priority_ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query key; keys absent here are rows-only
     (genuinely non-SQL-expressible: streaming/state/LSH internals)."""
-    load_all_queries()
-    from debias_spark.registry import ORACLES
+    from debias_spark.registry import priority_ordered
 
-    return dict(ORACLES)
+    return {
+        name: spec.oracle
+        for name, spec in priority_ordered().items()
+        if spec.oracle is not None
+    }
