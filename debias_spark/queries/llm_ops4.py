@@ -1,0 +1,260 @@
+"""Fourth-wave operators (SURVEY §2 addendum Z4-Z9): skew-aware
+aggregation, canonical TPC-H Q3, deterministic mode, normalized exact
+dedup, int8 embedding quantization, and streaming watermark dedup.
+
+Z4/Z5 are the scale-technique representatives: Z4 shows the two-phase
+salted aggregate (the standard fix for hot grouping keys at 100 TB) with a
+value oracle proving it equals the plain aggregate; Z5 is the classic
+3-way join + top-N with broadcast dim sides.
+
+Registration position: imported after llm_ops3, so these keys land in the
+unproven-first block of the driver priority order (registry.DRIVER_PRIORITY
+lists them explicitly after the round-1-unproven keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from debias_spark.catalog import table
+from debias_spark.registry import register
+
+
+@register(
+    "agg_salted_skew",
+    "Z4",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed grouping keys.
+
+    l_returnflag has ~3 values over the whole fact table — the worst-case
+    hot-key shape: a single-phase groupBy would funnel the entire table
+    into 3 reducers.  Phase 1 aggregates by (key, salt) with a
+    deterministic 16-way salt (xxhash64 of the line's primary key), fanning
+    each hot key across 16 reducers; phase 2 merges the 16 partials per
+    key.  The oracle proves the decomposition is value-identical to the
+    plain aggregate (count and sum are algebraic, so they re-associate).
+    Spark's partial aggregation already handles this map-side when keys are
+    few; the salt pattern is what you reach for when the EXCHANGE itself is
+    the bottleneck (high-cardinality-but-skewed keys at 100 TB).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16))
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("prev"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        (F.round(F.sum("prev"), 2) + 0.0).alias("revenue"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    "Z5",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): segment-filtered customers -> orders ->
+    lineitem, revenue per urgent order, top 10.
+
+    Plan shape: customer (filtered, small) broadcasts into orders; that
+    join's output is still dimension-sized relative to lineitem, so it
+    broadcasts again into the fact scan — lineitem is never shuffled until
+    the final aggregate.  Dates are filtered in the scan (pushdown) and the
+    output date is a string per the determinism contract.
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-06-01 00:00:00'")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1998-06-01 00:00:00'")
+    )
+    joined = li.join(
+        F.broadcast(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy(
+        "l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+    ).agg(
+        (
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            + 0.0
+        ).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10).select(
+        "l_orderkey", "revenue", "order_date"
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    "Z6",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n
+        FROM events GROUP BY event_type, user_id % 10
+    ), r AS (
+        SELECT user_bucket, event_type, n,
+               row_number() OVER (PARTITION BY user_bucket
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM c
+    )
+    SELECT user_bucket, event_type AS mode_event_type, n AS n_occurrences
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent event_type per user
+    bucket, ties broken alphabetically.  Built as count + row_number
+    rather than F.mode, whose tie-break is implementation-defined — a mode
+    that can differ between runs is useless for a reproducible pipeline.
+    Two exchanges total: the count shuffle, then the tiny per-bucket
+    window."""
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("user_bucket").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_bucket",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    "Z7",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT min(doc_id) AS rep_id, count(*) AS n_copies,
+           substr(md5(norm), 1, 16) AS norm_digest
+    FROM n GROUP BY norm
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup (the standard 'fuzzy-exact' pass that
+    runs BEFORE MinHash in a training-data pipeline): lowercase, strip
+    non-alphanumerics, collapse whitespace, then hash-aggregate.  Grouping
+    happens on the md5 digest, so at scale the exchange carries 16 bytes
+    per doc, not document text (cf. dedup_exact's docstring; here the
+    digest IS the grouping key, demonstrating the shape).
+    """
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    return (
+        docs.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("norm_digest"))
+        .groupBy("norm_digest")
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies"))
+        .select("rep_id", "n_copies", "norm_digest")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    "Z8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, mx,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)) AS q8
+        FROM (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings
+        )
+    )
+    SELECT vec_id,
+           round(mx, 6) + 0.0 AS scale_max_abs,
+           list_sum(q8) AS q8_sum,
+           substr(md5(array_to_string(q8, ',')), 1, 16) AS q8_digest
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (max-abs scaling) — the
+    storage/serving compression step for embedding corpora (4x smaller, and
+    int8 dot products for rescoring).  Single scan, pure codegen transform;
+    the scale factor is emitted so dequantization is lossless to within
+    rounding.  The quantized vector is compared across engines through a
+    digest + sum (the oracle gate hashes scalar cells; array-typed output
+    cells are not portably comparable), computed from the same int values a
+    sink would store as TINYINT."""
+    emb = table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    base = emb.select("vec_id", "embedding", mx.alias("_mx"))
+    q8 = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127.0 / F.col("_mx")).cast("bigint")
+    )
+    return base.select(
+        "vec_id",
+        (F.round(F.col("_mx"), 6) + 0.0).alias("scale_max_abs"),
+        F.aggregate(q8, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q8_sum"),
+        F.substring(
+            F.md5(F.concat_ws(",", F.transform(q8, lambda x: x.cast("string")))), 1, 16
+        ).alias("q8_digest"),
+    )
+
+
+@register("stream_dedup_watermark", "Z9", oracle=None, bench=False)  # rows-only
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type) over a file stream with a 1-hour watermark,
+    drained with availableNow — the incremental version of
+    dedup_within_time_window's batch contract.  State is bounded by the
+    watermark horizon (old keys are evicted), which is what makes exactly-
+    once ingestion dedup feasible on an unbounded stream.  Watermark
+    eviction timing is engine-defined -> rows-only; the batch/stream
+    subset relationship is asserted in tests."""
+    from debias_spark.streaming import run_available_now, stream_events
+
+    stream = stream_events(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    counted = deduped.groupBy("event_type").agg(F.count("*").alias("n_first_seen"))
+    return run_available_now(counted, spark, output_mode="complete")

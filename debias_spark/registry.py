@@ -80,6 +80,11 @@ DRIVER_PRIORITY = [
     "stream_session_window", "dedup_ngram_jaccard", "similarity_ann_ivf",
     "stream_stateful_user_counts", "dedup_minhash_lsh", "unpivot_metrics",
     "dedup_minhash_mllib", "dedup_clusters",
+    # --- round-2 additions (also unproven, after the r01 backlog) ---
+    "dedup_within_time_window", "text_ngram_counts", "embedding_norm_stats",
+    "agg_salted_skew", "tpch_q3_shipping_priority", "agg_mode_per_group",
+    "dedup_exact_normalized", "embedding_quantize_int8",
+    "stream_dedup_watermark",
     # --- green CORRECTNESS_r01 row (re-proving is a bonus), cheapest first ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
     "project_path_stem", "union_record_and_tag_rows",

@@ -9,7 +9,10 @@ import re
 
 from debias_spark.registry import load_all_queries
 
-MARK = "## §8 Implementation addendum (round 1 build)"
+MARK = "## §8 Implementation addendum (live registry)"
+# Replace from the first §8 heading (any title suffix) to end of file, so
+# retitled or duplicated sections collapse back into one generated section.
+MARK_RE = r"## §8 Implementation addendum.*\Z"
 
 
 def build_section() -> str:
@@ -54,8 +57,8 @@ def main() -> None:
     path = pathlib.Path(__file__).resolve().parent.parent / "SURVEY.md"
     text = path.read_text()
     section = build_section()
-    if MARK in text:
-        text = re.sub(re.escape(MARK) + r".*\Z", section, text, flags=re.S)
+    if re.search(MARK_RE, text, flags=re.S):
+        text = re.sub(MARK_RE, section, text, flags=re.S)
     else:
         text = text.rstrip() + "\n\n---\n\n" + section
     path.write_text(text)
