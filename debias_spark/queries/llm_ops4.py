@@ -258,3 +258,161 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = deduped.groupBy("event_type").agg(F.count("*").alias("n_first_seen"))
     return run_available_now(counted, spark, output_mode="complete")
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    "Z10",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the canonical CYCLIC multiway join —
+    lineitem connects to both orders->customer and supplier, and the cycle
+    closes on c_nationkey = s_nationkey, which no star-schema plan handles
+    for free.
+
+    Plan shape: every dimension side (customer, supplier, nation, region)
+    broadcasts; lineitem joins orders on its own key first (the only
+    fact-sized equi-join), then the supplier join applies BOTH conditions
+    (suppkey equality + nation equality) in one broadcast hash join, so the
+    cycle never forces a second fact shuffle.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    euro_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    euro_supp = supp.join(
+        F.broadcast(euro_nations), supp.s_nationkey == euro_nations.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+
+    co = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    joined = li.join(F.broadcast(co), li.l_orderkey == F.col("o_orderkey")).join(
+        F.broadcast(euro_supp),
+        (li.l_suppkey == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    return joined.groupBy("n_name").agg(
+        (
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            + 0.0
+        ).alias("revenue")
+    )
+
+
+@register(
+    "join_skew_salted",
+    "Z11",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT l_returnflag AS flag,
+               CAST(ascii(l_returnflag) AS BIGINT) AS weight
+        FROM lineitem
+    )
+    SELECT d.flag,
+           count(*) AS n,
+           round(sum(l.l_quantity * d.weight), 2) + 0.0 AS weighted_qty
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+    GROUP BY d.flag
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for a pathologically skewed key: every fact row carries
+    one of 3 flag values, so a plain shuffle join would put the whole table
+    on 3 reducers.  The small side is REPLICATED 16x (one copy per salt),
+    the fact side computes a deterministic salt from its primary key, and
+    the join runs on (key, salt) — spreading each hot key over 16 tasks.
+    The oracle proves the salted join equals the plain join.
+
+    (With a dim this small you'd broadcast instead — the replicate+salt
+    shape is for dims too big to broadcast but with hot fact keys; AQE's
+    skew-join handles the sort-merge case, this is the explicit form.)
+    """
+    n_salt = 16
+    li = table(spark, sf_dir, "lineitem")
+    dim = (
+        li.select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+        .withColumn("weight", F.ascii("flag").cast("bigint"))
+    )
+    salts = spark.range(n_salt).select(F.col("id").cast("int").alias("_salt"))
+    dim_rep = dim.crossJoin(salts)  # 3 x 16 rows
+    fact = li.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)).cast("int"),
+    )
+    joined = fact.hint("shuffle_hash").join(
+        dim_rep,
+        (fact.l_returnflag == dim_rep.flag) & (fact["_salt"] == dim_rep["_salt"]),
+    )
+    return joined.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        (F.round(F.sum(F.col("l_quantity") * F.col("weight")), 2) + 0.0).alias(
+            "weighted_qty"
+        ),
+    )
+
+
+@register(
+    "stream_static_join_counts",
+    "Z12",
+    oracle="""
+    SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                ELSE 'ops' END AS category,
+           count(*) AS n,
+           round(sum(value), 2) + 0.0 AS sum_val
+    FROM events GROUP BY category
+    """,
+)
+def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event file stream joins a static category
+    dimension (broadcast into every micro-batch), then aggregates per
+    category in complete mode, drained with availableNow.
+
+    Unlike the other streaming keys this one has a full SQL oracle: the
+    complete-mode aggregate after draining all files equals the batch
+    aggregate exactly, so the driver value-checks a Structured Streaming
+    plan end-to-end."""
+    from debias_spark.streaming import run_available_now, stream_events
+
+    dim = (
+        table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(F.col("event_type").isin("click", "view"), "engagement")
+            .when(F.col("event_type").isin("purchase", "signup"), "conversion")
+            .otherwise("ops"),
+        )
+    )
+    stream = stream_events(spark, sf_dir)
+    joined = stream.join(F.broadcast(dim), "event_type")
+    agg = joined.groupBy("category").agg(
+        F.count("*").alias("n"), (F.round(F.sum("value"), 2) + 0.0).alias("sum_val")
+    )
+    return run_available_now(agg, spark, output_mode="complete")

@@ -84,7 +84,8 @@ DRIVER_PRIORITY = [
     "dedup_within_time_window", "text_ngram_counts", "embedding_norm_stats",
     "agg_salted_skew", "tpch_q3_shipping_priority", "agg_mode_per_group",
     "dedup_exact_normalized", "embedding_quantize_int8",
-    "stream_dedup_watermark",
+    "stream_dedup_watermark", "tpch_q5_local_supplier_volume",
+    "join_skew_salted", "stream_static_join_counts",
     # --- green CORRECTNESS_r01 row (re-proving is a bonus), cheapest first ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
     "project_path_stem", "union_record_and_tag_rows",
