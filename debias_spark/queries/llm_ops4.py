@@ -416,3 +416,111 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), (F.round(F.sum("value"), 2) + 0.0).alias("sum_val")
     )
     return run_available_now(agg, spark, output_mode="complete")
+
+
+@register(
+    "funnel_conversion",
+    "Z13",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS n_view,
+           count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+           count(CASE WHEN t_purchase > t_click AND t_click > t_view
+                      THEN 1 END) AS n_view_click_purchase
+    FROM f
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per user, the first
+    occurrence time of each step; a user converts a step only if its first
+    time is strictly after the previous step's first time.
+
+    Single shuffle: one conditional min-aggregate per step inside one
+    groupBy(user_id) — the standard funnel shape that scales linearly (no
+    self-joins, no per-user sorting; conditional aggregation replaces
+    both).  NULL comparisons make the 'strictly after' predicate false, so
+    users missing a step never count."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    "Z14",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('week', f.cohort_week,
+                              date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           count(*) AS n_active_users
+    FROM activity
+    WHERE week_offset <= 4
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-seen week, counted
+    once per (cohort, weeks-since-first-seen) for the first 5 offsets — the
+    classic retention triangle.
+
+    Two shuffles on user_id (first-seen aggregate, then the distinct), and
+    the cohort join stays co-partitioned on user_id so no third fact
+    exchange; the final count aggregates a frame already reduced to one
+    row per (user, week)."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 4)
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )

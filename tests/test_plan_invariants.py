@@ -106,3 +106,40 @@ def test_ann_ivf_single_corpus_scan(spark, sf_dir):
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or "Scan parquet" not in plan, (
         "expected checkpoint-fed plan, got:\n" + plan[:2000]
     )
+
+
+def test_tpch_q3_broadcasts_dims_only(spark, sf_dir):
+    """Q3: both joins broadcast; lineitem is never exchange-shuffled before
+    the aggregate (one agg exchange + the top-N singleton exchange)."""
+    df = q("tpch_q3_shipping_priority", spark, sf_dir)
+    joins = join_strategies(df)
+    assert len(joins) == 2 and all(j == "BroadcastHashJoin" for j in joins), joins
+    assert_filter_pushed(df, "c_mktsegment")
+    assert_filter_pushed(df, "l_shipdate")
+
+
+def test_tpch_q5_cyclic_join_all_broadcast(spark, sf_dir):
+    """Q5: five joins, all broadcast — the nation cycle closes inside a
+    broadcast hash join, never forcing a second fact shuffle."""
+    df = q("tpch_q5_local_supplier_volume", spark, sf_dir)
+    joins = join_strategies(df)
+    assert len(joins) == 5 and all(j == "BroadcastHashJoin" for j in joins), joins
+    assert_filter_pushed(df, "o_orderdate")
+
+
+def test_salted_join_not_broadcast(spark, sf_dir):
+    """The salted-join key demonstrates the shuffle spread: the join must
+    NOT be a broadcast (that would defeat the demonstrated technique)."""
+    joins = join_strategies(q("join_skew_salted", spark, sf_dir))
+    assert joins and all(j != "BroadcastHashJoin" for j in joins), joins
+
+
+def test_salted_agg_two_phases(spark, sf_dir):
+    """Two-phase salted aggregate: two partial/final HashAggregate pairs
+    and at most two exchanges — the (key, salt) shuffle and the tiny
+    per-key merge shuffle.  More exchanges means a refactor broke the
+    decomposition."""
+    df = q("agg_salted_skew", spark, sf_dir)
+    assert_max_exchanges(df, 2)
+    n = count_nodes(df, "HashAggregate")
+    assert n >= 4 and n % 2 == 0, n
