@@ -524,3 +524,147 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@register(
+    "sample_cap_per_source",
+    "Z15",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+    FROM r WHERE rn <= 10
+    """,
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source cap (anti-spam / per-domain quota): keep the
+    10 docs with the smallest md5(doc_id) per source — a seedless,
+    engine-portable uniform sample that never changes across runs or
+    cluster layouts.  One window shuffle on source; at scale this is the
+    rank-based alternative to reservoir sampling (no sequential state, no
+    RNG)."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= 10)
+    )
+
+
+@register(
+    "sample_mixture_weighted",
+    "Z16",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS n_src,
+               (SELECT count(*) FROM documents) AS n_total
+        FROM documents GROUP BY source
+    ), rates AS (
+        SELECT source,
+               least(1.0,
+                     (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                           THEN 0.10 ELSE 0.50 / 15 END)
+                     * n_total * 0.5 / n_src) AS keep_rate
+        FROM counts
+    )
+    SELECT d.doc_id, d.source, round(r.keep_rate, 6) + 0.0 AS keep_rate
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < r.keep_rate
+    """,
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-targeted downsampling — the 'data recipe' step of a training
+    pipeline: given target shares per source (here: src0-4 get 10% each,
+    the other 15 sources split the remaining 50%), each source is kept at
+    rate target_share * budget / actual_count, so the SURVIVING corpus
+    approximates the target mixture at half the original size.
+
+    Selection is a deterministic hash-threshold (first 8 md5 hex digits as
+    a uniform [0,1) draw) — reproducible across engines, runs, and
+    partitionings, unlike rand()-based sampling.  Plan: count aggregate ->
+    tiny rates frame broadcast back onto the scan; the fact table is
+    touched twice but never shuffled."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    n_total = docs.count()  # driver scalar: one tiny job, fine at any scale
+    share = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), F.lit(0.10)
+    ).otherwise(F.lit(0.50 / 15))
+    rates = counts.select(
+        "source",
+        F.least(F.lit(1.0), share * F.lit(n_total) * 0.5 / F.col("n_src")).alias(
+            "keep_rate"
+        ),
+    )
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(draw < F.col("keep_rate"))
+        .select("doc_id", "source", (F.round(F.col("keep_rate"), 6) + 0.0).alias("keep_rate"))
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    "Z17",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ), toks_clean AS (
+        SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+            FROM toks_clean GROUP BY tok
+        ) WHERE rn <= 20
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           count(v.tok) AS n_in_vocab,
+           round(count(v.tok) * 1.0 / count(*), 4) + 0.0 AS coverage
+    FROM toks_clean t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build a top-20 frequency vocab from
+    the corpus itself, then score every document's in-vocab token fraction
+    (the OOV-rate check run before committing to a tokenizer).  The vocab
+    is a two-stage top-k (partial counts -> global top-k, tiny) broadcast
+    back into a single pass over the exploded tokens."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias(
+            "tok"
+        ),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+        .select("tok", F.lit(1).alias("_v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count("_v").alias("n_in_vocab"),
+            (F.round(F.count("_v") / F.count("*"), 4) + 0.0).alias("coverage"),
+        )
+    )

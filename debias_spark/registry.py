@@ -86,7 +86,8 @@ DRIVER_PRIORITY = [
     "dedup_exact_normalized", "embedding_quantize_int8",
     "stream_dedup_watermark", "tpch_q5_local_supplier_volume",
     "join_skew_salted", "stream_static_join_counts",
-    "funnel_conversion", "retention_cohorts",
+    "funnel_conversion", "retention_cohorts", "sample_cap_per_source",
+    "sample_mixture_weighted", "text_vocab_coverage",
     # --- green CORRECTNESS_r01 row (re-proving is a bonus), cheapest first ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
     "project_path_stem", "union_record_and_tag_rows",
