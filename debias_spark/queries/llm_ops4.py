@@ -668,3 +668,75 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.count("_v") / F.count("*"), 4) + 0.0).alias("coverage"),
         )
     )
+
+
+@register(
+    "multimodal_dedup_binary",
+    "Z18",
+    oracle="""
+    SELECT md5(text) AS payload_md5,
+           min(doc_id) AS rep_id,
+           count(*) AS n_copies,
+           CAST(min(length(text)) AS BIGINT) AS n_bytes
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY payload column (image/audio dedup by
+    content hash — the first pass of any multimodal pipeline).  The md5
+    runs on the bytes, so with real media this is byte-identical-file
+    dedup; the shuffle key is the 32-hex digest, never the payload.  The
+    oracle hashes the same bytes through the text column (the payload here
+    is utf-8 text by construction — ascii corpus, so length == octet
+    count)."""
+    from debias_spark.operators.multimodal import attach_binary
+
+    docs = attach_binary(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return (
+        docs.select("doc_id", F.md5("payload").alias("payload_md5"),
+                    F.col("meta.n_bytes").cast("bigint").alias("nb"))
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").alias("n_copies"),
+            F.min("nb").alias("n_bytes"),
+        )
+        .select("payload_md5", "rep_id", "n_copies", "n_bytes")
+    )
+
+
+@register("stream_stream_join", "Z19", oracle=None, bench=False)  # rows-only
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: each
+    purchase joins the SAME user's clicks from the preceding hour.  Both
+    sides are watermarked so the join state is bounded (clicks older than
+    the watermark + range are evicted) — the canonical attribution join,
+    impossible in batch SQL without re-scanning history per micro-batch.
+    Join-state eviction timing is engine-defined -> rows-only; the batch
+    equivalent (join_asof_last_click) carries the value oracle for the
+    same semantics."""
+    from debias_spark.streaming import run_available_now, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "value")
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        "value",
+    )
+    return run_available_now(joined, spark, output_mode="append")

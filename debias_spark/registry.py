@@ -88,6 +88,7 @@ DRIVER_PRIORITY = [
     "join_skew_salted", "stream_static_join_counts",
     "funnel_conversion", "retention_cohorts", "sample_cap_per_source",
     "sample_mixture_weighted", "text_vocab_coverage",
+    "multimodal_dedup_binary", "stream_stream_join",
     # --- green CORRECTNESS_r01 row (re-proving is a bonus), cheapest first ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
     "project_path_stem", "union_record_and_tag_rows",
