@@ -80,15 +80,16 @@ DRIVER_PRIORITY = [
     "stream_session_window", "dedup_ngram_jaccard", "similarity_ann_ivf",
     "stream_stateful_user_counts", "dedup_minhash_lsh", "unpivot_metrics",
     "dedup_minhash_mllib", "dedup_clusters",
-    # --- round-2 additions (also unproven, after the r01 backlog) ---
-    "dedup_within_time_window", "text_ngram_counts", "embedding_norm_stats",
-    "agg_salted_skew", "tpch_q3_shipping_priority", "agg_mode_per_group",
-    "dedup_exact_normalized", "embedding_quantize_int8",
-    "stream_dedup_watermark", "tpch_q5_local_supplier_volume",
-    "join_skew_salted", "stream_static_join_counts",
-    "funnel_conversion", "retention_cohorts", "sample_cap_per_source",
-    "sample_mixture_weighted", "text_vocab_coverage",
-    "multimodal_dedup_binary", "stream_stream_join",
+    # --- round-2 additions (also unproven, after the r01 backlog),
+    # cheapest-first per sf0.1 bench; streaming drains last ---
+    "sample_cap_per_source", "multimodal_dedup_binary",
+    "embedding_norm_stats", "agg_mode_per_group", "embedding_quantize_int8",
+    "funnel_conversion", "dedup_exact_normalized", "agg_salted_skew",
+    "sample_mixture_weighted", "dedup_within_time_window",
+    "retention_cohorts", "text_ngram_counts", "tpch_q3_shipping_priority",
+    "text_vocab_coverage", "join_skew_salted",
+    "tpch_q5_local_supplier_volume", "stream_static_join_counts",
+    "stream_dedup_watermark", "stream_stream_join",
     # --- green CORRECTNESS_r01 row (re-proving is a bonus), cheapest first ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
     "project_path_stem", "union_record_and_tag_rows",
