@@ -21,7 +21,13 @@ REPRESENTATIVE = [
     ("annotate_issue_distribution", "one Arrow stage feeding JVM-side aggregation"),
     ("text_ngram_counts", "per-row bigrams + map-side combine: exploded rows never leave their executor"),
     ("dedup_within_time_window", "one shuffle; row_number and group count share the window sort"),
-    ("similarity_ann_ivf", "single materialized corpus pass feeds KMeans fit and transform"),
+    ("similarity_ann_ivf", "single materialized corpus pass feeds the sampled fit and the vectorized cell assignment"),
+    ("tpch_q3_shipping_priority", "double broadcast: the fact table is never shuffled before the aggregate"),
+    ("tpch_q5_local_supplier_volume", "cyclic 6-way join closes the nation cycle inside one broadcast hash join"),
+    ("agg_salted_skew", "two-phase salted aggregate: (key, salt) exchange then tiny per-key merge"),
+    ("join_skew_salted", "replicated small side x16, shuffle-hash join on (key, salt)"),
+    ("dedup_simhash", "packed-lane vote aggregate; block self-join not broadcast"),
+    ("sample_mixture_weighted", "rate table broadcast back onto an unshuffled scan"),
 ]
 
 
