@@ -740,3 +740,49 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return run_available_now(joined, spark, output_mode="append")
+
+
+@register("dedup_pipeline_survivors", "Z20", oracle=None, bench=False)
+def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME as one operator — the composition a training-data
+    pipeline actually runs:
+
+      1. normalize + exact dedup (md5 digest groups; keep min doc_id)
+      2. MinHash+LSH near-dup pairs over the exact-unique representatives
+      3. connected components -> cluster labels
+      4. survivors = one representative (min doc_id) per cluster
+
+    Returns (doc_id, n_exact_copies, cluster_size) for every surviving
+    document.  Iterative step 3 makes it non-SQL-expressible -> rows-only;
+    the survivor-set invariants (no near-dup pair survives, every dropped
+    doc maps to a survivor) are asserted in tests."""
+    from debias_spark.operators.dedup import duplicate_clusters, minhash_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    groups = (
+        docs.select("doc_id", "text", F.md5(norm).alias("digest"))
+        .withColumn(
+            "rep_id", F.min("doc_id").over(Window.partitionBy("digest"))
+        )
+        .withColumn(
+            "n_exact_copies", F.count("*").over(Window.partitionBy("digest"))
+        )
+    )
+    reps = groups.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text", "n_exact_copies"
+    )
+    # near-dup graph over exact-unique reps only (the whole point of the
+    # staging: MinHash never sees byte-duplicates)
+    pairs = minhash_dedup(reps, "doc_id", "text", shingle_n=1, threshold=0.8)
+    ids = reps.select(F.col("doc_id").alias("id"))
+    clusters = duplicate_clusters(ids, pairs, id_col="id", pair_cols=("id", "rep_id"))
+    survivors = clusters.filter(F.col("id") == F.col("cluster_id"))
+    return (
+        survivors.join(reps, survivors.id == reps.doc_id)
+        .select("doc_id", "n_exact_copies", "cluster_size")
+    )

@@ -242,3 +242,44 @@ def test_lexicon_client_properties(values, language):
         lits = [t["literal"] for t in r["tags"]]
         assert len(lits) == len(set(lits))
         assert all(lit in tokens for lit in lits)
+
+
+def test_dedup_pipeline_survivor_invariants(spark, sf_dir):
+    """End-to-end dedup composition: (a) survivors are distinct real docs,
+    (b) every pair the pipeline DETECTED was removed — no detected near-dup
+    pair has both endpoints surviving (LSH recall is probabilistic, so the
+    invariant is over detected pairs, not ground-truth pairs), (c) exact
+    copies + cluster sizes account for the whole corpus exactly once."""
+    from debias_spark.operators.dedup import minhash_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    out = SPECS["dedup_pipeline_survivors"].fn(spark, sf_dir).collect()
+    survivor_ids = {r.doc_id for r in out}
+    assert len(survivor_ids) == len(out)  # distinct
+    assert survivor_ids <= {r.doc_id for r in docs.select("doc_id").collect()}
+    # (b) recompute the detected pair set over the exact-unique reps
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    reps = (
+        docs.select("doc_id", "text", F.md5(norm).alias("d"))
+        .withColumn("rep_id", F.min("doc_id").over(W.partitionBy("d")))
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    pairs = minhash_dedup(reps, "doc_id", "text", shingle_n=1, threshold=0.8).collect()
+    assert len(pairs) > 0
+    both_survive = [
+        (p.id, p.rep_id)
+        for p in pairs
+        if p.id in survivor_ids and p.rep_id in survivor_ids
+    ]
+    assert both_survive == [], both_survive
+    # (c) every doc counted once: exact-copy counts sum over clusters
+    n_reps = reps.count()
+    assert sum(r.cluster_size for r in out) == n_reps
+    assert sum(r.n_exact_copies for r in out) <= docs.count()
