@@ -4,6 +4,8 @@ the availableNow trigger."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from debias_spark.catalog import table
 from debias_spark.streaming import (
     run_available_now,
@@ -136,3 +138,56 @@ def test_session_window_invariants(spark, sf_dir):
     assert sum(r.n_events for r in rows) <= total_events  # watermark may hold tail back
     assert all(r.session_start <= r.session_end for r in rows)
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_stream_dedup_watermark_bounds(spark, sf_dir):
+    """Watermark dedup: per event_type, first-seen count is bounded below
+    by the batch distinct-user count (state eviction can only re-admit a
+    key, never lose one) and above by the raw event count."""
+    from debias_spark.registry import load_all_queries
+
+    out = {
+        r.event_type: r.n_first_seen
+        for r in load_all_queries()["stream_dedup_watermark"].fn(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    distinct = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    raw = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(out) == set(distinct)
+    for t, n in out.items():
+        assert distinct[t] <= n <= raw[t], (t, n, distinct[t], raw[t])
+
+
+def test_stream_stream_join_rows_verify_against_batch(spark, sf_dir):
+    """Every emitted (purchase, click) row must satisfy the join predicate
+    against the BATCH tables: same user, click within the hour before the
+    purchase — the stream join may drop late rows (watermark) but must
+    never emit a wrong pair."""
+    from debias_spark.registry import load_all_queries
+
+    rows = load_all_queries()["stream_stream_join"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t")
+    )
+    clicks = {(r.user_id, r.t) for r in ev.filter("event_type = 'click'").collect()}
+    purchases = {
+        (r.user_id, r.t) for r in ev.filter("event_type = 'purchase'").collect()
+    }
+    from datetime import datetime, timedelta
+
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for r in rows:
+        assert (r.user_id, r.purchase_time) in purchases
+        assert (r.user_id, r.click_time) in clicks
+        p = datetime.strptime(r.purchase_time, fmt)
+        c = datetime.strptime(r.click_time, fmt)
+        assert p - timedelta(hours=1) <= c <= p, (r.user_id, r.click_time, r.purchase_time)
