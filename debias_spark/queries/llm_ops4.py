@@ -786,3 +786,110 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.join(reps, survivors.id == reps.doc_id)
         .select("doc_id", "n_exact_copies", "cluster_size")
     )
+
+
+@register(
+    "tpch_q10_returned_items",
+    "Z21",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): customers ranked by revenue
+    lost to returns in one quarter.  Same broadcast discipline as Q3/Q5:
+    the returnflag filter is pushed into the fact scan, date-filtered
+    orders + customer + nation all broadcast, one aggregate exchange, top
+    20 with a custkey tiebreak."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-07-01 00:00:00'"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cn = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+    oc = orders.join(F.broadcast(cn), orders.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "c_custkey", "c_name", "n_name"
+    )
+    joined = li.join(F.broadcast(oc), li.l_orderkey == F.col("o_orderkey"))
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        (
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            + 0.0
+        ).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+@register(
+    "text_tfidf_top_terms",
+    "Z22",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ), tc AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, count(*) AS n_docs FROM tc GROUP BY tok
+    ), total AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tc.doc_id, tc.tok,
+               round(tc.tf * ln((SELECT n FROM total) * 1.0 / df.n_docs), 6) + 0.0
+                   AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tc.doc_id
+                   ORDER BY tc.tf * ln((SELECT n FROM total) * 1.0 / df.n_docs) DESC,
+                            tc.tok) AS rn
+        FROM tc JOIN df ON tc.tok = df.tok
+    )
+    SELECT doc_id, tok AS top_term, tfidf FROM scored WHERE rn = 1
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: per document, the single highest-scoring
+    term (tf x ln(N / df), ties to the alphabetically first term).
+
+    Plan: one explode -> (doc, term) count shuffle; document frequencies
+    aggregate FROM that counted frame (term already the key, so the second
+    aggregate is cheap) and broadcast back; the final per-doc top-1 is a
+    window over the counted frame.  N comes from a driver scalar count —
+    one tiny job."""
+    docs = table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias(
+            "tok"
+        ),
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_counts = tc.groupBy("tok").agg(F.count("*").alias("n_docs"))
+    scored = tc.join(F.broadcast(df_counts), "tok").withColumn(
+        "score", F.col("tf") * F.log(F.lit(float(n_total)) / F.col("n_docs"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_term"),
+            (F.round(F.col("score"), 6) + 0.0).alias("tfidf"),
+        )
+    )

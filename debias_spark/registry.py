@@ -90,7 +90,8 @@ DRIVER_PRIORITY = [
     "text_vocab_coverage", "join_skew_salted",
     "tpch_q5_local_supplier_volume", "stream_static_join_counts",
     "stream_dedup_watermark", "stream_stream_join",
-    "dedup_pipeline_survivors",
+    "dedup_pipeline_survivors", "tpch_q10_returned_items",
+    "text_tfidf_top_terms",
     # --- green CORRECTNESS_r01 row (re-proving is a bonus), cheapest first ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
     "project_path_stem", "union_record_and_tag_rows",
