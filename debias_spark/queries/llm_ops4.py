@@ -1,11 +1,18 @@
-"""Fourth-wave operators (SURVEY §2 addendum Z4-Z9): skew-aware
-aggregation, canonical TPC-H Q3, deterministic mode, normalized exact
-dedup, int8 embedding quantization, and streaming watermark dedup.
+"""Fourth-wave operators (SURVEY §2 addendum Z4-Z22), round 2.
 
-Z4/Z5 are the scale-technique representatives: Z4 shows the two-phase
-salted aggregate (the standard fix for hot grouping keys at 100 TB) with a
-value oracle proving it equals the plain aggregate; Z5 is the classic
-3-way join + top-N with broadcast dim sides.
+Four themes:
+- Scale techniques with value oracles proving equivalence to the naive
+  form: two-phase salted aggregation (Z4), replicate-and-salt skew join
+  (Z11).
+- Canonical relational depth: TPC-H Q3 (Z5), the cyclic Q5 (Z10), Q10
+  (Z21), deterministic per-group mode (Z6), funnel (Z13) and retention
+  cohorts (Z14).
+- Training-data curation: normalized exact dedup (Z7), int8 embedding
+  quantization (Z8), per-source caps (Z15), mixture-targeted sampling
+  (Z16), vocab coverage (Z17), binary-payload dedup (Z18), TF-IDF keyword
+  extraction (Z22), and the end-to-end dedup pipeline composition (Z20).
+- Structured Streaming: watermark dedup (Z9), stream-static join with a
+  full SQL oracle (Z12), watermarked stream-stream join (Z19).
 
 Registration position: imported after llm_ops3, so these keys land in the
 unproven-first block of the driver priority order (registry.DRIVER_PRIORITY
