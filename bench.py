@@ -65,18 +65,59 @@ def main() -> None:
             per_query[name] = -1.0
     total = round(sum(v for v in per_query.values() if v >= 0), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    print(render_line(per_query, total, float(sf)))
+
+
+# The driver records only the last ~2000 chars of stdout (BENCH_r01.json:
+# tail len 2000, parsed null because the full per-query dict overflowed the
+# window).  Emit ONE compact JSON line that always fits: failed queries
+# first (they must never be silently dropped), then slowest-first, greedily
+# truncated under LINE_BUDGET; the omitted remainder is summarized by count
+# and total seconds so nothing is silently uncounted.
+LINE_BUDGET = 1800
+
+
+def render_line(per_query: dict[str, float], total: float, sf: float) -> str:
+    def dump(obj) -> str:
+        return json.dumps(obj, separators=(",", ":"))
+
+    ordered = sorted(
+        per_query.items(), key=lambda kv: (kv[1] >= 0, -kv[1])
+    )  # failures (v<0) first, then slowest-first
+    shown: dict[str, float] = {}
+    line = ""
+    for name, v in ordered:
+        trial = dict(shown)
+        trial[name] = round(v, 3)
+        omitted = {k: s for k, s in per_query.items() if k not in trial}
+        candidate = dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "reps": 2,  # per-query value = min of 2 post-warmup runs
-                "queries": per_query,
-                "sf": float(sf),
+                "queries": trial,
+                "queries_n": len(per_query),
+                "queries_omitted": len(omitted),
+                "omitted_sec": round(sum(s for s in omitted.values() if s >= 0), 3),
+                "sf": sf,
             }
         )
-    )
+        if len(candidate) > LINE_BUDGET:
+            break
+        shown, line = trial, candidate
+    if not line:  # degenerate budget: still emit a parseable summary line
+        line = dump(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": {},
+                "queries_n": len(per_query),
+                "sf": sf,
+            }
+        )
+    return line
 
 
 if __name__ == "__main__":

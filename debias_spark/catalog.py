@@ -40,6 +40,14 @@ _RUNTIME_CONFS = {
     "spark.sql.constraintPropagation.enabled": "false",  # see session.py
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # The driver harness builds its own session (Spark default: 200 shuffle
+    # partitions).  At correctness-gate scale (sf0.01) 200-task shuffles are
+    # pure scheduling overhead across ~116 queries; 32 matches local[32].
+    # On a real cluster this would come from the session, not here.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
 }
 
 

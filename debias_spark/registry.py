@@ -83,10 +83,10 @@ DRIVER_PRIORITY = [
     # --- round-2 additions (also unproven, after the r01 backlog),
     # cheapest-first per sf0.1 bench; streaming drains last ---
     "sample_cap_per_source", "multimodal_dedup_binary",
-    "embedding_norm_stats", "agg_mode_per_group", "embedding_quantize_int8",
+    "agg_mode_per_group", "embedding_quantize_int8",
     "funnel_conversion", "dedup_exact_normalized", "agg_salted_skew",
-    "sample_mixture_weighted", "dedup_within_time_window",
-    "retention_cohorts", "text_ngram_counts", "tpch_q3_shipping_priority",
+    "sample_mixture_weighted",
+    "retention_cohorts", "tpch_q3_shipping_priority",
     "text_vocab_coverage", "join_skew_salted",
     "tpch_q5_local_supplier_volume", "stream_static_join_counts",
     "stream_dedup_watermark", "stream_stream_join",

@@ -1,0 +1,53 @@
+"""The driver records only the last ~2000 chars of bench stdout
+(BENCH_r01.json: tail len 2000, parsed null when the line overflowed).
+render_line must ALWAYS produce one parseable JSON line under that window,
+never dropping failures, preferring the slowest (highest-signal) queries,
+and summarizing what it omits.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import LINE_BUDGET, render_line  # noqa: E402
+
+
+def _mk(n: int, base: float = 0.05) -> dict[str, float]:
+    return {f"operator_key_number_{i:03d}_long_name": base + i * 0.013 for i in range(n)}
+
+
+def test_fits_driver_window_at_full_registry_size():
+    pq = _mk(130)
+    line = render_line(pq, 43.2, 0.1)
+    assert len(line) <= LINE_BUDGET <= 1950  # driver tail window is 2000
+    d = json.loads(line)
+    assert d["metric"] == "headline_queries_total_wall"
+    assert d["queries_n"] == 130
+    assert d["queries_omitted"] == 130 - len(d["queries"])
+
+
+def test_failures_always_shown_and_slowest_preferred():
+    pq = _mk(130)
+    pq["zz_broken_query"] = -1.0
+    d = json.loads(render_line(pq, 43.2, 0.1))
+    assert d["queries"]["zz_broken_query"] == -1.0
+    shown_ok = [v for k, v in d["queries"].items() if v >= 0]
+    omitted = [v for k, v in pq.items() if k not in d["queries"]]
+    assert min(shown_ok) >= max(omitted)
+
+
+def test_omitted_total_accounts_for_everything():
+    pq = _mk(130)
+    d = json.loads(render_line(pq, 99.9, 0.01))
+    recon = sum(d["queries"].values()) + d["omitted_sec"]
+    assert abs(recon - sum(pq.values())) < 0.5  # rounding slack only
+
+
+def test_small_registry_shows_everything():
+    pq = _mk(10)
+    d = json.loads(render_line(pq, 1.0, 0.001))
+    assert d["queries_omitted"] == 0
+    assert len(d["queries"]) == 10

@@ -1,0 +1,87 @@
+"""Simulate the driver's t2 correctness loop with timing.
+
+Mimics what we infer the driver does: build a plain SparkSession (its own,
+NOT our tuned factory), iterate __spark_entry__.queries() in order, run each
+Spark query + its DuckDB oracle at sf0.01, compare, and record wall time per
+key.  Prints a cumulative-time table so we can see (a) whether the r01
+50-key cutoff is explainable as a wall-clock budget and (b) which keys to
+shave.
+
+Usage: python tools/sim_driver.py [sf_dir] [--tuned]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+    tuned = "--tuned" in sys.argv
+
+    from pyspark.sql import SparkSession
+
+    if tuned:
+        from debias_spark.session import get_spark
+
+        spark = get_spark("sim-driver")
+    else:
+        # a deliberately plain session, like the harness would build
+        spark = (
+            SparkSession.builder.appName("sim-driver")
+            .master("local[32]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+
+    import __spark_entry__ as entrymod
+    from debias_spark.testing import compare_to_oracle
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    t0 = time.perf_counter()
+    rows = []
+    failures = []
+    for i, (name, fn) in enumerate(qs.items(), 1):
+        t = time.perf_counter()
+        status = "ok"
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                compare_to_oracle(df, oracles[name], sf_dir)
+            else:
+                n = df.count()
+                status = f"rows_only({n})"
+                if n <= 0:
+                    status = "rows_only_EMPTY"
+                    failures.append(name)
+        except Exception as exc:
+            status = f"FAIL {type(exc).__name__}: {str(exc)[:120]}"
+            failures.append(name)
+        dt = time.perf_counter() - t
+        cum = time.perf_counter() - t0
+        rows.append((i, name, dt, cum, status))
+        print(f"{i:3d} {cum:7.1f}s  {dt:6.2f}s  {name:40s} {status}", flush=True)
+
+    total = time.perf_counter() - t0
+    slow = sorted(rows, key=lambda r: -r[2])[:15]
+    print(f"\nTOTAL {total:.1f}s over {len(rows)} keys; failures: {failures}")
+    print("cum@50:", f"{rows[49][3]:.1f}s" if len(rows) >= 50 else "n/a")
+    print("slowest 15:")
+    for _, name, dt, _, _ in slow:
+        print(f"  {dt:6.2f}s  {name}")
+    with open("/tmp/sim_driver.json", "w") as f:
+        json.dump(
+            {"total": total, "per_key": {n: round(d, 3) for _, n, d, _, _ in rows}},
+            f,
+        )
+
+
+if __name__ == "__main__":
+    main()
