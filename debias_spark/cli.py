@@ -45,6 +45,15 @@ def main(argv: list[str] | None = None) -> int:
         help="append run log here (reference parity, call-debias.py:16-22); "
         "default <output>/debias.log, '' disables",
     )
+    p.add_argument(
+        "--reports",
+        choices=["none", "text", "pdf"],
+        default="none",
+        help="also render one flagged-records report per input file into "
+        "<output>/ (the reference's per-file PDF report, "
+        "call-debias.py:54-136; 'pdf' uses reportlab when installed, else "
+        "the stdlib writer)",
+    )
     args = p.parse_args(argv)
 
     if args.config:
@@ -94,6 +103,14 @@ def main(argv: list[str] | None = None) -> int:
         print(line)
         log.info("%s", line)
         shown += 1
+    if args.reports != "none":
+        from debias_spark.pipeline import report_rows
+        from debias_spark.report import render_reports
+
+        names = render_reports(
+            report_rows(annotated), cfg.output_folder, fmt=args.reports
+        )
+        log.info("wrote %d reports", len(names))
     print(f"wrote outputs to {cfg.output_folder}")
     log.info("run done: outputs in %s", cfg.output_folder)
     return 0

@@ -4,9 +4,10 @@ driver-side renderer over the ``pipeline.report_rows`` DataFrame.
 The dataflow (flagged-only filter, first-comma split, one row per tag,
 record cells blanked after the first tag row) is the declarative plan in
 ``report_rows``; this module is ONLY the rendering sink.  reportlab renders
-the landscape-A4 table when available (readme.md:147-155 layout); this
-container doesn't ship it, so the text renderer is the default and the PDF
-path raises cleanly.
+the landscape-A4 table when available (readme.md:147-155 layout); without
+it the minimal stdlib writer (debias_spark.pdfmin) emits the same
+landscape-A4 table shape, so fmt='pdf' always produces a valid PDF.  The
+text renderer remains the default.
 """
 
 from __future__ import annotations
@@ -34,11 +35,6 @@ def render_reports(rows: DataFrame, output_dir: str, fmt: str = "text") -> list[
     (the frame is already flagged-only)."""
     out = pathlib.Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    if fmt == "pdf" and not HAVE_REPORTLAB:
-        raise NotImplementedError(
-            "PDF rendering requires reportlab (not in this container); "
-            "use fmt='text'"
-        )
     # Stream the globally-sorted frame one partition at a time
     # (toLocalIterator): driver memory is bounded by one file's rows, not the
     # corpus.  Sort key is (src_file, seq, tag_pos) — input-file line order,
@@ -80,13 +76,26 @@ def _render_text(stem: str, rows: list, out: pathlib.Path) -> str:
 
 
 def _render_pdf(stem: str, rows: list, out: pathlib.Path) -> str:
-    from reportlab.lib.pagesizes import A4, landscape
-    from reportlab.platypus import SimpleDocTemplate, Table
-
     name = f"{stem}.pdf"
-    data = [list(HEADER)] + [
-        [r.record_cell, r.literal_cell, r.tag_details] for r in rows
-    ]
-    doc = SimpleDocTemplate(str(out / name), pagesize=landscape(A4))
-    doc.build([Table(data)])
+    if HAVE_REPORTLAB:
+        from reportlab.lib.pagesizes import A4, landscape
+        from reportlab.platypus import SimpleDocTemplate, Table
+
+        data = [list(HEADER)] + [
+            [r.record_cell, r.literal_cell, r.tag_details] for r in rows
+        ]
+        doc = SimpleDocTemplate(str(out / name), pagesize=landscape(A4))
+        doc.build([Table(data)])
+        return name
+    from debias_spark.pdfmin import write_table_pdf
+
+    write_table_pdf(
+        out / name,
+        f"De-bias report: {stem}",
+        HEADER,
+        [
+            (r.record_cell, r.literal_cell, r.tag_details.replace("\n", "; "))
+            for r in rows
+        ],
+    )
     return name

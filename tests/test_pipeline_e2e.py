@@ -188,10 +188,18 @@ def test_cli_end_to_end_with_log(tmp_path, capsys):
         f.parent.mkdir(parents=True, exist_ok=True)
         f.write_text(content)
     out = tmp_path / "out"
-    rc = main(["--input", str(inp), "--output", str(out), "--max-retries", "2"])
+    rc = main(
+        ["--input", str(inp), "--output", str(out), "--max-retries", "2",
+         "--reports", "pdf"]
+    )
     assert rc == 0
     stdout = capsys.readouterr().out
     assert "alpha.csv [en]: 3 records, 2 flagged, 0 errors" in stdout
     log_text = (out / "debias.log").read_text()
     assert "run start" in log_text and "run done" in log_text
     assert "alpha.csv [en]" in log_text
+    # --reports pdf: one valid report per flagged input file
+    pdfs = sorted(p.name for p in out.glob("*.pdf"))
+    assert pdfs and all(
+        (out / n).read_bytes().startswith(b"%PDF-") for n in pdfs
+    )
