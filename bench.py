@@ -50,15 +50,17 @@ def main() -> None:
         except Exception:
             pass
 
-    # Best-of-2 per query: single-execution times at this scale swing
-    # ±25% on JIT/GC state even after warmup; the min of two post-warmup
-    # runs is the stable steady-state number (standard practice; reported
-    # transparently via "reps" below).
+    # Best-of-3 per query: single-execution times at this scale swing
+    # ±25% on JIT/GC state even after warmup (a query measured long after
+    # its warmup can also re-pay codegen-cache eviction: observed 2.6s for
+    # a 1.1s-steady-state window query under best-of-2); the min of three
+    # post-warmup runs is the stable steady-state number (standard
+    # practice; reported transparently via "reps" below).
     per_query: dict[str, float] = {}
     for name, spec in bench_specs.items():
         try:
             per_query[name] = round(
-                min(run_query(spec, spark, SF_DIR) for _ in range(2)), 4
+                min(run_query(spec, spark, SF_DIR) for _ in range(3)), 4
             )
         except Exception as exc:  # a failing query shows as -1, not a dead bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
@@ -95,7 +97,7 @@ def render_line(per_query: dict[str, float], total: float, sf: float) -> str:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "reps": 2,  # per-query value = min of 2 post-warmup runs
+                "reps": 3,  # per-query value = min of 3 post-warmup runs
                 "queries": trial,
                 "queries_n": len(per_query),
                 "queries_omitted": len(omitted),
