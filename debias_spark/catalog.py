@@ -66,17 +66,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS, ntz) — read as epoch-nanos
-        # long (session.py nanosAsLong) and rebuilt here at µs precision.
-        # Integer division keeps the arithmetic exact; timestamps everywhere
-        # else in the engine are NTZ with UTC session semantics.
-        from pyspark.sql import functions as F
+        df = _normalize_events_ts(df)
+    return df
 
-        df = df.withColumn(
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """events.ts arrives either as parquet TIMESTAMP(NANOS, ntz) — surfaced
+    as an epoch-nanos long via nanosAsLong — or as plain TIMESTAMP(MICROS)
+    in newer testdata generations.  Normalize both to timestamp_ntz at µs
+    precision (integer division keeps the nanos arithmetic exact; timestamps
+    everywhere else in the engine are NTZ with UTC session semantics)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn(
             "ts",
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
-    return df
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -40,9 +40,11 @@ _BASE_CONF = {
     "spark.sql.constraintPropagation.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
-    # The driver's events.parquet carries TIMESTAMP(NANOS) which Spark has no
-    # native type for: read as epoch-nanos long, catalog.py rebuilds a
-    # timestamp_ntz column (exact integer arithmetic, no double round-trip).
+    # Some testdata generations carry events.ts as TIMESTAMP(NANOS), which
+    # Spark has no native type for: read as epoch-nanos long, and
+    # catalog.py rebuilds a timestamp_ntz column (exact integer arithmetic,
+    # no double round-trip).  Harmless for µs-timestamp generations, where
+    # catalog.py detects the timestamp dtype and skips the rebuild.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file stream (the schema must be supplied for
-    streaming reads; ts arrives as epoch-nanos long and is rebuilt at µs)."""
+    streaming reads; ts arrives either as epoch-nanos long — older
+    TIMESTAMP(NANOS) testdata under nanosAsLong — or as a plain µs
+    timestamp, and is normalized to TimestampType either way)."""
+    from pyspark.sql.types import LongType
+
     from debias_spark.catalog import ensure_runtime_confs
 
     ensure_runtime_confs(spark)  # nanosAsLong before touching events.parquet
@@ -35,7 +39,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
