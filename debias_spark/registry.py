@@ -92,6 +92,12 @@ DRIVER_PRIORITY = [
     "stream_dedup_watermark", "stream_stream_join",
     "dedup_pipeline_survivors", "tpch_q10_returned_items",
     "text_tfidf_top_terms",
+    # --- round-2 late additions (relational_ext4): TPC-H shapes, gapfill,
+    # bloom-style prefilter — unproven, after the earlier backlog ---
+    "tpch_q4_order_priority", "tpch_q12_priority_class",
+    "tpch_q14_promo_revenue", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q22_idle_balances",
+    "timeseries_gapfill", "join_prefilter_hashbucket",
     # --- green CORRECTNESS_r01 row (re-proving is a bonus), cheapest first ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
     "project_path_stem", "union_record_and_tag_rows",
