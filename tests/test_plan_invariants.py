@@ -134,6 +134,56 @@ def test_salted_join_not_broadcast(spark, sf_dir):
     assert joins and all(j != "BroadcastHashJoin" for j in joins), joins
 
 
+def test_q4_semi_join_keeps_orders_side(spark, sf_dir):
+    """Q4's EXISTS runs as a semi join (orders survive, lineitem never
+    does) and the quarter filter reaches the orders scan."""
+    df = q("tpch_q4_order_priority", spark, sf_dir)
+    assert "LeftSemi" in df._jdf.queryExecution().executedPlan().toString()
+    assert_filter_pushed(df, "o_orderdate")
+
+
+def test_q14_q19_broadcast_part(spark, sf_dir):
+    """Promo-ratio and disjunctive joins broadcast the part dim; the month
+    (q14) predicate reaches the lineitem scan."""
+    df14 = q("tpch_q14_promo_revenue", spark, sf_dir)
+    assert join_strategies(df14) == ["BroadcastHashJoin"]
+    assert_filter_pushed(df14, "l_shipdate")
+    assert join_strategies(q("tpch_q19_disjunctive", spark, sf_dir)) == [
+        "BroadcastHashJoin"
+    ]
+
+
+def test_q18_aggregates_before_joining(spark, sf_dir):
+    """Q18: the HAVING-filtered groupBy(l_orderkey) must run below the
+    joins — the join inputs are the ~1% survivors, never raw lineitem."""
+    plan = q("tpch_q18_large_orders", spark, sf_dir)._jdf.queryExecution()
+    text = plan.executedPlan().toString()
+    agg_pos = text.find("HashAggregate")
+    join_pos = text.find("Join")
+    assert agg_pos != -1 and join_pos != -1 and join_pos < agg_pos, (
+        "expected joins ABOVE (printed before) the lineitem aggregate"
+    )
+
+
+def test_gapfill_grid_broadcasts(spark, sf_dir):
+    """The dense hour x type grid is tiny and must broadcast onto the
+    sparse counts — a shuffled join here would shuffle the counts for a
+    120-row grid."""
+    joins = join_strategies(q("timeseries_gapfill", spark, sf_dir))
+    assert joins and all(
+        j in ("BroadcastHashJoin", "BroadcastNestedLoopJoin") for j in joins
+    ), joins
+
+
+def test_prefilter_buckets_broadcast_semi(spark, sf_dir):
+    """The hash-bucket prefilter and the exact join must BOTH broadcast
+    their small side; the fact table is never shuffled."""
+    df = q("join_prefilter_hashbucket", spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+    assert_max_exchanges(df, 1)  # only the final singleton agg exchange
+
+
 def test_salted_agg_two_phases(spark, sf_dir):
     """Two-phase salted aggregate: two partial/final HashAggregate pairs
     and at most two exchanges — the (key, salt) shuffle and the tiny
