@@ -1,9 +1,10 @@
-"""LLM-pipeline operators, fifth wave (SURVEY §2 addendum Z10-Z11).
+"""LLM-pipeline operators, fifth wave (SURVEY §2 addendum Z10-Z12).
 
 Statistical quality filtering (unigram language-model surprisal — the
-cheap stand-in for a KenLM perplexity filter) and seeded random-projection
+cheap stand-in for a KenLM perplexity filter), seeded random-projection
 dimensionality reduction (the Johnson-Lindenstrauss step in front of an
-ANN index).  Both fully DuckDB-oracled.
+ANN index), and blocked edit-distance fuzzy dedup.  All fully
+DuckDB-oracled.
 
 The projection matrix is generated from a fixed seed at import time and
 embedded as LITERALS in both the Spark expression and the oracle SQL —
@@ -89,6 +90,54 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_unigram_logprob.__doc__ = text_unigram_logprob.__doc__.replace("{V}", str(VOCAB_TOP))
+
+
+@register(
+    "dedup_near_editdistance",
+    "Z12",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text, n_chars // 50 AS lb,
+               split_part(text, ' ', 1) AS ft
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+    FROM t a JOIN t b ON a.lb = b.lb AND a.ft = b.ft AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 25
+    """,
+)
+def dedup_near_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy dedup: candidate pairs share a (length-bucket, first
+    token) block, then exact edit distance <= 25 confirms.  The self-join
+    shuffles once on the block key and is quadratic ONLY within a block —
+    blocking caps block size (~6 docs here), which is what makes edit
+    distance usable at corpus scale; the sketch passes (MinHash/SimHash,
+    operators/dedup.py) are the 100 TB recall path and this is the
+    precision verify stage."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "text",
+        F.expr("n_chars div 50").alias("lb"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("ft"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.ft") == F.col("b.ft"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 25)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )
 
 
 # Achlioptas-style sign matrix, fixed seed: 8 output dims x 64 input dims,
