@@ -28,6 +28,11 @@ REPRESENTATIVE = [
     ("join_skew_salted", "replicated small side x16, shuffle-hash join on (key, salt)"),
     ("dedup_simhash", "packed-lane vote aggregate; block self-join not broadcast"),
     ("sample_mixture_weighted", "rate table broadcast back onto an unshuffled scan"),
+    ("tpch_q18_large_orders", "HAVING-filtered aggregate runs below the joins: join inputs are the ~1% survivors"),
+    ("join_prefilter_hashbucket", "broadcast semi-join bucket prefilter then exact broadcast join: zero fact shuffles"),
+    ("timeseries_gapfill", "dense grid from a 1-row aggregate broadcast onto sparse counts"),
+    ("text_unigram_logprob", "count-bounded vocab broadcast; explode -> hash lookup -> one doc_id shuffle"),
+    ("embedding_random_projection", "literal JL matrix: one narrow codegen projection, no shuffle"),
 ]
 
 
