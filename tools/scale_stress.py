@@ -1,0 +1,133 @@
+"""Scale-stress harness: replicate the sf0.1 testdata Kx with key offsets
+(into /tmp — the driver testdata itself is read-only) and measure flagship
+queries at 1x vs Kx.  Near-linear wall-clock growth is the evidence that
+the plan shapes hold as data grows; anything super-linear is a bug report.
+
+Usage:
+    PYTHONPATH=/root/repo python tools/scale_stress.py [K] [out_dir]
+
+Replication semantics (FK-consistent):
+  - fact tables (lineitem, orders, events) replicate with key offsets on
+    orderkey / custkey / event_id / user_id, so join fan-out per key stays
+    constant while table size grows Kx;
+  - customer replicates with custkey offsets (orders reference each copy);
+  - dim tables (region nation supplier part) stay single-copy, as dims do;
+  - documents/embeddings replicate with id offsets; documents get a short
+    per-copy suffix on ODD copies, so the corpus carries BOTH exact
+    duplicates (even copies) and near-duplicates (odd copies) — the
+    realistic shape for dedup stress.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+
+# flagship keys to time (cover dedup, similarity, text, joins, windows, agg)
+KEYS = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_unigram_logprob",
+    "text_gopher_rules",
+    "similarity_cosine_topk",
+    "similarity_ann_lsh",
+    "embedding_random_projection",
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_orders",
+    "join_sortmerge_large",
+    "window_rank_lag_frame",
+    "agg_count_by_key",
+    "sessionize_batch",
+]
+
+OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "supplier", "part"]
+OFF = 1_000_000_000  # far above any real key
+
+
+def replicate(spark, k: int, out_dir: str) -> None:
+    for t in DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+    for t, keys in OFFSETS.items():
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(k):
+            c = base
+            for key in keys:
+                c = c.withColumn(key, F.col(key) + F.lit(i * OFF))
+            if t == "documents" and i % 2 == 1:
+                c = c.withColumn("text", F.concat("text", F.lit(f" copytag{i}")))
+            parts.append(c)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def time_keys(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
+    from debias_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    out = {}
+    for name in KEYS:
+        # warmup once, then best-of-reps
+        for _ in range(1):
+            qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = None
+        for _ in range(reps):
+            t = time.perf_counter()
+            qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+        print(f"  {sf_dir}: {name} {best:.2f}s", flush=True)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_x{k}"
+
+    from debias_spark.session import get_spark
+
+    spark = get_spark("scale-stress")
+    t0 = time.perf_counter()
+    replicate(spark, k, out_dir)
+    print(f"replicated x{k} in {time.perf_counter() - t0:.1f}s -> {out_dir}", flush=True)
+
+    base = time_keys(spark, SRC)
+    big = time_keys(spark, out_dir)
+    report = {
+        "k": k,
+        "base_total": round(sum(base.values()), 2),
+        "big_total": round(sum(big.values()), 2),
+        "per_key": {
+            n: {"x1": base[n], f"x{k}": big[n],
+                "ratio": round(big[n] / base[n], 2) if base[n] > 0 else None}
+            for n in KEYS
+        },
+    }
+    print(json.dumps(report, indent=1))
+    with open(f"/tmp/scale_stress_x{k}.json", "w") as f:
+        json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
