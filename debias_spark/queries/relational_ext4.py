@@ -318,6 +318,29 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_hll_sketch_union", "X28", oracle=None)  # approximate by design
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: one HLL sketch per day
+    (hll_sketch_agg), union-merged into the period estimate
+    (hll_union_agg -> hll_sketch_estimate).  This two-level shape is THE
+    100 TB distinct-counting pattern: daily partitions build sketches
+    incrementally (bytes per day, not user lists), and any period rollup is
+    a cheap sketch union — no re-scan of history, unlike a flat
+    count(DISTINCT) whose shuffle grows with the period.  Approximate by
+    design -> rows-only here; the ±5%-of-exact bound is asserted in
+    tests/test_llm_ops_properties.py."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uniques_est"),
+    )
+
+
 @register(
     "join_prefilter_hashbucket",
     "X27",

@@ -99,7 +99,7 @@ DRIVER_PRIORITY = [
     "tpch_q19_disjunctive", "tpch_q22_idle_balances",
     "timeseries_gapfill", "join_prefilter_hashbucket",
     "text_unigram_logprob", "embedding_random_projection",
-    "dedup_near_editdistance",
+    "dedup_near_editdistance", "agg_hll_sketch_union",
     # --- green CORRECTNESS_r01 row (re-proving is a bonus), cheapest first ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
     "project_path_stem", "union_record_and_tag_rows",

@@ -17,6 +17,19 @@ from debias_spark.registry import load_all_queries
 SPECS = load_all_queries()
 
 
+def test_hll_sketch_union_within_tolerance(spark, sf_dir):
+    """The day-sketch union estimate is within ±5% of the flat exact
+    distinct count, and the day/event bookkeeping columns are exact."""
+    row = SPECS["agg_hll_sketch_union"].fn(spark, sf_dir).collect()[0]
+    ev = table(spark, sf_dir, "events")
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    assert row.n_events == ev.count()
+    assert row.n_days == ev.select(F.to_date("ts")).distinct().count()
+    assert abs(row.uniques_est - exact) <= max(1, 0.05 * exact), (
+        f"union estimate {row.uniques_est} vs exact {exact}"
+    )
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     """HLL estimate within ±5% of the exact distinct count per group."""
     approx = {
