@@ -242,3 +242,33 @@ per-record issue counts</p>
 <script>{_JS.replace("__DATA__", payload)}</script>
 </body></html>
 """
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: render the dashboard HTML from a pipeline output directory —
+    the reference's dashboard tab as a headless artifact.
+
+        python -m debias_spark.dashboard --output out/ --html dash.html
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="debias-spark-dashboard")
+    p.add_argument("--output", required=True, help="pipeline OUTPUT_FOLDER with *-output.json")
+    p.add_argument("--html", required=True, help="path for the rendered HTML file")
+    p.add_argument("--top-issues", type=int, default=30)
+    args = p.parse_args(argv)
+
+    from debias_spark.pipeline import analytics_view
+    from debias_spark.session import get_spark
+
+    spark = get_spark("debias-spark-dashboard")
+    frame = analytics_view(spark, args.output)
+    path = export_dashboard_html(frame, args.html, top_issues=args.top_issues)
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

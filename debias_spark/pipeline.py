@@ -48,6 +48,11 @@ class PipelineConfig:
         cp = configparser.ConfigParser()
         cp.read(path)
         s = cp["settings"]
+        if not s.get("INPUT_FOLDER") or not s.get("OUTPUT_FOLDER"):
+            raise ValueError(
+                f"config {path}: [settings] must define INPUT_FOLDER and "
+                "OUTPUT_FOLDER (reference key names, readme.md usage)"
+            )
         return cls(
             input_folder=s.get("INPUT_FOLDER"),
             output_folder=s.get("OUTPUT_FOLDER"),
