@@ -203,3 +203,27 @@ def test_cli_end_to_end_with_log(tmp_path, capsys):
     assert pdfs and all(
         (out / n).read_bytes().startswith(b"%PDF-") for n in pdfs
     )
+
+
+def test_gui_headless_gating_and_logic():
+    """gui.py: non-Qt logic round-trips and the headless raise is clear."""
+    import pytest
+
+    from debias_spark.gui import (
+        GuiUnavailableError,
+        apply_fields,
+        launch,
+        run_command,
+        settings_fields,
+    )
+    from debias_spark.pipeline import PipelineConfig
+
+    cfg = PipelineConfig("in", "out", use_ner=True, use_llm=False, max_retries=3)
+    assert apply_fields(settings_fields(cfg)) == cfg
+    cmd = run_command("c.ini", reports="pdf")
+    assert cmd[1:] == ["-m", "debias_spark.cli", "--config", "c.ini", "--reports", "pdf"]
+    try:
+        import PyQt6  # noqa: F401
+    except ImportError:
+        with pytest.raises(GuiUnavailableError, match="python -m debias_spark.cli"):
+            launch("c.ini")
