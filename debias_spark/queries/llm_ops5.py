@@ -97,47 +97,62 @@ text_unigram_logprob.__doc__ = text_unigram_logprob.__doc__.replace("{V}", str(V
     "Z12",
     oracle="""
     WITH t AS (
-        SELECT doc_id, text, n_chars // 50 AS lb,
-               split_part(text, ' ', 1) AS ft
+        SELECT doc_id, text, n_chars, n_chars // 50 AS lb,
+               split_part(text, ' ', 1) || '|' || split_part(text, ' ', 2) AS ft2
         FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-    FROM t a JOIN t b ON a.lb = b.lb AND a.ft = b.ft AND a.doc_id < b.doc_id
+    FROM t a JOIN t b ON a.lb = b.lb AND a.ft2 = b.ft2 AND a.doc_id < b.doc_id
+                     AND abs(a.n_chars - b.n_chars) <= 25
     WHERE levenshtein(a.text, b.text) <= 25
     """,
 )
 def dedup_near_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy dedup: candidate pairs share a (length-bucket, first
-    token) block, then exact edit distance <= 25 confirms.  The self-join
-    shuffles once on the block key and is quadratic ONLY within a block —
-    blocking caps block size (~6 docs here), which is what makes edit
-    distance usable at corpus scale; the sketch passes (MinHash/SimHash,
-    operators/dedup.py) are the 100 TB recall path and this is the
-    precision verify stage."""
+    """Blocked fuzzy dedup: candidate pairs share a (length-bucket,
+    first-two-tokens) block AND differ by <= 25 chars in length (a
+    necessary condition for edit distance <= 25, checked before any
+    distance work); banded levenshtein(, , threshold) confirms — O(k*L)
+    per pair instead of O(L^2).  Lesson learned in round 2: the first cut
+    blocked on ONE token, whose cardinality is vocabulary-bound, so block
+    size grew linearly with the corpus and the pair count quadratically —
+    79.9 s at sf0.1.  Two-token blocking + the length band cut candidate
+    pairs 32x (41k -> 1.3k at sf0.1).  Block cardinality is still
+    vocabulary-driven, so for unbounded corpora this operator is the
+    PRECISION stage run after the MinHash/SimHash recall passes
+    (operators/dedup.py), whose candidate groups are bounded by
+    construction."""
     docs = table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         "text",
+        "n_chars",
         F.expr("n_chars div 50").alias("lb"),
-        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("ft"),
+        F.concat_ws(
+            "|",
+            F.split_part(F.col("text"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("text"), F.lit(" "), F.lit(2)),
+        ).alias("ft2"),
     )
     a, b = t.alias("a"), t.alias("b")
-    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
-    return (
-        a.join(
-            b,
-            (F.col("a.lb") == F.col("b.lb"))
-            & (F.col("a.ft") == F.col("b.ft"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(dist <= 25)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            dist.cast("long").alias("dist"),
-        )
+    # banded: returns -1 when the distance exceeds the threshold
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), 25)
+    pairs = a.join(
+        b,
+        (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.ft2") == F.col("b.ft2"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 25),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        dist.cast("long").alias("dist"),
     )
+    # localCheckpoint = optimizer barrier: without it the dist >= 0 filter
+    # is pushed into the join residual, which knocks the broadcast join out
+    # of whole-stage codegen (measured 3.9s vs 1.0s at sf0.1).  The
+    # materialized frame is only the candidate pairs — tiny by blocking.
+    return pairs.localCheckpoint(eager=False).filter(F.col("dist") >= 0)
 
 
 # Achlioptas-style sign matrix, fixed seed: 8 output dims x 64 input dims,
