@@ -46,6 +46,9 @@ KEYS = [
     "window_rank_lag_frame",
     "agg_count_by_key",
     "sessionize_batch",
+    "dedup_near_editdistance",
+    "agg_hll_sketch_union",
+    "timeseries_gapfill",
 ]
 
 OFFSETS = {
