@@ -318,6 +318,75 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_diff_full_outer",
+    "X29",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ), new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN round(o_totalprice * 1.1, 2)
+                    ELSE round(o_totalprice, 2) END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.price <> new.price THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n,
+           CAST(sum(coalesce(old.o_orderkey, new.o_orderkey)) AS BIGINT)
+               AS key_checksum
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    GROUP BY status ORDER BY status
+    """,
+)
+def snapshot_diff_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC-style): FULL OUTER join of two table versions on
+    the primary key, each row classified added / removed / changed /
+    unchanged, rolled up to counts + a key checksum.  The two 'versions'
+    are deterministic views of the same orders table (drop o_orderkey%10
+    from old, drop %7 from new, reprice %3), so the diff is exactly
+    reproducible.  At 100 TB both sides shuffle once on the join key — the
+    same single-shuffle co-partitioning as any equi-join, and the classify +
+    rollup is map-side after it; with bucketed snapshot layout even that
+    shuffle disappears."""
+    base = table(spark, sf_dir, "orders")
+    old = base.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k_old"),
+        F.round("o_totalprice", 2).alias("price_old"),
+    )
+    new = base.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("price_new"),
+    )
+    status = (
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("price_old") != F.col("price_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, F.col("k_old") == F.col("k_new"), "full_outer")
+        .select(
+            status.alias("status"),
+            F.coalesce("k_old", "k_new").alias("k"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        )
+        .orderBy("status")
+    )
+
+
 @register("agg_hll_sketch_union", "X28", oracle=None)  # approximate by design
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: one HLL sketch per day
