@@ -18,6 +18,7 @@ import debias_spark.queries.llm_ops3  # noqa: F401  Z1-Z3 ingestion dedup/ngrams
 import debias_spark.queries.llm_ops4  # noqa: F401  Z4-Z9 skew/q3/mode/normdedup/int8/streamdedup
 import debias_spark.queries.relational_ext4  # noqa: F401  X20-X27 TPC-H q4/q12/q14/q18/q19/q22, gapfill, bloom-prefilter
 import debias_spark.queries.llm_ops5  # noqa: F401  Z10-Z12 unigram-LM surprisal, random projection, edit-distance dedup
+import debias_spark.queries.relational_ext5  # noqa: F401  X30-X31 RFM segmentation, dwell time
 import debias_spark.queries.reference_core  # noqa: F401  A1-F3
 import debias_spark.queries.annotate_queries  # noqa: F401  F1/F2 + flagship
 import debias_spark.queries.relational_ext  # noqa: F401  H1-H6, H11-H13, H17

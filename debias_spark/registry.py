@@ -100,7 +100,7 @@ DRIVER_PRIORITY = [
     "timeseries_gapfill", "join_prefilter_hashbucket",
     "text_unigram_logprob", "embedding_random_projection",
     "dedup_near_editdistance", "agg_hll_sketch_union",
-    "snapshot_diff_full_outer",
+    "snapshot_diff_full_outer", "customer_rfm_segments", "event_dwell_time",
     # --- green CORRECTNESS_r01 row (re-proving is a bonus), cheapest first ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
     "project_path_stem", "union_record_and_tag_rows",
