@@ -84,6 +84,106 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q17_small_quantity",
+    "X32",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON pk = l_partkey
+    WHERE p_brand = 'Brand#12' AND l_quantity < half_avg_qty
+    """,
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar aggregate (each line compared to
+    ITS part's average quantity).  Decorrelated the way Catalyst would: the
+    per-part average is a groupBy joined back — and since one row per part
+    is dim-sized, BOTH joins broadcast and the fact never shuffles.  (The
+    naive correlated form re-aggregates per probe row — quadratic; the
+    decorrelated form is two linear passes.)"""
+    li = table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select(
+        "p_partkey"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(part_avg), F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_sole_late_shipper",
+    "X33",
+    oracle="""
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders
+          ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS — suppliers
+    who were the ONLY late shipper on a multi-supplier order.  Both
+    correlations run as semi/anti joins on the order key: one left-semi
+    against other-supplier lines, one left-anti against other-supplier
+    LATE lines; the late set is computed once and reused for probe and
+    anti sides.  Every join is key-partitioned — no per-row re-scan, which
+    is what the correlated subquery would naively do."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    others = l1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    sole = others.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@register(
     "event_dwell_time",
     "X31",
     oracle="""

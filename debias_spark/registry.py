@@ -101,6 +101,7 @@ DRIVER_PRIORITY = [
     "text_unigram_logprob", "embedding_random_projection",
     "dedup_near_editdistance", "agg_hll_sketch_union",
     "snapshot_diff_full_outer", "customer_rfm_segments", "event_dwell_time",
+    "tpch_q17_small_quantity", "tpch_q21_sole_late_shipper",
     # --- green CORRECTNESS_r01 row (re-proving is a bonus), cheapest first ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
     "project_path_stem", "union_record_and_tag_rows",
