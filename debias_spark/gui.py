@@ -116,26 +116,42 @@ def launch(config_path: str = "config.ini") -> int:  # pragma: no cover - needs 
             self.proc: QProcess | None = None
 
         def _save(self) -> None:
-            apply_fields({k: e.text() for k, e in self.edits.items()}).to_ini(
-                config_path
-            )
+            # unhandled exceptions in Qt slots abort the process; surface
+            # bad field values (e.g. non-numeric MAX_RETRIES) in the log
+            try:
+                apply_fields(
+                    {k: e.text() for k, e in self.edits.items()}
+                ).to_ini(config_path)
+            except (ValueError, KeyError, OSError) as exc:
+                self.log.append(f"error: {exc}")
+                return
             self.log.append(f"saved {config_path}")
 
         def _start(self) -> None:
-            self._save()
-            self.proc = QProcess(self)
-            self.proc.setProcessChannelMode(
-                QProcess.ProcessChannelMode.MergedChannels
-            )
-            self.proc.readyReadStandardOutput.connect(
-                lambda: self.log.append(
-                    bytes(self.proc.readAllStandardOutput()).decode(
-                        errors="replace"
-                    ).rstrip()
+            try:
+                self._save()
+                # don't abandon a still-running previous run
+                if (
+                    self.proc is not None
+                    and self.proc.state() != QProcess.ProcessState.NotRunning
+                ):
+                    self.log.append("already running — stop it first")
+                    return
+                self.proc = QProcess(self)
+                self.proc.setProcessChannelMode(
+                    QProcess.ProcessChannelMode.MergedChannels
                 )
-            )
-            cmd = run_command(config_path)
-            self.proc.start(cmd[0], cmd[1:])
+                self.proc.readyReadStandardOutput.connect(
+                    lambda: self.log.append(
+                        bytes(self.proc.readAllStandardOutput()).decode(
+                            errors="replace"
+                        ).rstrip()
+                    )
+                )
+                cmd = run_command(config_path)
+                self.proc.start(cmd[0], cmd[1:])
+            except Exception as exc:  # keep the Qt event loop alive
+                self.log.append(f"error: {exc}")
 
     w = Window()
     w.show()

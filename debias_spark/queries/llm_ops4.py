@@ -72,7 +72,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Z5",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue,
+           round(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0, 2) + 0.0 AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -112,7 +112,16 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
     ).agg(
         (
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            )
             + 0.0
         ).alias("revenue")
     )
@@ -272,7 +281,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Z10",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
+           round(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0, 2) + 0.0 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -324,7 +333,16 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return joined.groupBy("n_name").agg(
         (
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            )
             + 0.0
         ).alias("revenue")
     )
@@ -800,7 +818,7 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Z21",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
+           round(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0, 2) + 0.0 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -835,7 +853,16 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(F.broadcast(oc), li.l_orderkey == F.col("o_orderkey"))
     agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
         (
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            )
             + 0.0
         ).alias("revenue")
     )

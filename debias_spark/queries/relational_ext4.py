@@ -101,9 +101,11 @@ def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     "X22",
     oracle="""
     SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                             THEN l_extendedprice * (1 - l_discount)
+                             THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                             * 100 + 0.5) AS BIGINT)
                              ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4)
+                 / sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 100 + 0.5) AS BIGINT)), 4)
                AS promo_revenue_pct,
            count(*) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -114,18 +116,24 @@ def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: broadcast dim join + conditional-sum ratio.  part is
     broadcast (dim-sized), so the month of lineitem never shuffles; the
-    ratio is computed from two sums of the same single pass."""
+    ratio is computed from two sums of the same single pass.  Revenue is
+    integerized per row (floor(x*100+0.5) — pure IEEE ops, bit-identical in
+    any engine) so the sums are order-independent bigints: double sums
+    depend on partial-aggregation order and can land on opposite sides of
+    the final rounding boundary across engines."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-03-01 00:00:00'"))
         & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    promo_cents = F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias(
+            F.round(100.0 * F.sum(promo_cents) / F.sum(rev_cents), 4).alias(
                 "promo_revenue_pct"
             ),
             F.count("*").alias("n_lines"),
@@ -154,10 +162,15 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts it to ~1% before any join, so the join inputs are tiny; order of
     operations is the whole point of this plan at scale."""
     li = table(spark, sf_dir, "lineitem")
+    # filter on the RAW sum (matching the oracle's HAVING sum(l_quantity) >
+    # 260 exactly); round only in the projected column.  Filtering on the
+    # rounded value is equivalent only while l_quantity is integral, which
+    # a testdata regeneration could silently change.
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .filter(F.col("sum_qty") > 260)
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 260)
+        .select("l_orderkey", F.round(F.col("raw_qty"), 2).alias("sum_qty"))
     )
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
@@ -176,7 +189,8 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q19_disjunctive",
     "X24",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS revenue,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -202,13 +216,17 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#23") & s.between(10, 30) & q.between(10, 30))
         | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 40))
     )
+    # integer-cents revenue: per-row floor(x*100+0.5) is bit-identical
+    # across engines, and the bigint sum is order-independent — the raw
+    # double sum depends on partial-aggregation order.
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum(rev_cents) / 100.0, 2).alias("revenue"),
             F.count("*").alias("n"),
         )
     )
@@ -219,15 +237,18 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "X25",
     oracle="""
     WITH avg_bal AS (
-        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+        SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) * 1.0
+               / count(*) AS a_cents
+        FROM customer WHERE c_acctbal > 0.0
     ), recent AS (
         SELECT DISTINCT o_custkey FROM orders
         WHERE o_orderdate >= TIMESTAMP '2000-08-01'
     )
     SELECT c_nationkey, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           round(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+               AS totacctbal
     FROM customer, avg_bal
-    WHERE c_acctbal > a
+    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > a_cents
       AND c_custkey NOT IN (SELECT o_custkey FROM recent)
     GROUP BY c_nationkey
     ORDER BY c_nationkey
@@ -238,10 +259,15 @@ def tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     average is a 1-row broadcast (never a collect); the anti join's build
     side is the filtered DISTINCT custkey set.  (Adapted predicate: every
     synthetic customer has orders, so 'no order at all' would be empty —
-    'no order in the final year' keeps the anti join selective.)"""
+    'no order in the final year' keeps the anti join selective.)  Balances
+    are integerized per row (floor(x*100+0.5), bit-identical IEEE ops) so
+    both the average threshold and the group totals are order-independent
+    — a double avg() depends on partial-aggregation order, and a customer
+    sitting within one ulp of it can flip sides across engines."""
     c = table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("a")
+        (F.sum(cents) * 1.0 / F.count("*")).alias("a_cents")
     )
     recent = (
         table(spark, sf_dir, "orders")
@@ -250,13 +276,14 @@ def tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("a"))
+        c.withColumn("bal_cents", cents)
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal_cents") > F.col("a_cents"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum("bal_cents") / 100.0, 2).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )

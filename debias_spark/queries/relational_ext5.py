@@ -28,12 +28,23 @@ from debias_spark.registry import register
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS monetary_cents
         FROM orders GROUP BY o_custkey
-    ), scored AS (
-        SELECT o_custkey, last_s, frequency, monetary_cents,
-               ntile(4) OVER (ORDER BY last_s, o_custkey) AS r_score,
-               ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
-               ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+    ), cuts AS (
+        SELECT quantile_cont(last_s, [0.25, 0.5, 0.75]) AS rq,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+               quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mq
         FROM rfm
+    ), scored AS (
+        SELECT monetary_cents,
+               1 + CAST(last_s > rq[1] AS BIGINT)
+                 + CAST(last_s > rq[2] AS BIGINT)
+                 + CAST(last_s > rq[3] AS BIGINT) AS r_score,
+               1 + CAST(frequency > fq[1] AS BIGINT)
+                 + CAST(frequency > fq[2] AS BIGINT)
+                 + CAST(frequency > fq[3] AS BIGINT) AS f_score,
+               1 + CAST(monetary_cents > mq[1] AS BIGINT)
+                 + CAST(monetary_cents > mq[2] AS BIGINT)
+                 + CAST(monetary_cents > mq[3] AS BIGINT) AS m_score
+        FROM rfm, cuts
     )
     SELECT r_score, f_score, m_score,
            count(*) AS n_customers,
@@ -44,16 +55,21 @@ from debias_spark.registry import register
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary aggregate,
-    quartile-scored (ntile over deterministic total orders — ties broken on
-    the key), rolled up to segment sizes.  Plan shape: one groupBy shuffle,
-    then three ntiles sharing ONE single-partition sort (the scored frame
-    is one row per customer — small), then a map-side rollup.  At 100 TB
-    the per-customer frame is the only global sort input and it is ~1/400th
-    of the raw data; beyond that, replace ntile with approx percentile
-    cutoffs joined back (documented, not needed at this scale)."""
+    quartile-scored against exact-percentile cutoffs broadcast back, rolled
+    up to segment sizes.  Plan shape: one groupBy shuffle, one percentile
+    aggregate over the per-customer frame (map-side partial count-maps, a
+    merge — NO global sort; the previous ntile formulation funneled the
+    whole frame through a single-partition WindowExec), a 1-row broadcast
+    cross join, then a map-side rollup.  Spark's exact ``percentile`` and
+    DuckDB's ``quantile_cont`` both linearly interpolate at (n-1)*p, and on
+    bigint inputs the interpolated doubles are bit-identical (verified at
+    sf0.001/0.01), so the cutoff comparisons are engine-exact.  At true
+    100 TB scale swap ``percentile`` for ``approx_percentile`` (mergeable
+    sketch, bounded state) — that trades the cross-engine determinism this
+    oracle needs, so the exact form stays here."""
     o = table(spark, sf_dir, "orders")
     # money as integer cents: bigint sums are order-independent and
-    # engine-exact, so both the ntile ordering and the averages are
+    # engine-exact, so both the cutoff comparisons and the averages are
     # deterministic (double sums can differ in the last ulp across engines
     # and land on opposite sides of a half-cent rounding boundary).
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -62,13 +78,25 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(cents).alias("monetary_cents"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        "frequency",
+    cuts = rfm.agg(
+        F.percentile("last_s", [0.25, 0.5, 0.75]).alias("rq"),
+        F.percentile("frequency", [0.25, 0.5, 0.75]).alias("fq"),
+        F.percentile("monetary_cents", [0.25, 0.5, 0.75]).alias("mq"),
+    )
+
+    def score(v: str, q: str):
+        return (
+            F.lit(1)
+            + (F.col(v) > F.get(q, 0)).cast("long")
+            + (F.col(v) > F.get(q, 1)).cast("long")
+            + (F.col(v) > F.get(q, 2)).cast("long")
+        )
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
         "monetary_cents",
-        F.ntile(4).over(Window.orderBy("last_s", "o_custkey")).cast("long").alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).cast("long").alias("f_score"),
-        F.ntile(4).over(Window.orderBy("monetary_cents", "o_custkey")).cast("long").alias("m_score"),
+        score("last_s", "rq").alias("r_score"),
+        score("frequency", "fq").alias("f_score"),
+        score("monetary_cents", "mq").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -87,38 +115,52 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q17_small_quantity",
     "X32",
     oracle="""
-    WITH part_avg AS (
+    WITH li12 AS (
+        SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_brand = 'Brand#12')
+    ), part_avg AS (
         SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg_qty
-        FROM lineitem GROUP BY l_partkey
+        FROM li12 GROUP BY l_partkey
     )
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 / 700.0, 2) AS avg_yearly,
            count(*) AS n_lines
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    JOIN part_avg ON pk = l_partkey
-    WHERE p_brand = 'Brand#12' AND l_quantity < half_avg_qty
+    FROM li12 JOIN part_avg ON pk = l_partkey
+    WHERE l_quantity < half_avg_qty
     """,
 )
 def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar aggregate (each line compared to
-    ITS part's average quantity).  Decorrelated the way Catalyst would: the
-    per-part average is a groupBy joined back — and since one row per part
-    is dim-sized, BOTH joins broadcast and the fact never shuffles.  (The
-    naive correlated form re-aggregates per probe row — quadratic; the
-    decorrelated form is two linear passes.)"""
-    li = table(spark, sf_dir, "lineitem")
-    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    ITS part's average quantity).  Decorrelated the way Catalyst would, with
+    the reduction ordered for scale: lineitem is first semi-joined to the
+    Brand#12 part set (~1/25 of parts), the per-part average is computed
+    over only that reduced set, and the average joins back on l_partkey —
+    the partitioning from the semi join is reused by both the groupBy and
+    the join-back, so the brand's lines shuffle once.  NO forced broadcast
+    anywhere: part_avg is keyed by partkey, which scales with SF (~20 B
+    rows at 100 TB) — broadcasting it OOMs the driver at scale.  AQE picks
+    broadcast at small SF on its own.  Revenue is per-row integer cents
+    (floor(x*100+0.5)) so the sum is order-independent; /700.0 of a bigint
+    cannot land on a half-cent boundary, so the final round is engine-exact.
+    (The naive correlated form re-aggregates per probe row — quadratic; the
+    decorrelated form is two linear passes over the reduced set.)"""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p12 = table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#12"
+    ).select("p_partkey")
+    li12 = li.join(p12, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+    part_avg = li12.groupBy(F.col("l_partkey").alias("pk")).agg(
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
-    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select(
-        "p_partkey"
-    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(part_avg), F.col("pk") == F.col("l_partkey"))
+        li12.join(part_avg, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.sum(cents) / 700.0, 2).alias("avg_yearly"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -188,9 +230,14 @@ def tpch_q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     "X31",
     oracle="""
     WITH nexted AS (
+        -- ORDER BY truncates ts to µs so the tie-break matches Spark's
+        -- µs-resolution timestamps even if a testdata regeneration brings
+        -- back TIMESTAMP(NANOS) (two events distinct only below 1 µs must
+        -- pair identically in both engines)
         SELECT event_type,
                floor(epoch(lead(ts) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id)))
+                                          ORDER BY date_trunc('microseconds', ts),
+                                                   event_id)))
                    - floor(epoch(ts)) AS dwell_s
         FROM events
     )

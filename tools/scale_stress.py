@@ -77,6 +77,10 @@ def replicate(spark, k: int, out_dir: str) -> None:
                 c = c.withColumn(key, F.col(key) + F.lit(i * OFF))
             if t == "documents" and i % 2 == 1:
                 c = c.withColumn("text", F.concat("text", F.lit(f" copytag{i}")))
+                # keep n_chars consistent with the mutated text: the
+                # editdistance blocking and length-band operate on n_chars,
+                # so a stale value measures a different plan than claimed
+                c = c.withColumn("n_chars", F.length("text").cast("long"))
             parts.append(c)
         u = parts[0]
         for p in parts[1:]:
