@@ -1,10 +1,16 @@
 """Deduplication operators, Spark-first.
 
-All sketches are built from deterministic hash functions (xxhash64 with
-per-hash salts), so results are reproducible across runs and cluster sizes —
-no fitted models, no RNG state.  Everything below is pure DataFrame API:
-higher-order array functions stay inside codegen; the only shuffles are the
-band-bucket exchange and the final aggregate.
+All sketches are built from a deterministic ENGINE-PORTABLE hash: the first
+15 hex chars of md5 parsed as a 60-bit integer (``h60``), salted by string
+prefix where independent hash families are needed.  md5 exists with
+identical semantics in Spark, DuckDB, and every other engine, so the whole
+sketch pipeline — signatures, band hashes, fingerprints — can be recomputed
+bit-for-bit by the DuckDB oracle (xxhash64, the previous choice, is
+JVM-only and forced these keys to rows-only checks).  Results are
+reproducible across runs and cluster sizes — no fitted models, no RNG
+state.  Everything below is pure DataFrame API: hash expressions stay
+inside codegen; the only shuffles are the band-bucket exchange and the
+final aggregate.
 
 Scale notes (100 TB):
 * Exact dedup is a single hash aggregate on the text (or a text digest —
@@ -25,6 +31,38 @@ from pyspark.sql import functions as F
 def word_tokens(text: Column) -> Column:
     """Lowercased whitespace tokens (empty tokens dropped)."""
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def h60(x: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as a BIGINT.
+    DuckDB spells the identical value ``('0x' || substr(md5(x), 1, 15))::
+    BIGINT`` — verified bit-equal.  60 bits (not 64) keeps the parse inside
+    a signed BIGINT in every engine with no sign games."""
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
+# SQL-text form of h60 for codegen-assembled expressions (Spark dialect)
+H60_SQL = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+# MinHash permutation family: ONE md5-derived base hash per shingle, then
+# per-salt affine maps (a*base + b) mod P over the Mersenne prime P=2^31-1
+# (Carter-Wegman universal hashing).  One crypto hash per token instead of
+# num_hashes of them — measured 4.3s -> ~1s for the 32-hash signature at
+# sf0.1 — and every op is exact bigint arithmetic in ANY engine: a*base <
+# 2^31 * 2^31 so nothing overflows a signed 64-bit, and both operands are
+# non-negative so Spark's and DuckDB's % agree.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine permutations; a != 0."""
+    out = []
+    for h in range(num_hashes):
+        a = (2_654_435_761 * (h + 1)) % MINHASH_P
+        b = (40_503 * (h + 1) + 12_345) % MINHASH_P
+        assert a != 0, h
+        out.append((a, b))
+    return out
 
 
 def word_shingles(text: Column, n: int) -> Column:
@@ -48,29 +86,49 @@ def jaccard(a: Column, b: Column) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature SPEC: element h = min over shingles of
-    xxhash64(s, h).  Salting via a second hash argument gives num_hashes
-    independent permutation approximations with zero stored state.
+    (a_h * (h60(s) mod P) + b_h) mod P — one md5-derived base hash per
+    shingle, permuted by the Carter-Wegman affine family.  Everything is
+    exact integer arithmetic recomputable by the DuckDB oracle.
 
     This array-lambda form is the readable specification; the production
     path in :func:`minhash_banded` computes the identical values through
-    explode + ``min(xxhash64(s, h))`` aggregate columns, which stay inside
-    whole-stage codegen instead of interpreted higher-order lambdas
-    (measured 3x faster at sf0.1).  test_llm_ops_properties asserts the two
-    paths agree element-for-element."""
-    hashes = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(
-        hashes,
-        lambda h: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, h))),
+    explode + ``min(...)`` aggregate columns, which stay inside whole-stage
+    codegen instead of interpreted higher-order lambdas (measured 3x faster
+    at sf0.1).  test_llm_ops_properties asserts the two paths agree
+    element-for-element."""
+    def perm(a: int, b: int):
+        # PySpark's transform() reads the lambda's arity — keep it unary
+        # (closure, not default args) or it binds a 3-arg HOF lambda
+        return lambda s: ((h60(s) % F.lit(MINHASH_P)) * a + b) % F.lit(MINHASH_P)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, perm(a, b)))
+            for a, b in minhash_params(num_hashes)
+        ]
     )
 
 
 def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """Band hashes: hash of each contiguous signature slice.  Two docs
-    collide in a band iff that slice matches exactly."""
+    """Band hashes: hash of each contiguous signature slice (elements
+    comma-joined with the band id appended).  Two docs collide in a band
+    iff that slice matches exactly."""
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
     return F.transform(
         band_ids,
-        lambda b: F.xxhash64(F.slice(signature, b * rows_per_band + 1, rows_per_band), b),
+        lambda b: h60(
+            F.concat_ws(
+                ",",
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ),
+                b.cast("string"),
+            )
+        ),
     )
 
 
@@ -78,13 +136,14 @@ def minhash_banded(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, band_id, band_hash) rows from an (id, sh: array<string>) frame.
 
     Codegen formulation of minhash_signature + lsh_bands: explode the
-    shingle set, then ``min(xxhash64(s, h))`` per doc for each of the
-    ``num_hashes`` salts as flat aggregate columns — every expression is a
-    plain JVM codegen expression, no interpreted array lambdas.  The
+    shingle set, compute the md5-derived base hash ONCE per shingle, then
+    ``min((a*base + b) % P)`` per doc for each of the ``num_hashes`` affine
+    permutations as flat aggregate columns — every expression is a plain
+    JVM codegen expression, no interpreted array lambdas.  The
     explode's groupBy(id) shuffle is negligible: a doc's shingles are
     contiguous within a partition, so map-side partial aggregation
     collapses them to one row per doc before the exchange.  Band hash =
-    xxhash64 over the band's signature columns + the band id.
+    h60 over the band's comma-joined signature columns + the band id.
 
     The aggregate and band expressions are assembled as SQL text and parsed
     with one F.expr each: building them Column-by-Column costs one py4j
@@ -92,13 +151,24 @@ def minhash_banded(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     construction — measured as seconds of pure DataFrame-build time on the
     analogous simhash expression)."""
     rows_per_band = num_hashes // bands
-    ex = sh.select("id", F.explode("sh").alias("s"))
+    ex = sh.select("id", F.explode("sh").alias("s")).withColumn(
+        "base", F.expr(f"({H60_SQL.format(x='s')}) % {MINHASH_P}")
+    )
     sig = ex.groupBy("id").agg(
-        *[F.expr(f"min(xxhash64(s, {h})) AS h{h}") for h in range(num_hashes)]
+        *[
+            F.expr(f"min((base * {a} + {b}) % {MINHASH_P}) AS h{h}")
+            for h, (a, b) in enumerate(minhash_params(num_hashes))
+        ]
     )
     bands_sql = ", ".join(
-        "xxhash64({}, {})".format(
-            ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)), b
+        H60_SQL.format(
+            x="concat_ws(',', {}, '{}')".format(
+                ", ".join(
+                    f"CAST(h{b * rows_per_band + r} AS STRING)"
+                    for r in range(rows_per_band)
+                ),
+                b,
+            )
         )
         for b in range(bands)
     )
@@ -247,15 +317,19 @@ def duplicate_clusters(
     )
 
 
+SIMHASH_BITS = 60  # h60 width; blocking shifts are relative to this
+
+
 def with_simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sh): 64-bit SimHash over the distinct token set — bit b of the
-    fingerprint is the majority vote of bit b across xxhash64(token) values.
+    """(id, sh): 60-bit SimHash over the distinct token set — bit b of the
+    fingerprint is the majority vote of bit b across h60(token) values
+    (md5-derived, so the DuckDB oracle recomputes the fingerprint exactly).
     Docs with no tokens are dropped (an empty doc has no fingerprint).
 
     Codegen formulation: explode distinct tokens, aggregate per-bit vote
-    counts, then OR the majority bits back into one BIGINT.  The 64 vote
-    counters are PACKED four-per-long into 16 aggregate columns (16-bit
-    lanes), so the hash-aggregate carries 17 buffers instead of 65 —
+    counts, then OR the majority bits back into one BIGINT.  The 60 vote
+    counters are PACKED four-per-long into 15 aggregate columns (16-bit
+    lanes), so the hash-aggregate carries 16 buffers instead of 61 —
     measured ~30% faster than one column per bit and ~2x faster than the
     interpreted array-lambda equivalent at sf0.1.  Lane width bounds docs at
     65535 distinct tokens (a >0.5 MB doc; chunk first at that size).  The
@@ -263,15 +337,15 @@ def with_simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     aggregation (same shape as minhash_banded).
 
     All expressions are assembled as SQL text (one F.expr per column):
-    building the 64-term tree Column-by-Column costs one py4j round trip
+    building the 60-term tree Column-by-Column costs one py4j round trip
     per operator node, which measured as ~2 s of pure DataFrame-build time
     per query construction at the driver."""
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", F.expr(H60_SQL.format(x="t")))
     packed = [F.expr("count(*) AS n")]
-    for g in range(16):  # lane group g covers bits 4g..4g+3
+    for g in range(15):  # lane group g covers bits 4g..4g+3
         terms = " + ".join(
             f"shiftleft(CAST(shiftright(h, {g * 4 + k}) & 1 AS BIGINT), {16 * k})"
             for k in range(4)
@@ -281,7 +355,7 @@ def with_simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fp_terms = " | ".join(
         f"shiftleft(CASE WHEN (shiftright(g{g}, {16 * k}) & 65535) * 2 >= n "
         f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, {g * 4 + k})"
-        for g in range(16)
+        for g in range(15)
         for k in range(4)
     )
     return votes.select("id", F.expr(f"({fp_terms}) AS sh"))
@@ -303,7 +377,7 @@ def simhash_pairs(
     # real cluster where the corpus scan dominates, cache()/checkpoint the
     # (id, sh) frame — 16 bytes/doc — before this join instead.
     sh = with_simhash64(df, id_col, text_col)
-    sh = sh.withColumn("block", F.shiftright("sh", 64 - block_bits))
+    sh = sh.withColumn("block", F.shiftright("sh", SIMHASH_BITS - block_bits))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block")
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block")
     # shuffle_hash, not broadcast: at 100 TB the fingerprint table can't

@@ -52,13 +52,83 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rep_id", "n_copies")
 
 
-@register("dedup_minhash_lsh", "H9", oracle=None)  # rows-only: hash internals
+# DuckDB h60 spelling: identical value to operators.dedup.h60 (verified
+# bit-equal at sf0.001/0.01)
+def _h60_duck(x: str) -> str:
+    return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+_DUCK_TOKENS = (
+    "list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),"
+    " x -> x <> ''))"
+)
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 4) -> str:
+    """DuckDB replay of minhash_dedup: same base-h60 + affine-permutation
+    signatures, band hashes, bucket-representative window, and
+    exact-Jaccard verification."""
+    from debias_spark.operators.dedup import MINHASH_P, minhash_params
+
+    rpb = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(((({_h60_duck('s')}) % {MINHASH_P}) * {a} + {b}) % {MINHASH_P})"
+        f" AS h{h}"
+        for h, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band_id, {bh} AS band_hash FROM sig".format(
+            b=b,
+            bh=
+            _h60_duck(
+                "concat_ws(',', {}, '{}')".format(
+                    ", ".join(
+                        f"h{b * rpb + r}::VARCHAR" for r in range(rpb)
+                    ),
+                    b,
+                )
+            )
+        )
+        for b in range(bands)
+    )
+    jac = (
+        "round(len(list_intersect(a.sh, b.sh))::DOUBLE"
+        " / len(list_distinct(a.sh || b.sh)), 4)"
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id AS id, {_DUCK_TOKENS} AS sh FROM documents
+        WHERE len({_DUCK_TOKENS}) > 0
+    ), ex AS (
+        SELECT id, unnest(sh) AS s FROM sh
+    ), sig AS (
+        SELECT id, {sig_cols} FROM ex GROUP BY id
+    ), banded AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT id, rep_id FROM (
+            SELECT id, min(id) OVER (PARTITION BY band_id, band_hash) AS rep_id
+            FROM banded
+        ) WHERE id > rep_id
+    )
+    SELECT c.id AS id, c.rep_id AS rep_id, {jac} AS jaccard
+    FROM cand c JOIN sh a ON a.id = c.id JOIN sh b ON b.id = c.rep_id
+    WHERE {jac} >= 0.8
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    "H9",
+    oracle=_minhash_oracle(num_hashes=32, bands=4),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection: shingle -> 32-hash signature -> 4
     bands -> bucket join -> verify exact Jaccard >= 0.8 against the bucket
     representative.  Unigram shingles fit this bag-of-words corpus; n is a
-    parameter.  No SQL oracle (xxhash64 sketch internals) -> rows-only;
-    set-level properties asserted in tests."""
+    parameter.  The md5-backed h60 sketch hash is engine-portable, so the
+    DuckDB oracle replays the ENTIRE pipeline — signatures, band buckets,
+    representatives, verification — value-for-value."""
     docs = table(spark, sf_dir, "documents")
     return minhash_dedup(docs, "doc_id", "text", shingle_n=1, num_hashes=32, bands=4, threshold=0.8)
 
@@ -78,11 +148,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(ids, pairs, id_col="id", pair_cols=("id", "rep_id"))
 
 
-@register("dedup_simhash", "H9b", oracle=None)  # rows-only: hash internals
+def _simhash_oracle(max_hamming: int = 4, block_bits: int = 8) -> str:
+    """DuckDB replay of simhash_pairs: h60 per distinct token, 60 majority
+    votes, fingerprint reassembly, prefix blocking, Hamming filter."""
+    votes = ", ".join(f"sum((h >> {b}) & 1) AS v{b}" for b in range(60))
+    fp = " + ".join(
+        f"(CASE WHEN v{b} * 2 >= n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(60)
+    )
+    shift = 60 - block_bits
+    return f"""
+    WITH tok AS (
+        SELECT doc_id AS id, unnest({_DUCK_TOKENS}) AS t FROM documents
+    ), th AS (
+        SELECT id, {_h60_duck("t")} AS h FROM tok
+    ), votes AS (
+        SELECT id, count(*) AS n, {votes} FROM th GROUP BY id
+    ), fp AS (
+        SELECT id, ({fp}) AS sh FROM votes
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON (a.sh >> {shift}) = (b.sh >> {shift})
+                       AND a.id < b.id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", "H9b", oracle=_simhash_oracle(max_hamming=4, block_bits=8))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit majority fingerprint over token
-    hashes, candidates blocked on the top 8 fingerprint bits, Hamming <= 4
-    via bit_count(xor)."""
+    """SimHash near-dup pairs: 60-bit md5-backed majority fingerprint over
+    token hashes, candidates blocked on the top 8 fingerprint bits, Hamming
+    <= 4 via bit_count(xor).  The engine-portable h60 sketch hash lets the
+    DuckDB oracle recompute fingerprints, blocks, and pair distances
+    value-for-value."""
     docs = table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=4, block_bits=8)
 

@@ -84,9 +84,16 @@ def test_minhash_codegen_path_matches_spec(spark, sf_dir):
         "id", F.posexplode(minhash_signature(F.col("sh"), 8)).alias("i", "v")
     )
     # the production signature, one row per (id, element) to line up with spec
-    ex = sh.select("id", F.explode("sh").alias("s"))
+    from debias_spark.operators.dedup import MINHASH_P, h60, minhash_params
+
+    ex = sh.select("id", F.explode("sh").alias("s")).withColumn(
+        "base", h60(F.col("s")) % F.lit(MINHASH_P)
+    )
     flat = ex.groupBy("id").agg(
-        *[F.min(F.xxhash64("s", F.lit(h))).alias(f"h{h}") for h in range(8)]
+        *[
+            F.min((F.col("base") * a + b) % F.lit(MINHASH_P)).alias(f"h{h}")
+            for h, (a, b) in enumerate(minhash_params(8))
+        ]
     )
     prod = flat.select(
         "id",
@@ -113,11 +120,17 @@ def test_simhash_codegen_path_matches_spec(spark, sf_dir):
             ).alias("toks"),
         )
         .filter(F.size("toks") > 0)
-        .withColumn("th", F.transform("toks", lambda t: F.xxhash64(t)))
+        .withColumn(
+            "th",
+            F.expr(
+                "transform(toks, t -> "
+                "CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"
+            ),
+        )
         .withColumn(
             "bits",
             F.expr(
-                "transform(sequence(0,63), b -> CASE WHEN "
+                "transform(sequence(0,59), b -> CASE WHEN "
                 "size(filter(th, h -> ((h >> b) & 1) = 1)) * 2 >= size(th) "
                 "THEN 1 ELSE 0 END)"
             ),
@@ -125,7 +138,7 @@ def test_simhash_codegen_path_matches_spec(spark, sf_dir):
         .withColumn(
             "sh",
             F.expr(
-                "aggregate(zip_with(bits, sequence(0,63), "
+                "aggregate(zip_with(bits, sequence(0,59), "
                 "(bit,b) -> shiftleft(CAST(bit AS BIGINT), b)), "
                 "CAST(0 AS BIGINT), (acc,x) -> acc | x)"
             ),
@@ -296,3 +309,22 @@ def test_dedup_pipeline_survivor_invariants(spark, sf_dir):
     n_reps = reps.count()
     assert sum(r.cluster_size for r in out) == n_reps
     assert sum(r.n_exact_copies for r in out) <= docs.count()
+
+
+def test_approx_percentiles_within_rank_tolerance(spark, sf_dir):
+    """approx_percentile estimates must sit within ~2% RANK error of the
+    requested quantile per group (the sketch's contract at accuracy=100 is
+    ~1% rank error; doubled for slack on small groups)."""
+    rows = SPECS["agg_percentiles_approx"].fn(spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    for r in rows:
+        grp = li.filter(F.col("l_returnflag") == r.l_returnflag)
+        n = grp.count()
+        for col, est, q in (
+            ("l_quantity", r.p50_qty, 0.5),
+            ("l_extendedprice", r.p90_price, 0.9),
+        ):
+            rank = grp.filter(F.col(col) <= est).count() / n
+            assert abs(rank - q) <= 0.02 + 1.0 / n, (
+                r.l_returnflag, col, est, rank, q
+            )
