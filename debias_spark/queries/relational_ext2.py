@@ -144,6 +144,21 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_percentiles_approx", "X4b", oracle=None)  # rows-only: sketch
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL/GK sketch): the 100 TB percentile path paired
+    with agg_percentiles — mergeable bounded-state sketches with map-side
+    partials, instead of the exact form's per-group value-count map.  The
+    sketch estimate is engine-specific, so no SQL oracle (rows-only);
+    tests assert each estimate's RANK error against the exact distribution
+    (the sketch's actual contract: accuracy=100 ~ 1% rank error)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 100)").alias("p50_qty"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 100)").alias("p90_price"),
+    )
+
+
 @register(
     "agg_argmin_argmax",
     "X5",
