@@ -231,6 +231,7 @@ def duplicate_clusters(
     id_col: str = "id",
     pair_cols: tuple[str, str] = ("id", "rep_id"),
     max_iter: int = 10,
+    check_every: int = 1,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every doc gets the
     min doc-id of its component as cluster_id — the dedup endgame (pairs ->
@@ -267,7 +268,7 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
@@ -305,10 +306,16 @@ def duplicate_clusters(
             )
             .localCheckpoint(eager=True)  # truncate lineage each round
         )
-        changed = new_labels.filter("_chg").count()
         labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
+        # convergence check is a driver-synchronized job; with pointer
+        # jumping rounds are O(log d), so checking every round spends as
+        # many jobs on checks as on work.  check_every=N trades at most
+        # N-1 wasted (cheap, checkpoint-scan) rounds for 1/N the check
+        # jobs; max_iter alone bounds unattended 100 TB runs (set
+        # check_every > max_iter for the no-sync mode).
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            if new_labels.filter("_chg").count() == 0:
+                break
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias(id_col),

@@ -95,6 +95,9 @@ DRIVER_PRIORITY = [
     "tpch_q20_dominant_supplier", "tpch_q16_supplier_count",
     "tpch_q2_min_cost_supplier", "tpch_q7_nation_trade",
     "tpch_q9_product_profit", "tpch_q8_market_share",
+    # --- block 2c: round-3 analytics wave (X50-X53); 49 of 50 ---
+    "docs_quality_filterchain", "user_path_transitions",
+    "events_anomaly_mad", "orders_market_basket",
     # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
     # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",

@@ -33,6 +33,10 @@ REPRESENTATIVE = [
     ("timeseries_gapfill", "dense grid from a 1-row aggregate broadcast onto sparse counts"),
     ("text_unigram_logprob", "count-bounded vocab broadcast; explode -> hash lookup -> one doc_id shuffle"),
     ("embedding_random_projection", "literal JL matrix: one narrow codegen projection, no shuffle"),
+    ("customer_rfm_segments", "percentile cutoffs broadcast back - no global window sort (round-3 de-weak)"),
+    ("tpch_q17_small_quantity", "semi-join reduction first; no forced broadcast of the part-keyed aggregate (round-3 de-weak)"),
+    ("tpch_q2_min_cost_supplier", "filter-first offer aggregate; decorrelated per-part min joined back"),
+    ("tpch_q13_order_distribution", "orders aggregated before the customer outer join - both sides share the custkey partitioning"),
 ]
 
 
