@@ -21,6 +21,7 @@ import debias_spark.queries.llm_ops5  # noqa: F401  Z10-Z12 unigram-LM surprisal
 import debias_spark.queries.relational_ext5  # noqa: F401  X30-X31 RFM segmentation, dwell time
 import debias_spark.queries.relational_ext6  # noqa: F401  X40-X48 TPC-H completion q2/q7/q8/q9/q11/q13/q15/q16/q20
 import debias_spark.queries.relational_ext7  # noqa: F401  X50-X53 MAD outliers, path transitions, market basket, quality chain
+import debias_spark.queries.relational_ext8  # noqa: F401  X54-X56 basket lift, cross-doc ngram dup, dup-rate monitor
 import debias_spark.queries.reference_core  # noqa: F401  A1-F3
 import debias_spark.queries.annotate_queries  # noqa: F401  F1/F2 + flagship
 import debias_spark.queries.relational_ext  # noqa: F401  H1-H6, H11-H13, H17

@@ -1,0 +1,192 @@
+"""Eighth relational wave (X54-X56): association-rule metrics, cross-doc
+n-gram duplication, and the dedup-rate monitoring metric.
+
+These extend the LLM-pipeline story: X55 is the exact-substring stage of
+corpus dedup (the paragraph/sequence-level complement to the document-level
+MinHash/SimHash family), X56 is the operational metric a dedup pipeline
+reports per ingestion source, X54 rounds out orders_market_basket with the
+confidence/lift association measures.  All integer or exact-ratio
+arithmetic; all DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.registry import register
+
+
+@register(
+    "orders_basket_lift",
+    "X54",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+        SELECT count(DISTINCT l_orderkey) AS n FROM items
+    ), item_n AS (
+        SELECT l_partkey, count(*) AS n_item FROM items GROUP BY l_partkey
+    ), pair_n AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_pair
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, n_pair,
+           round(n_pair * 1.0 / ia.n_item, 4) AS confidence_a_to_b,
+           round(n_pair * 1.0 * (SELECT n FROM n_orders)
+                 / (ia.n_item * ib.n_item), 4) AS lift
+    FROM pair_n
+    JOIN item_n ia ON ia.l_partkey = part_a
+    JOIN item_n ib ON ib.l_partkey = part_b
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the basket pairs: support count, confidence
+    P(b|a), and lift P(ab)/(P(a)P(b)) for pairs in >= 3 orders, top 50 by
+    lift.  Plan shape: the pair self-join is orderkey-bounded (basket^2 per
+    order, linear overall); the item-frequency side is a second aggregate
+    over the same distinct frame joined back — partkey-keyed, so at scale
+    it shuffles once and never broadcasts a fact-scaled table by force.
+    All ratios divide exact bigint counts (single fp op per output value,
+    engine-deterministic); ties in lift break on the part keys."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item_n = items.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b")
+    )
+    pair_n = (
+        a.join(
+            b, (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b"))
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ia = item_n.select(
+        F.col("l_partkey").alias("ka"), F.col("n_item").alias("n_a")
+    )
+    ib = item_n.select(
+        F.col("l_partkey").alias("kb"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair_n.join(ia, F.col("ka") == F.col("part_a"))
+        .join(ib, F.col("kb") == F.col("part_b"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(F.col("n_pair") * 1.0 / F.col("n_a"), 4).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("n_pair") * 1.0 * F.col("n") / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@register(
+    "text_crossdoc_ngram_dup",
+    "X55",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(t[i:i+7], ' ')
+                           FOR i IN range(1, greatest(len(t) - 6, 0) + 1)])
+                       AS gram
+            FROM toks
+        )
+    )
+    SELECT gram, count(*) AS n_docs
+    FROM grams GROUP BY gram HAVING count(*) >= 2
+    ORDER BY n_docs DESC, gram
+    LIMIT 50
+    """,
+)
+def text_crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-sequence duplication: 8-token windows appearing
+    in >= 2 distinct documents, top 50 — the exact-substring stage of
+    corpus dedup (sequence-level complement to the document-level
+    MinHash/SimHash keys; at 100 TB the gram column is replaced by its
+    16-byte md5 so the shuffle never carries text, same discipline as
+    text_fingerprint).  Plan shape: per-row window explode + distinct +
+    count — the exploded rows combine map-side (a doc's grams are
+    partition-contiguous), so the exchange carries one row per distinct
+    (doc, gram)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - F.lit(6), F.lit(0))
+    )
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, 8), " ")
+    )
+    return (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "gram")
+        .limit(50)
+    )
+
+
+@register(
+    "docs_dup_rate_by_source",
+    "X56",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT text) AS n_distinct,
+           round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4)
+               AS exact_dup_rate
+    FROM documents GROUP BY source
+    ORDER BY source
+    """,
+)
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's per-source health metric: exact-duplicate rate
+    by ingestion source (1 - distinct/total).  The distinct-count runs on
+    the text itself at this SF; at 100 TB substitute md5(text) for the
+    distinct key (16-byte shuffle) or approx_count_distinct for a
+    sketch — the monitoring contract tolerates approximation.  Exact
+    integer counts; the rate is one fp division of exact ints."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct"),
+            F.round(
+                1.0 - F.countDistinct("text") * 1.0 / F.count("*"), 4
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )

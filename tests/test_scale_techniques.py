@@ -59,6 +59,11 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # an aggregate keyed on the bucket column reuses the layout too:
+        # no Exchange before the final aggregate
+        agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity"))
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, "bucketed groupBy must not shuffle"
         # and it is still correct
         n = joined.count()
         plain = table(spark, sf_dir, "orders").join(
