@@ -67,13 +67,21 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 def word_shingles(text: Column, n: int) -> Column:
     """Distinct n-word shingles; n=1 degenerates to the distinct token set
-    (appropriate for bag-of-words corpora where sequence is uninformative)."""
+    (appropriate for bag-of-words corpora where sequence is uninformative).
+
+    Documents with fewer than n tokens yield an EMPTY array: the guard
+    matters because ``sequence(1, 0)`` counts DOWN in Spark — without it a
+    short document would emit truncated shingles (and slice at index 0
+    errors under ANSI)."""
     toks = word_tokens(text)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
-    return F.array_distinct(
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    shingled = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
     )
 
 
