@@ -215,3 +215,42 @@ def test_rfm_has_no_global_window(spark, sf_dir):
     df = q("customer_rfm_segments", spark, sf_dir)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in phys, phys
+
+
+def test_q13_aggregates_orders_before_outer_join(spark, sf_dir):
+    """Q13 must aggregate orders per custkey BEFORE the customer left join
+    - the outer join's right side is one row per customer, not raw
+    orders; both sides then share the custkey partitioning."""
+    df = q("tpch_q13_order_distribution", spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    join_pos = phys.find("Join")
+    # the per-custkey aggregate must appear BELOW (after, in tree print)
+    # the outer join operator
+    agg_positions = [m.start() for m in re.finditer("HashAggregate", phys)]
+    assert join_pos >= 0 and any(p > join_pos for p in agg_positions), phys
+
+
+def test_market_basket_join_is_keyed_not_cross(spark, sf_dir):
+    """The basket pair generation must be an equi-join on the order key
+    (basket-bounded), never a cross/nested-loop join over parts."""
+    df = q("orders_market_basket", spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastNestedLoopJoin" not in phys, phys
+
+
+def test_crossdoc_ngram_uses_single_window_spec(spark, sf_dir):
+    """All 7 lead() columns of the gram builder must share ONE WindowExec
+    (one doc_id shuffle + sort), not one per lead."""
+    df = q("text_crossdoc_ngram_dup", spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Window") <= 2, phys  # Window node prints once per exec
+
+
+def test_anomaly_mad_has_no_window(spark, sf_dir):
+    """Median/MAD come from grouped percentile AGGREGATES broadcast back -
+    no per-group window sorts anywhere in the plan."""
+    df = q("events_anomaly_mad", spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in phys, phys
