@@ -1,11 +1,14 @@
-"""Eighth relational wave (X54-X56): association-rule metrics, cross-doc
-n-gram duplication, and the dedup-rate monitoring metric.
+"""Eighth relational wave (X54-X57): association-rule metrics, cross-doc
+n-gram duplication, the dedup-rate monitoring metric, and sketch-accuracy
+instrumentation.
 
 These extend the LLM-pipeline story: X55 is the exact-substring stage of
 corpus dedup (the paragraph/sequence-level complement to the document-level
 MinHash/SimHash family), X56 is the operational metric a dedup pipeline
 reports per ingestion source, X54 rounds out orders_market_basket with the
-confidence/lift association measures.  All integer or exact-ratio
+confidence/lift association measures, and X57 measures the MinHash
+estimate's error against exact Jaccard over the real candidate set — the
+pre-flight check for a sketch config.  All integer or exact-ratio
 arithmetic; all DuckDB-oracled.
 """
 
@@ -203,4 +206,145 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_dup_rate"),
         )
         .orderBy("source")
+    )
+
+
+def _minhash_acc_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB replay of dedup_minhash_est_vs_exact: same signatures and
+    candidate buckets as _minhash_oracle, then per-pair |estimate - exact|
+    integerized to micro-units before aggregation."""
+    from debias_spark.operators.dedup import MINHASH_P, minhash_params
+    from debias_spark.queries.llm_ops import _DUCK_TOKENS, _h60_duck
+
+    rpb = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(((({_h60_duck('s')}) % {MINHASH_P}) * {a} + {b}) % {MINHASH_P})"
+        f" AS h{h}"
+        for h, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band_id, {bh} AS band_hash FROM sig".format(
+            b=b,
+            bh=_h60_duck(
+                "concat_ws(',', {}, '{}')".format(
+                    ", ".join(f"h{b * rpb + r}::VARCHAR" for r in range(rpb)), b
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.h{h} = b.h{h} THEN 1 ELSE 0 END" for h in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id AS id, {_DUCK_TOKENS} AS sh FROM documents
+        WHERE len({_DUCK_TOKENS}) > 0
+    ), ex AS (
+        SELECT id, unnest(sh) AS s FROM sh
+    ), sig AS (
+        SELECT id, {sig_cols} FROM ex GROUP BY id
+    ), banded AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT id, rep_id FROM (
+            SELECT id, min(id) OVER (PARTITION BY band_id, band_hash) AS rep_id
+            FROM banded
+        ) WHERE id > rep_id
+    ), scored AS (
+        SELECT CAST(floor(abs(
+                   ({matches}) * 1.0 / {num_hashes}
+                   - len(list_intersect(x.sh, y.sh)) * 1.0
+                     / len(list_distinct(x.sh || y.sh))
+               ) * 1000000 + 0.5) AS BIGINT) AS err_micro
+        FROM cand c
+        JOIN sig a ON a.id = c.id
+        JOIN sig b ON b.id = c.rep_id
+        JOIN sh x ON x.id = c.id
+        JOIN sh y ON y.id = c.rep_id
+    )
+    SELECT count(*) AS n_pairs,
+           round(sum(err_micro) / 1000000.0 / count(*), 4) + 0.0
+               AS avg_abs_err,
+           round(max(err_micro) / 1000000.0, 4) + 0.0 AS max_abs_err
+    FROM scored
+    """
+
+
+@register(
+    "dedup_minhash_est_vs_exact",
+    "X57",
+    oracle=_minhash_acc_oracle(num_hashes=16, bands=4),
+)
+def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy instrumentation: over the LSH candidate pairs, the
+    MinHash ESTIMATE of Jaccard (fraction of agreeing signature slots) vs
+    the EXACT shingle Jaccard, reported as average and max absolute error.
+    This is the query a pipeline owner runs before trusting a sketch
+    config at 100 TB — E[avg_abs_err] ~ 1/sqrt(num_hashes) ~ 0.25 at 16
+    hashes — and because the h60/affine sketch is engine-portable, even
+    THIS diagnostic is value-checked against DuckDB end-to-end.  Per-pair
+    errors are integerized (floor(x*1e6+0.5) micro-units, bit-identical
+    IEEE ops on exact rational inputs) so the averages are
+    order-independent."""
+    from debias_spark.operators.dedup import (
+        MINHASH_P,
+        h60,
+        jaccard,
+        minhash_banded,
+        minhash_params,
+        word_shingles,
+    )
+    from pyspark.sql.window import Window
+
+    num_hashes, bands = 16, 4
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ex = sh.select("id", F.explode("sh").alias("s")).withColumn(
+        "base", h60(F.col("s")) % F.lit(MINHASH_P)
+    )
+    sig = ex.groupBy("id").agg(
+        *[
+            F.min((F.col("base") * a + b) % F.lit(MINHASH_P)).alias(f"h{h}")
+            for h, (a, b) in enumerate(minhash_params(num_hashes))
+        ]
+    )
+    banded = minhash_banded(sh, num_hashes, bands)
+    w = Window.partitionBy("band_id", "band_hash")
+    cand = (
+        banded.withColumn("rep_id", F.min("id").over(w))
+        .filter(F.col("id") > F.col("rep_id"))
+        .select("id", "rep_id")
+        .dropDuplicates(["id", "rep_id"])
+    )
+    sa = sig.select(
+        F.col("id").alias("ia"), *[F.col(f"h{h}").alias(f"a{h}") for h in range(num_hashes)]
+    )
+    sb = sig.select(
+        F.col("id").alias("ib"), *[F.col(f"h{h}").alias(f"b{h}") for h in range(num_hashes)]
+    )
+    xa = sh.select(F.col("id").alias("xa"), F.col("sh").alias("sh_a"))
+    xb = sh.select(F.col("id").alias("xb"), F.col("sh").alias("sh_b"))
+    matches = sum(
+        (F.col(f"a{h}") == F.col(f"b{h}")).cast("int") for h in range(num_hashes)
+    )
+    est = matches * 1.0 / num_hashes
+    err_micro = F.floor(
+        F.abs(est - jaccard(F.col("sh_a"), F.col("sh_b"))) * 1000000 + 0.5
+    ).cast("long")
+    scored = (
+        cand.join(sa, F.col("ia") == F.col("id"))
+        .join(sb, F.col("ib") == F.col("rep_id"))
+        .join(xa, F.col("xa") == F.col("id"))
+        .join(xb, F.col("xb") == F.col("rep_id"))
+        .select(err_micro.alias("err_micro"))
+    )
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        (F.round(F.sum("err_micro") / 1000000.0 / F.count("*"), 4) + 0.0).alias(
+            "avg_abs_err"
+        ),
+        (F.round(F.max("err_micro") / 1000000.0, 4) + 0.0).alias("max_abs_err"),
     )

@@ -101,7 +101,7 @@ DRIVER_PRIORITY = [
     # --- block 2d: round-3 late wave (X54-X56) — the first fills window
     # slot 50; the rest queue for the round-4 window ---
     "docs_dup_rate_by_source", "text_crossdoc_ngram_dup",
-    "orders_basket_lift",
+    "orders_basket_lift", "dedup_minhash_est_vs_exact",
     # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
     # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
