@@ -64,10 +64,11 @@ _DUCK_TOKENS = (
 )
 
 
-def _minhash_oracle(num_hashes: int = 32, bands: int = 4) -> str:
-    """DuckDB replay of minhash_dedup: same base-h60 + affine-permutation
-    signatures, band hashes, bucket-representative window, and
-    exact-Jaccard verification."""
+def _minhash_ctes(num_hashes: int = 32, bands: int = 4) -> tuple[str, str]:
+    """(cte_chain, jaccard_expr) for the DuckDB replay of minhash_dedup:
+    same base-h60 + affine-permutation signatures, band hashes, and
+    bucket-representative window.  Shared by the pair oracle and the
+    recursive-closure cluster oracle."""
     from debias_spark.operators.dedup import MINHASH_P, minhash_params
 
     rpb = num_hashes // bands
@@ -95,8 +96,7 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 4) -> str:
         "round(len(list_intersect(a.sh, b.sh))::DOUBLE"
         " / len(list_distinct(a.sh || b.sh)), 4)"
     )
-    return f"""
-    WITH sh AS (
+    ctes = f"""sh AS (
         SELECT doc_id AS id, {_DUCK_TOKENS} AS sh FROM documents
         WHERE len({_DUCK_TOKENS}) > 0
     ), ex AS (
@@ -110,10 +110,49 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 4) -> str:
             SELECT id, min(id) OVER (PARTITION BY band_id, band_hash) AS rep_id
             FROM banded
         ) WHERE id > rep_id
-    )
+    )"""
+    return ctes, jac
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 4) -> str:
+    """DuckDB replay of minhash_dedup, value-for-value: pair output with
+    exact-Jaccard verification against the bucket representative."""
+    ctes, jac = _minhash_ctes(num_hashes, bands)
+    return f"""
+    WITH {ctes}
     SELECT c.id AS id, c.rep_id AS rep_id, {jac} AS jaccard
     FROM cand c JOIN sh a ON a.id = c.id JOIN sh b ON b.id = c.rep_id
     WHERE {jac} >= 0.8
+    """
+
+
+def _clusters_oracle(num_hashes: int = 32, bands: int = 4) -> str:
+    """DuckDB replay of duplicate_clusters: the minhash pair CTEs feed a
+    WITH RECURSIVE transitive closure (every node collects all reachable
+    ids; its cluster label is the minimum).  SQL-expressible after all —
+    recursion lives in the oracle, iteration (pointer-jumping min-label
+    propagation) in the engine; both compute the same fixpoint."""
+    ctes, jac = _minhash_ctes(num_hashes, bands)
+    return f"""
+    WITH RECURSIVE {ctes}, verified AS (
+        SELECT c.id AS id, c.rep_id AS rep_id
+        FROM cand c JOIN sh a ON a.id = c.id JOIN sh b ON b.id = c.rep_id
+        WHERE {jac} >= 0.8
+    ), edges AS (
+        SELECT id AS src, rep_id AS dst FROM verified
+        UNION
+        SELECT rep_id AS src, id AS dst FROM verified
+    ), reach(node, r) AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+    ), labeled AS (
+        SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+    )
+    SELECT l.id AS id, l.cluster_id AS cluster_id, s.cluster_size AS cluster_size
+    FROM labeled l JOIN sizes s USING (cluster_id)
     """
 
 
@@ -133,13 +172,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, "doc_id", "text", shingle_n=1, num_hashes=32, bands=4, threshold=0.8)
 
 
-@register("dedup_clusters", "H9e", oracle=None, bench=False)  # rows-only: iterative
+@register("dedup_clusters", "H9e", oracle=_clusters_oracle(), bench=False)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the MinHash near-dup
-    pair graph (min-label propagation, driver-controlled iteration with
-    lineage checkpoints).  The full dedup endgame — from pairs to 'keep
-    doc_id == cluster_id' — and the registry's representative of iterative
-    algorithms.  Recursive -> no SQL oracle; invariants in tests."""
+    pair graph (min-label propagation with pointer jumping,
+    driver-controlled iteration with lineage checkpoints).  The full dedup
+    endgame — from pairs to 'keep doc_id == cluster_id' — and the
+    registry's representative of iterative algorithms.  The DuckDB oracle
+    replays the pair pipeline and closes the graph with WITH RECURSIVE, so
+    the component labels are hash-matched, not just row-counted."""
     from debias_spark.operators.dedup import duplicate_clusters
 
     docs = table(spark, sf_dir, "documents")
@@ -276,12 +317,47 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5)
 
 
-@register("similarity_ann_lsh", "H8b", oracle=None)  # rows-only: approximate
+def _ann_lsh_oracle(n_planes: int = 4, dim: int = 64, k: int = 3) -> str:
+    """DuckDB replay of ann_cosine_topk.  The hyperplanes are seeded and
+    rounded to 6 dp, so they are embedded as DOUBLE[] literals; bucket bit
+    p = sign(v . plane_p) recomputed with list_dot_product.  'Approximate'
+    means approximate vs the exact top-k — the LSH output itself is a
+    deterministic function of (data, seed) and therefore oracle-checkable."""
+    planes = similarity.hyperplanes(n_planes, dim)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{}]::DOUBLE[]) > 0"
+        " THEN {} ELSE 0 END)".format(
+            ",".join(repr(c) for c in plane), 1 << p
+        )
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+        SELECT vec_id, v, ({bucket}) AS bucket FROM e
+    ), s AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+               round(list_cosine_similarity(p.v, c.v), 4) AS sim
+        FROM b p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10
+    )
+    SELECT query_id, cand_id, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, cand_id) AS rn
+        FROM s
+    ) WHERE rn <= {k}
+    """
+
+
+@register("similarity_ann_lsh", "H8b", oracle=_ann_lsh_oracle(4, 64, 3))
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k: sign-LSH over 4 fixed random
     hyperplanes; probes score only their own bucket (~2^4 fewer pairs).
-    Approximate by construction -> rows-only; recall vs the exact baseline
-    is asserted in tests."""
+    Approximate vs the exact baseline (recall asserted in tests), but a
+    deterministic function of (data, seed) — the DuckDB oracle recomputes
+    buckets from the same literal hyperplanes and hash-matches the
+    output."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.ann_cosine_topk(emb, F.col("vec_id") < 10, k=3, n_planes=4, dim=64)
 

@@ -102,6 +102,10 @@ DRIVER_PRIORITY = [
     # slot 50; the rest queue for the round-4 window ---
     "docs_dup_rate_by_source", "text_crossdoc_ngram_dup",
     "orders_basket_lift", "dedup_minhash_est_vs_exact",
+    # --- block 2e: rows-only keys upgraded to DuckDB oracles late in
+    # round 3 (recursive-CTE closure / literal-hyperplane replay); already
+    # rows-only-evidenced, so they queue behind the never-evidenced keys ---
+    "dedup_clusters", "similarity_ann_lsh",
     # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
     # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
@@ -137,8 +141,8 @@ DRIVER_PRIORITY = [
     "text_repetition_ratio", "dedup_within_time_window",
     "udtf_tokenize_positions", "sample_cap_per_source",
     "multimodal_dedup_binary", "agg_mode_per_group", "unpivot_metrics",
-    "agg_approx_distinct", "similarity_ann_lsh", "similarity_ann_ivf",
-    "dedup_ngram_jaccard", "dedup_minhash_mllib", "dedup_clusters",
+    "agg_approx_distinct", "similarity_ann_ivf",
+    "dedup_ngram_jaccard", "dedup_minhash_mllib",
     "stream_session_window", "stream_stateful_user_counts",
 ]
 
