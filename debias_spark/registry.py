@@ -106,6 +106,15 @@ DRIVER_PRIORITY = [
     # round 3 (recursive-CTE closure / literal-hyperplane replay); already
     # rows-only-evidenced, so they queue behind the never-evidenced keys ---
     "dedup_clusters", "similarity_ann_lsh",
+    # --- block 2f: round-3 warehouse/data-eng wave (X58-X66) — queued for
+    # the round-4 driver window behind the earlier unproven keys ---
+    "scd2_user_status", "docs_compaction_plan", "zorder_cluster_key",
+    "events_rolling_dau7", "orders_pareto_share", "regr_price_vs_quantity",
+    "abtest_conversion_ztest", "docs_token_budget_curve",
+    "dedup_lsh_bucket_stats", "orders_copurchase_triangles",
+    "text_ngram_novelty_curve", "orders_equidepth_histogram",
+    "multimodal_batch_manifest", "events_seasonality_profile",
+    "embedding_dim_stats",
     # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
     # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",

@@ -11,6 +11,7 @@ from debias_spark.plans import (
     assert_join_strategy,
     assert_max_exchanges,
     count_nodes,
+    executed_plan,
     join_strategies,
 )
 from debias_spark.registry import load_all_queries
@@ -254,3 +255,129 @@ def test_anomaly_mad_has_no_window(spark, sf_dir):
     df = q("events_anomaly_mad", spark, sf_dir)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in phys, phys
+
+
+# --- round-3 warehouse wave (X58-X66) ---------------------------------------
+
+
+def test_scd2_single_user_shuffle(spark, sf_dir):
+    """The lag window, the running island-id sum, the island rollup, and
+    the valid_to lead must all reuse ONE user_id hash partitioning: the
+    rollup keys (user_id, event_type, grp) and the second window's
+    partition (user_id) are both satisfied by HashPartitioning(user_id),
+    so the whole SCD2 build is a single shuffle."""
+    assert_max_exchanges(q("scd2_user_status", spark, sf_dir), 1)
+
+
+def test_compaction_plan_single_shuffle_one_window(spark, sf_dir):
+    df = q("docs_compaction_plan", spark, sf_dir)
+    assert_max_exchanges(df, 1)
+    phys = executed_plan(df)
+    assert phys.count("Window") == 1, phys
+
+
+def test_zorder_key_no_shuffle(spark, sf_dir):
+    """Morton-key computation is pure per-row bit arithmetic: zero
+    exchanges, zero joins — one codegen'd scan-project stage."""
+    df = q("zorder_cluster_key", spark, sf_dir)
+    assert_max_exchanges(df, 0)
+    assert join_strategies(df) == []
+
+
+def test_rolling_dau_no_nested_loop(spark, sf_dir):
+    """The 7-day fanout must stay an explode + equi-join shape — never a
+    range/cross join between days and users."""
+    df = q("events_rolling_dau7", spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins, joins
+
+
+def test_pareto_cumsum_is_bucketed(spark, sf_dir):
+    """The running revenue total must come from the bucketed prefix-sum:
+    a WindowExec PARTITIONED BY the range-bucket id over the per-customer
+    frame.  Single-partition windows may appear only over the <=16-row
+    bucket-offsets frame; the per-customer frame itself must never flow
+    through an unpartitioned WindowExec — asserted by requiring the
+    bucket-partitioned window to exist and the big-frame aggregate to
+    feed it."""
+    df = q("orders_pareto_share", spark, sf_dir)
+    phys = executed_plan(df)
+    assert ", [_b#" in phys, phys  # bucket-partitioned window spec
+
+
+def test_regr_broadcasts_part_dim(spark, sf_dir):
+    df = q("regr_price_vs_quantity", spark, sf_dir)
+    assert join_strategies(df) == ["BroadcastHashJoin"]
+    n = count_nodes(df, "HashAggregate")
+    assert n >= 2 and n % 2 == 0, n  # map-side partial moment sums
+
+
+def test_ztest_bounded_exchanges(spark, sf_dir):
+    """(v, user, day) aggregate -> per-variant rollup -> 2-row pivot:
+    three aggregate levels, at most three shuffles, no window, no join."""
+    df = q("abtest_conversion_ztest", spark, sf_dir)
+    assert_max_exchanges(df, 3)
+    phys = executed_plan(df)
+    assert "WindowExec" not in phys and join_strategies(df) == []
+
+
+def test_token_budget_single_shuffle_one_window(spark, sf_dir):
+    df = q("docs_token_budget_curve", spark, sf_dir)
+    assert_max_exchanges(df, 1)
+    phys = executed_plan(df)
+    assert phys.count("Window") == 1, phys
+
+
+def test_lsh_bucket_stats_no_extra_shuffle(spark, sf_dir):
+    """The histogram adds one rollup on (band_id, bucket_size) atop the
+    minhash banding pipeline (explode -> per-doc signature aggregate ->
+    band bucket-size aggregate): three shuffles total, no joins."""
+    df = q("dedup_lsh_bucket_stats", spark, sf_dir)
+    assert_max_exchanges(df, 3)
+    assert join_strategies(df) == []
+
+
+def test_triangles_no_cartesian(spark, sf_dir):
+    """Pair generation is basket-bounded (equi-join on the order key) and
+    the wedge/close joins are equi-joins on part keys — a cross join
+    anywhere means the support pruning got lost."""
+    df = q("orders_copurchase_triangles", spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins, joins
+
+
+def test_equidepth_histogram_no_window(spark, sf_dir):
+    """Decile cutoffs come from ONE percentile aggregate broadcast back —
+    never an ntile/global-sort window."""
+    df = q("orders_equidepth_histogram", spark, sf_dir)
+    assert "WindowExec" not in executed_plan(df)
+
+
+def test_ngram_novelty_shares_gram_partitioning(spark, sf_dir):
+    """Explode -> gram aggregate -> join-back on gram -> doc aggregate:
+    the join's both sides hash-partition on gram, so the whole query is
+    at most three shuffles (gram agg, join side, doc agg)."""
+    assert_max_exchanges(q("text_ngram_novelty_curve", spark, sf_dir), 3)
+
+
+def test_batch_manifest_single_shuffle_one_window(spark, sf_dir):
+    df = q("multimodal_batch_manifest", spark, sf_dir)
+    assert_max_exchanges(df, 1)
+    assert executed_plan(df).count("Window") == 1
+
+
+def test_seasonality_broadcasts_total(spark, sf_dir):
+    """The grand total joins in as a broadcast 1-row frame; the events
+    scan shuffles once for the (dow, hour) rollup."""
+    df = q("events_seasonality_profile", spark, sf_dir)
+    joins = join_strategies(df)
+    assert all(j in ("BroadcastHashJoin", "BroadcastNestedLoopJoin") for j in joins), joins
+
+
+def test_embedding_dim_stats_single_shuffle(spark, sf_dir):
+    """posexplode + 64-group moment aggregate: map-side partials collapse
+    each task to 64 rows before the one exchange."""
+    df = q("embedding_dim_stats", spark, sf_dir)
+    assert_max_exchanges(df, 1)
+    n = count_nodes(df, "HashAggregate")
+    assert n >= 2 and n % 2 == 0, n

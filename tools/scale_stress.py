@@ -49,6 +49,12 @@ KEYS = [
     "dedup_near_editdistance",
     "agg_hll_sketch_union",
     "timeseries_gapfill",
+    # round-3 warehouse wave: the two keys whose whole POINT is scale
+    # behavior (bucketed global cumsum; single-shuffle SCD2) plus the
+    # support-pruned triangle join (the one cubic-risk shape)
+    "orders_pareto_share",
+    "scd2_user_status",
+    "orders_copurchase_triangles",
 ]
 
 OFFSETS = {
