@@ -72,10 +72,26 @@ def word_shingles(text: Column, n: int) -> Column:
     Documents with fewer than n tokens yield an EMPTY array: the guard
     matters because ``sequence(1, 0)`` counts DOWN in Spark — without it a
     short document would emit truncated shingles (and slice at index 0
-    errors under ANSI)."""
+    errors under ANSI).
+
+    n=2 takes a single-pass ``zip_with`` of the two offset slices instead
+    of the generic transform: the generic form materializes one O(n)
+    slice PER POSITION inside the HOF interpreter, which measured 4.8 s
+    vs 0.85 s for the full novelty-curve query at sf0.1.  Same values
+    (the oracle hash-match is the regression test)."""
     toks = word_tokens(text)
     if n == 1:
         return F.array_distinct(toks)
+    if n == 2:
+        m = F.greatest(F.size(toks) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        return F.when(F.size(toks) >= 2, F.array_distinct(pairs)).otherwise(
+            F.array().cast("array<string>")
+        )
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
     shingled = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))

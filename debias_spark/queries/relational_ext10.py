@@ -167,3 +167,72 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.crossJoin(F.broadcast(total))
         .selectExpr("dow", "hour", "n", "(n * 10000) div _total AS share_bp")
     )
+
+
+_MERGE_KEY_OFFSET = 100_000_000  # synthetic insert keys, collision-free
+
+
+@register(
+    "merge_upsert_snapshot",
+    "X73",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), changes AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS cents
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + {_MERGE_KEY_OFFSET} AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT coalesce(c.k, b.k) AS o_orderkey,
+           coalesce(c.cents, b.cents) AS cents,
+           CASE WHEN b.k IS NULL THEN 'insert'
+                WHEN c.k IS NULL THEN 'keep'
+                ELSE 'update' END AS op
+    FROM base b FULL OUTER JOIN changes c ON c.k = b.k
+    """,
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE (upsert) semantics: apply a CDC change batch to a
+    snapshot with change-wins resolution, tagging every output row
+    keep/update/insert — the apply step that pairs with
+    snapshot_diff_full_outer's diff step.  The change batch is derived
+    deterministically from the snapshot (key%7 updates with a price
+    bump, key%13 inserts under a collision-free offset) so the oracle
+    replays it exactly; a real pipeline swaps in its CDC source
+    unchanged.
+
+    Plan: ONE full-outer join on the key — at scale both sides bucket by
+    key, so MERGE is a co-partitioned join plus a projection; nothing
+    driver-side.  All values are BIGINT cents."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(F.col("o_orderkey").alias("ck"), (cents + 500).alias("ccents"))
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            (F.col("o_orderkey") + _MERGE_KEY_OFFSET).alias("ck"),
+            cents.alias("ccents"),
+        )
+    )
+    changes = updates.unionAll(inserts)
+    return (
+        base.join(changes, base.k == changes.ck, "full_outer")
+        .select(
+            F.coalesce("ck", "k").alias("o_orderkey"),
+            F.coalesce("ccents", "cents").alias("cents"),
+            F.when(F.col("k").isNull(), F.lit("insert"))
+            .when(F.col("ck").isNull(), F.lit("keep"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+        )
+    )

@@ -114,7 +114,8 @@ DRIVER_PRIORITY = [
     "dedup_lsh_bucket_stats", "orders_copurchase_triangles",
     "text_ngram_novelty_curve", "orders_equidepth_histogram",
     "multimodal_batch_manifest", "events_seasonality_profile",
-    "embedding_dim_stats",
+    "embedding_dim_stats", "merge_upsert_snapshot",
+    "text_inverted_index_sample", "docs_bm25_search",
     # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
     # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",

@@ -381,3 +381,33 @@ def test_embedding_dim_stats_single_shuffle(spark, sf_dir):
     assert_max_exchanges(df, 1)
     n = count_nodes(df, "HashAggregate")
     assert n >= 2 and n % 2 == 0, n
+
+
+def test_merge_upsert_single_join(spark, sf_dir):
+    """MERGE is one full-outer join on the key — no window, no second
+    pass; at scale both sides bucket by key."""
+    df = q("merge_upsert_snapshot", spark, sf_dir)
+    joins = join_strategies(df)
+    assert len(joins) == 1, joins
+    assert "WindowExec" not in executed_plan(df)
+
+
+def test_bm25_broadcasts_stats_frames(spark, sf_dir):
+    """df (|query| rows) and corpus stats (1 row) broadcast onto the tf
+    frame; only tf and dl are shuffled."""
+    df = q("docs_bm25_search", spark, sf_dir)
+    joins = join_strategies(df)
+    assert any(j in ("BroadcastHashJoin", "BroadcastNestedLoopJoin") for j in joins), joins
+    assert "CartesianProduct" not in joins
+
+
+def test_novelty_joins_doc_sized_frames(spark, sf_dir):
+    """The novelty join runs between two DOC-sized aggregates (totals x
+    first-claim counts) — the gram-level frame must never be a join
+    input (that formulation measured 7.65 s vs 0.95 s at sf0.1).  Both
+    inputs being post-aggregate means every join input side in the plan
+    sits above a HashAggregate."""
+    df = q("text_ngram_novelty_curve", spark, sf_dir)
+    phys = executed_plan(df)
+    join_pos = phys.find("Join")
+    assert join_pos >= 0 and phys.count("HashAggregate") >= 4, phys
