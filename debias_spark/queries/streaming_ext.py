@@ -88,3 +88,70 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics) -> rows-only; session invariants asserted in tests."""
     stream = stream_events(spark, sf_dir)
     return run_available_now(session_window_counts(stream), spark)
+
+
+@register(
+    "stream_rate_alert",
+    "H18",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        FROM events GROUP BY h, event_type
+    ), med AS (
+        SELECT event_type, quantile_cont(n, 0.5) AS med_n
+        FROM hourly GROUP BY event_type
+    ), dev AS (
+        SELECT h2.event_type, abs(h2.n - m.med_n) AS adev
+        FROM hourly h2 JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad_n
+        FROM dev GROUP BY event_type
+    ), thr AS (
+        SELECT m.event_type, m.med_n + 3.0 * d.mad_n AS thr_n
+        FROM med m JOIN mad d USING (event_type)
+    )
+    SELECT strftime(h.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+           h.event_type, h.n,
+           round(t.thr_n, 4) + 0.0 AS thr_rounded,
+           h.n > t.thr_n AS alert
+    FROM hourly h JOIN thr t USING (event_type)
+    """,
+    bench=False,
+)
+def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming operational alerting: hourly event-rate counts per type
+    flagged against a robust (median + 3*MAD of historical hourly rates)
+    threshold — the on-call rate monitor, run as a REAL Structured
+    Streaming query (stream-static broadcast join before the windowed
+    aggregation, availableNow drain).  Thresholds are fitted in batch
+    from the same table, the fit-offline/score-online split every
+    production alerter uses.
+
+    Unusually for a streaming key, the drained output is deterministic —
+    complete-mode tumbling counts + a static threshold frame — so this
+    key carries a full DuckDB oracle: the driver hash-matches an actual
+    streaming execution against batch SQL, the strongest stream-batch
+    equivalence evidence in the registry (stream_static_join_counts is
+    the other)."""
+    from debias_spark.streaming.incremental import rate_alerts
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n", 0.5).alias("med_n")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("n") - F.col("med_n")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad_n")
+    )
+    thr = med.join(mad, "event_type").select(
+        "event_type", (F.col("med_n") + 3.0 * F.col("mad_n")).alias("thr_n")
+    )
+    stream = stream_events(spark, sf_dir)
+    return run_available_now(
+        rate_alerts(stream, thr), spark, output_mode="complete"
+    )

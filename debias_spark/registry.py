@@ -115,7 +115,7 @@ DRIVER_PRIORITY = [
     "text_ngram_novelty_curve", "orders_equidepth_histogram",
     "multimodal_batch_manifest", "events_seasonality_profile",
     "embedding_dim_stats", "merge_upsert_snapshot",
-    "text_inverted_index_sample", "docs_bm25_search",
+    "text_inverted_index_sample", "docs_bm25_search", "stream_rate_alert",
     # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
     # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",

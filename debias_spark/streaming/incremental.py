@@ -134,3 +134,26 @@ def run_available_now(
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def rate_alerts(events: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """Windowed rate alerting: per (1-hour tumbling window, event_type)
+    counts flagged against a per-type threshold frame (event_type, thr_n).
+
+    The static threshold frame joins the stream BEFORE the aggregation —
+    a stream-static broadcast join is unconditionally supported, whereas
+    joining after a streaming aggregate constrains output modes.  The
+    threshold rides through the groupBy as a grouping column (constant
+    per type), so the alert comparison is a pure projection."""
+    joined = events.join(F.broadcast(thresholds), "event_type")
+    return (
+        joined.groupBy(F.window("ts", "1 hour").alias("w"), "event_type", "thr_n")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            (F.round("thr_n", 4) + 0.0).alias("thr_rounded"),
+            (F.col("n") > F.col("thr_n")).alias("alert"),
+        )
+    )

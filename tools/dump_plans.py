@@ -37,6 +37,12 @@ REPRESENTATIVE = [
     ("tpch_q17_small_quantity", "semi-join reduction first; no forced broadcast of the part-keyed aggregate (round-3 de-weak)"),
     ("tpch_q2_min_cost_supplier", "filter-first offer aggregate; decorrelated per-part min joined back"),
     ("tpch_q13_order_distribution", "orders aggregated before the customer outer join - both sides share the custkey partitioning"),
+    ("scd2_user_status", "gaps-and-islands SCD2 build: every window and the rollup reuse ONE user_id exchange"),
+    ("orders_pareto_share", "bucketed global prefix-sum: per-bucket windows + 16-row offsets frame, no single-partition window over the big frame"),
+    ("zorder_cluster_key", "Morton layout key: zero-exchange single codegen stage"),
+    ("text_ngram_novelty_curve", "zip_with bigram build; novelty join between two doc-sized aggregates (round-3 8x fix)"),
+    ("docs_bm25_search", "BM25: broadcast df/corpus stats onto the tf frame; two linear shuffles"),
+    ("merge_upsert_snapshot", "MERGE as one full-outer key join"),
 ]
 
 
