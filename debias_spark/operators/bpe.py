@@ -1,0 +1,131 @@
+"""Byte-pair-encoding vocabulary fit, Spark-first.
+
+The tokenizer-training step of an LLM data pipeline, with the realistic
+distributed split: ONE corpus-scale aggregation reduces the corpus to
+word-type frequencies (linear, map-side combined — the only pass whose
+cost grows with corpus size), then the merge loop iterates on the
+VOCABULARY frame, which is bounded by type count, not token count.  Each
+round is: adjacent-symbol-pair weighted count (explode + aggregate),
+argmax (count desc, pair asc — deterministic ties), apply the merge.
+
+Merges apply through ``replace(' '||s||' ', ' a b ', ' ab ')`` on the
+space-joined symbol string: string replace scans left-to-right
+non-overlapping in Spark and DuckDB alike, which is exactly BPE's greedy
+left-to-right merge order — so the whole fit is deterministic and the
+DuckDB oracle can replay it as N unrolled CTE rounds, hash-matching the
+merge table of an actually-iterative engine run (same doctrine as
+dedup_clusters' WITH RECURSIVE closure).
+
+Driver synchronization is one 1-row collect per merge round (the argmax
+pair) — the same O(rounds) sync budget as duplicate_clusters, and the
+vocab frame is checkpoint-free because each round's plan is a single
+projection over the previous (10 rounds of replace() nest fine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(s, freq): space-joined character symbols per word TYPE, weighted
+    by corpus frequency.  The one corpus-scale pass."""
+    from debias_spark.operators.dedup import word_tokens
+
+    tok = docs.select(F.explode(word_tokens(F.col(text_col))).alias("t"))
+    counts = tok.groupBy("t").agg(F.count("*").alias("freq"))
+    # split('', ...) yields one element per character in Spark 4
+    return counts.select(
+        F.array_join(F.split("t", ""), " ").alias("s"), "freq"
+    )
+
+
+def adjacent_pairs(s: F.Column) -> F.Column:
+    """Adjacent symbol pairs of a space-joined symbol string, single-pass
+    zip_with (cf. word_shingles n=2 fast path)."""
+    toks = F.split(s, " ")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def bpe_fit(
+    spark: SparkSession, words: DataFrame, n_merges: int = 10
+) -> DataFrame:
+    """Run ``n_merges`` BPE rounds over a (s, freq) vocabulary frame;
+    returns the merge table (rank, pair, merged, cnt) — the artifact a
+    tokenizer ships.  Symbols must be space-free (word_tokens guarantees
+    it)."""
+    cur = words
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        top = (
+            cur.select(F.explode(adjacent_pairs(F.col("s"))).alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "p")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["p"], int(top[0]["cnt"])
+        a, b = pair.split(" ")
+        merged = a + b
+        merges.append((r, pair, merged, cnt))
+        # left-to-right non-overlapping replace == greedy BPE merge order
+        cur = cur.select(
+            F.trim(
+                F.expr(
+                    "replace(' ' || s || ' ', ' {} {} ', ' {} ')".format(
+                        a, b, merged
+                    )
+                )
+            ).alias("s"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        merges, schema="rank long, pair string, merged string, cnt long"
+    )
+
+
+def bpe_oracle(n_merges: int, duck_tokens_all: str) -> str:
+    """DuckDB replay: the identical fit as ``n_merges`` unrolled CTE
+    rounds (pair counts -> deterministic argmax -> replace), over the
+    same word-frequency base."""
+    parts = [
+        f"""w0 AS (
+        SELECT array_to_string(string_split(t, ''), ' ') AS s, freq FROM (
+            SELECT t, count(*) AS freq FROM (
+                SELECT unnest({duck_tokens_all}) AS t FROM documents
+            ) GROUP BY t
+        )
+    )"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""p{r} AS (
+        SELECT unnest(pr) AS p, freq FROM (
+            SELECT [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS pr,
+                   freq
+            FROM (SELECT string_split(s, ' ') AS t, freq FROM w{r})
+        )
+    ), b{r} AS (
+        SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM p{r}
+        GROUP BY p ORDER BY cnt DESC, p LIMIT 1
+    ), w{r + 1} AS (
+        SELECT trim(replace(' ' || s || ' ', ' ' || p || ' ',
+                            ' ' || replace(p, ' ', '') || ' ')) AS s, freq
+        FROM w{r}, b{r}
+    )"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, p AS pair,"
+        f" replace(p, ' ', '') AS merged, cnt FROM b{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ", ".join(parts) + " " + unions

@@ -69,8 +69,8 @@ def test_random_projection_preserves_neighborhoods(spark, sf_dir):
 
 def test_editdistance_dedup_pairs_are_near(spark, sf_dir):
     """Every reported pair is genuinely near: recomputing edit distance on
-    the returned texts confirms dist <= 25, and the pair list is
-    canonically ordered (id_a < id_b, no self-pairs)."""
+    the returned texts confirms dist <= 25, and the cluster-representative
+    contract holds (rep_id < id, no self-pairs)."""
     from debias_spark.registry import load_all_queries
 
     qs = load_all_queries()
@@ -88,8 +88,8 @@ def test_editdistance_dedup_pairs_are_near(spark, sf_dir):
         return prev[-1]
 
     for r in pairs:
-        assert r["id_a"] < r["id_b"]
-        assert lev(texts[r["id_a"]], texts[r["id_b"]]) == r["dist"] <= 25
+        assert r["rep_id"] < r["id"]
+        assert lev(texts[r["rep_id"]], texts[r["id"]]) == r["dist"] <= 25
 
 
 def test_unigram_surprisal_orders_repetitive_below_rare(spark, sf_dir):
@@ -125,3 +125,63 @@ def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:120]
     n_en = docs.filter(F.col("lang") == "en").count()
     assert back.count() == n_en
+
+
+def test_bucketed_cumsum_equals_naive_window(spark):
+    """operators/prefixsum.bucketed_cumsum must produce the IDENTICAL
+    running totals as the single-partition ORDER BY window it replaces —
+    on an adversarial frame: heavy ties (including ties spanning bucket
+    cutoffs), negative values, and a skewed distribution."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from debias_spark.operators.prefixsum import bucketed_cumsum
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([0, 5, 5, 5, -3, 100, 100, rng.randint(-50, 50)]))
+            for i in range(997)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: (r["cum"], r["total"])
+        for r in bucketed_cumsum(
+            df, value_col="v", order_col="v", tiebreak_col="k",
+            descending=True, n_buckets=16,
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    total = sum(v for _, v in rows)
+    assert len(got) == len(naive)
+    for k, cum in naive.items():
+        assert got[k] == (cum, total), (k, got[k], cum, total)
+
+
+def test_bpe_fit_invariants(spark, sf_dir):
+    """BPE merge table sanity beyond the oracle hash: counts are
+    non-increasing in rank (a later merge can never be more frequent
+    than an earlier one was at ITS fit time only if it emerged from a
+    merge, so assert the weaker monotone-at-fit property: each merged
+    symbol is the concatenation of its pair, and ranks are dense from
+    0)."""
+    from debias_spark.operators.bpe import bpe_fit, word_freqs
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_fit(spark, word_freqs(docs), n_merges=8).collect()
+    assert [m["rank"] for m in merges] == list(range(len(merges)))
+    for m in merges:
+        a, b = m["pair"].split(" ")
+        assert m["merged"] == a + b
+        assert m["cnt"] > 0
+    # merged symbols become available to later rounds: if any later pair
+    # references an earlier merged symbol, the fit is genuinely iterative
+    merged_syms = {m["merged"] for m in merges}
+    later_refs = sum(
+        1 for m in merges if any(s in merged_syms for s in m["pair"].split(" "))
+    )
+    assert later_refs >= 1, merges
