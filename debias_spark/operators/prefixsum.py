@@ -86,3 +86,114 @@ def bucketed_cumsum(
         .withColumn("cum", F.col("_offset") + F.col("_within"))
         .drop("_b", "_within", "_offset")
     )
+
+
+def bucketed_cumsum_with_rank(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    descending: bool = False,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """bucketed_cumsum plus the global 1-based rank (``rnk``) under the
+    same ordering — the distributed row_number.  Rank offsets come from
+    the same per-bucket pass (bucket row counts prefix-summed alongside
+    the value sums), so the extra cost over bucketed_cumsum is one
+    column."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(F.percentile(order_col, qs).alias("cuts"))
+    withb = df.crossJoin(F.broadcast(cuts))
+    if descending:
+        b = sum(
+            (F.col(order_col) <= F.get("cuts", k)).cast("int")
+            for k in range(n_buckets - 1)
+        )
+        order = [F.desc(order_col), F.asc(tiebreak_col)]
+    else:
+        b = sum(
+            (F.col(order_col) >= F.get("cuts", k)).cast("int")
+            for k in range(n_buckets - 1)
+        )
+        order = [F.asc(order_col), F.asc(tiebreak_col)]
+    withb = withb.withColumn("_b", b).drop("cuts")
+    wb = (
+        Window.partitionBy("_b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = withb.withColumn("_within", F.sum(value_col).over(wb)).withColumn(
+        "_wrn", F.row_number().over(Window.partitionBy("_b").orderBy(*order))
+    )
+    bsums = withb.groupBy("_b").agg(
+        F.sum(value_col).alias("_bsum"), F.count("*").alias("_bcnt")
+    )
+    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = bsums.select(
+        "_b",
+        F.coalesce(F.sum("_bsum").over(wo), F.lit(0)).alias("_offset"),
+        F.coalesce(F.sum("_bcnt").over(wo), F.lit(0)).alias("_coffset"),
+        F.sum("_bsum").over(wall).alias("total"),
+        F.sum("_bcnt").over(wall).alias("n_rows"),
+    )
+    return (
+        within.join(F.broadcast(offsets), "_b")
+        .withColumn("cum", F.col("_offset") + F.col("_within"))
+        .withColumn("rnk", (F.col("_coffset") + F.col("_wrn")).cast("long"))
+        .drop("_b", "_within", "_offset", "_wrn", "_coffset")
+    )
+
+
+def grouped_bucketed_cumsum(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Per-GROUP running totals (ascending order), scale-safe when groups
+    are few and huge: a plain ``Window.partitionBy(group)`` funnels each
+    group through ONE task (3 return-flags over 6 B lineitems = 3 tasks),
+    so the window here partitions on (group, range-bucket) instead —
+    per-group percentile cutoffs assign the bucket, per-(group, bucket)
+    windows run in parallel, and a (groups x buckets)-row offsets frame
+    broadcast-joins the prefix back.  Adds ``cum`` and ``total``."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.groupBy(group_col).agg(F.percentile(order_col, qs).alias("cuts"))
+    withb = df.join(F.broadcast(cuts), group_col)
+    b = sum(
+        (F.col(order_col) >= F.get("cuts", k)).cast("int")
+        for k in range(n_buckets - 1)
+    )
+    withb = withb.withColumn("_b", b).drop("cuts")
+    order = [F.asc(order_col), F.asc(tiebreak_col)]
+    wb = (
+        Window.partitionBy(group_col, "_b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = withb.withColumn("_within", F.sum(value_col).over(wb))
+    bsums = withb.groupBy(group_col, "_b").agg(F.sum(value_col).alias("_bsum"))
+    wo = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = bsums.select(
+        group_col,
+        "_b",
+        F.coalesce(F.sum("_bsum").over(wo), F.lit(0)).alias("_offset"),
+        F.sum("_bsum").over(wg).alias("total"),
+    )
+    return (
+        within.join(F.broadcast(offsets), [group_col, "_b"])
+        .withColumn("cum", F.col("_offset") + F.col("_within"))
+        .drop("_b", "_within", "_offset")
+    )

@@ -25,7 +25,8 @@ import debias_spark.queries.relational_ext8  # noqa: F401  X54-X56 basket lift, 
 import debias_spark.queries.relational_ext9  # noqa: F401  X58-X64 SCD2, compaction, zorder, rolling DAU, pareto, regression, ztest
 import debias_spark.queries.llm_ops6  # noqa: F401  X65/X66/X68 token budget, LSH stats, ngram novelty
 import debias_spark.queries.relational_ext10  # noqa: F401  X67/X69+ triangles, histogram, seasonality, MERGE
-import debias_spark.queries.llm_ops7  # noqa: F401  Y11 BPE vocabulary fit
+import debias_spark.queries.llm_ops7  # noqa: F401  Y11/Y12 BPE fit, contamination audit
+import debias_spark.queries.relational_ext11  # noqa: F401  X78-X79 weighted median, Gini
 import debias_spark.queries.reference_core  # noqa: F401  A1-F3
 import debias_spark.queries.annotate_queries  # noqa: F401  F1/F2 + flagship
 import debias_spark.queries.relational_ext  # noqa: F401  H1-H6, H11-H13, H17

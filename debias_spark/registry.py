@@ -116,7 +116,8 @@ DRIVER_PRIORITY = [
     "multimodal_batch_manifest", "events_seasonality_profile",
     "embedding_dim_stats", "merge_upsert_snapshot",
     "text_inverted_index_sample", "docs_bm25_search", "stream_rate_alert",
-    "bpe_vocab_fit",
+    "bpe_vocab_fit", "docs_contamination_ngram_audit",
+    "lineitem_weighted_median_price", "orders_gini_revenue",
     # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
     # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",

@@ -411,3 +411,30 @@ def test_novelty_joins_doc_sized_frames(spark, sf_dir):
     phys = executed_plan(df)
     join_pos = phys.find("Join")
     assert join_pos >= 0 and phys.count("HashAggregate") >= 4, phys
+
+
+def test_weighted_median_windows_are_bucket_partitioned(spark, sf_dir):
+    """The running weight must flow through (flag, range-bucket) windows,
+    never a flag-only window (3 groups = 3 serialized tasks at scale)."""
+    df = q("lineitem_weighted_median_price", spark, sf_dir)
+    phys = executed_plan(df)
+    import re
+    # the running-weight window (over w#...) is the big-frame one; the
+    # offsets-frame windows (over _bsum) legitimately partition on flag
+    # alone — they see buckets-per-group rows, not lineitems
+    big = re.findall(r"Window \[sum\(w#[^\]]*\], \[([^\]]*)\]", phys)
+    assert big and all("flag" in s and "_b" in s for s in big), phys[:2000]
+
+
+def test_gini_rank_is_bucketed(spark, sf_dir):
+    """Global ranks come from the bucketed prefix-sum: the per-customer
+    frame's window partitions on the range bucket."""
+    df = q("orders_gini_revenue", spark, sf_dir)
+    assert ", [_b#" in executed_plan(df)
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir):
+    """The eval gram set is the bounded side and must broadcast."""
+    df = q("docs_contamination_ngram_audit", spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins == ["BroadcastHashJoin"], joins
