@@ -108,3 +108,132 @@ def docs_contamination_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"), F.min("gram").alias("sample_gram"))
     )
+
+
+def _recall_oracle(n_planes: int = 4, dim: int = 64, k: int = 3) -> str:
+    """Composed replay: exact top-k and literal-hyperplane sign-LSH top-k
+    (same constants as similarity_ann_lsh's oracle), left-joined."""
+    from debias_spark.operators import similarity
+
+    planes = similarity.hyperplanes(n_planes, dim)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{}]::DOUBLE[]) > 0"
+        " THEN {} ELSE 0 END)".format(
+            ",".join(repr(c) for c in plane), 1 << p
+        )
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), es AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+               round(list_cosine_similarity(p.v, c.v), 4) AS sim
+        FROM e p JOIN e c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10
+    ), exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, cand_id) AS rn
+            FROM es
+        ) WHERE rn <= {k}
+    ), b AS (
+        SELECT vec_id, v, ({bucket}) AS bucket FROM e
+    ), asc_ AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+               round(list_cosine_similarity(p.v, c.v), 4) AS sim
+        FROM b p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10
+    ), ann AS (
+        SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, cand_id) AS rn
+            FROM asc_
+        ) WHERE rn <= {k}
+    )
+    SELECT x.query_id, count(x.cand_id) AS k_exact,
+           count(a.cand_id) AS n_recovered,
+           count(a.cand_id) * 10000 // count(x.cand_id) AS recall_bp
+    FROM exact x LEFT JOIN ann a
+      ON a.query_id = x.query_id AND a.cand_id = x.cand_id
+    GROUP BY x.query_id
+    """
+
+
+@register(
+    "similarity_lsh_recall_report",
+    "Y13",
+    oracle=_recall_oracle(4, 64, 3),
+)
+def similarity_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measured IN-ENGINE: per probe, how many of the exact
+    cosine top-3 the sign-LSH bucket search recovered (recall@3) — the
+    report that decides whether 4 hyperplanes are too aggressive before
+    a 100 TB index build.  Left join exact -> ANN on (query, candidate):
+    both sides are tiny per-probe top-k frames; the recall rollup is
+    exact integer counts.  Both member pipelines are deterministic and
+    SQL-replayable, so the WHOLE report carries a DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from debias_spark.catalog import table as _table
+    from debias_spark.operators import similarity
+
+    emb = _table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, F.col("vec_id") < 10, k=3).select(
+        "query_id", F.col("cand_id").alias("e_cand")
+    )
+    ann = similarity.ann_cosine_topk(
+        emb, F.col("vec_id") < 10, k=3, n_planes=4, dim=64
+    ).select(F.col("query_id").alias("a_q"), F.col("cand_id").alias("a_cand"))
+    hits = exact.join(
+        ann,
+        (F.col("query_id") == F.col("a_q")) & (F.col("e_cand") == F.col("a_cand")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("e_cand").alias("k_exact"),
+        F.count("a_cand").alias("n_recovered"),
+        F.expr("count(a_cand) * 10000 div count(e_cand)").alias("recall_bp"),
+    )
+
+
+def _jaccard_hist_oracle() -> str:
+    from debias_spark.queries.llm_ops import _minhash_ctes
+
+    ctes, jac = _minhash_ctes(num_hashes=32, bands=4)
+    return f"""
+    WITH {ctes}, verified AS (
+        SELECT {jac} AS j
+        FROM cand c JOIN sh a ON a.id = c.id JOIN sh b ON b.id = c.rep_id
+    )
+    SELECT CAST(floor(j * 20) AS BIGINT) AS bucket_20th,
+           count(*) AS n_pairs
+    FROM verified GROUP BY bucket_20th
+    """
+
+
+@register("dedup_jaccard_histogram", "Y14", oracle=_jaccard_hist_oracle())
+def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity report for the MinHash dedup pipeline: the
+    distribution of exact Jaccard over ALL LSH candidate pairs (no
+    threshold), bucketed in 0.05 steps.  Reading this histogram is how
+    the 0.8 cutoff gets chosen — a bimodal shape (noise lobe vs
+    duplicate lobe) says the threshold sits safely in the valley; mass
+    near the cutoff says tighten the bands first.  Same banding pipeline
+    and DuckDB replay as dedup_minhash_lsh, minus the filter, plus a
+    20-bucket rollup."""
+    from pyspark.sql import functions as F
+
+    from debias_spark.catalog import table as _table
+    from debias_spark.operators.dedup import minhash_dedup
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(
+        docs, "doc_id", "text", shingle_n=1, num_hashes=32, bands=4,
+        threshold=0.0,
+    )
+    return (
+        pairs.select(F.floor(F.col("jaccard") * 20).cast("long").alias("bucket_20th"))
+        .groupBy("bucket_20th")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -122,3 +122,69 @@ def orders_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (max(n_rows) * max(total))"
         ).alias("gini_bp"),
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    "X80",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY day
+    ), stats AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily
+    ), cusum AS (
+        SELECT day, n,
+               CAST(sum(n * (SELECT n_days FROM stats))
+                    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 - CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                   * (SELECT total FROM stats) AS dev_scaled
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS changepoint_day,
+           n AS day_count,
+           abs(dev_scaled) AS cusum_magnitude
+    FROM cusum ORDER BY abs(dev_scaled) DESC, day LIMIT 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over daily event volume: the day where
+    the cumulative deviation from the global mean rate peaks — the
+    standard level-shift detector.  Deviations are kept EXACT by scaling
+    into integer units (sum(n)*n_days - i*total instead of sum(n - mean)
+    with a fractional mean), so the argmax cannot flip on float error.
+    The cumulative window runs over the DAILY frame — one row per day,
+    thousands of rows at any corpus scale — so the unpartitioned window
+    is bounded by calendar length, not data volume (the same
+    small-frame exemption as the prefix-sum offset scans)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from debias_spark.catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    stats = daily.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_days")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wr = Window.orderBy("day")
+    cusum = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "dev_scaled",
+            (F.sum(F.col("n") * F.col("n_days")).over(w)).cast("long")
+            - F.row_number().over(wr).cast("long") * F.col("total"),
+        )
+    )
+    return (
+        cusum.select(
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            F.col("n").alias("day_count"),
+            F.abs("dev_scaled").alias("cusum_magnitude"),
+        )
+        .orderBy(F.desc("cusum_magnitude"), "changepoint_day")
+        .limit(1)
+    )

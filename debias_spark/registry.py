@@ -118,6 +118,8 @@ DRIVER_PRIORITY = [
     "text_inverted_index_sample", "docs_bm25_search", "stream_rate_alert",
     "bpe_vocab_fit", "docs_contamination_ngram_audit",
     "lineitem_weighted_median_price", "orders_gini_revenue",
+    "similarity_lsh_recall_report", "dedup_jaccard_histogram",
+    "events_cusum_changepoint",
     # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
     # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
