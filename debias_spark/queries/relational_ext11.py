@@ -188,3 +188,48 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cusum_magnitude"), "changepoint_day")
         .limit(1)
     )
+
+
+@register(
+    "sql_lateral_topn_nations",
+    "X81",
+    oracle="""
+    SELECT r.r_name, l.n_name, l.n_customers
+    FROM region r, LATERAL (
+        SELECT n.n_name, count(*) AS n_customers
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n_name LIMIT 2
+    ) l
+    """,
+)
+def sql_lateral_topn_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table, Spark
+    4 syntax): per region, the top-2 nations by customer count — the
+    near-identical SQL text runs in DuckDB as the oracle, demonstrating
+    the engine's ANSI lateral surface rather than a DataFrame spelling
+    (the window row_number equivalent lives in H6/X11 keys).  Catalyst
+    decorrelates the lateral into a join + per-group top-k under the
+    hood, so the declarative form costs nothing over the manual one.
+
+    Engine-knowledge note from this round: Spark 4.1's WITH RECURSIVE
+    supports UNION ALL only (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so
+    cyclic transitive closure is NOT yet expressible natively — which is
+    why dedup_clusters keeps its driver-iterated pointer-jumping loop
+    with the recursion living in the DuckDB oracle instead."""
+    table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT r.r_name, l.n_name, l.n_customers
+        FROM region r, LATERAL (
+            SELECT n.n_name, count(*) AS n_customers
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY n_customers DESC, n_name LIMIT 2
+        ) l
+        """
+    )
