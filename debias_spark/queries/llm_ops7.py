@@ -237,3 +237,48 @@ def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_20th")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "embedding_norms_arrow",
+    "Y15",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 4) + 0.0
+               AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms computed through ``mapInArrow`` — the zero-copy Arrow
+    RecordBatch API (the lowest-overhead Python hook Spark has: no
+    pandas conversion at all).  The list<float> column is reshaped from
+    the Arrow buffer into one (rows x dims) numpy matrix per batch; one
+    vectorized einsum per batch replaces per-row folds.  Same values as
+    the pure-expression norm (embedding_norm_stats) — this key exists to
+    exercise the remaining Python-vectorization surface alongside
+    pandas_udf (T3), applyInPandas (T4), mapInPandas (MM1/F1), UDTF
+    (T6), and applyInPandasWithState (H16b).  Rounded to 4 dp, same
+    determinism class as the cosine keys."""
+    import pyarrow as pa
+
+    from debias_spark.catalog import table as _table
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(len(emb), -1)
+            n = np.round(np.sqrt(np.einsum("ij,ij->i", mat, mat)), 4) + 0.0
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(n, type=pa.float64())], ["vec_id", "l2_norm"]
+            )
+
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(norms, schema="vec_id long, l2_norm double")
