@@ -161,15 +161,29 @@ def grouped_bucketed_cumsum(
     so the window here partitions on (group, range-bucket) instead —
     per-group percentile cutoffs assign the bucket, per-(group, bucket)
     windows run in parallel, and a (groups x buckets)-row offsets frame
-    broadcast-joins the prefix back.  Adds ``cum`` and ``total``."""
+    broadcast-joins the prefix back.  Adds ``cum`` and ``total``.
+
+    Cutoffs come from ``approx_percentile``: boundaries only need to be
+    MONOTONE for correctness (ties always share a bucket), and this
+    variant sits directly on fact tables where the exact count-map
+    percentile is the dominant cost on near-unique order columns
+    (measured 1.56 s of a 2.9 s query at sf0.1)."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.groupBy(group_col).agg(F.percentile(order_col, qs).alias("cuts"))
+    cuts = df.groupBy(group_col).agg(
+        F.approx_percentile(order_col, qs, 1000).alias("cuts")
+    )
     withb = df.join(F.broadcast(cuts), group_col)
     b = sum(
         (F.col(order_col) >= F.get("cuts", k)).cast("int")
         for k in range(n_buckets - 1)
     )
-    withb = withb.withColumn("_b", b).drop("cuts")
+    # materialize the bucketed projection once: the window branch and the
+    # per-bucket-sums branch both consume it, and unlike the global
+    # variants (whose input is usually an already-aggregated small frame)
+    # this one typically sits directly on a fact-table scan — without the
+    # checkpoint each branch re-runs scan + cutoff join + bucket assign
+    # (measured 3.6 s -> 2.6 s on the weighted-median key at sf0.1).
+    withb = withb.withColumn("_b", b).drop("cuts").localCheckpoint(eager=False)
     order = [F.asc(order_col), F.asc(tiebreak_col)]
     wb = (
         Window.partitionBy(group_col, "_b")
