@@ -296,3 +296,93 @@ def sql_lateral_topn_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+@register(
+    "part_brand_entropy",
+    "X82",
+    oracle="""
+    WITH g AS (
+        SELECT split_part(p_type, ' ', 1) AS type_class, p_brand,
+               count(*) AS n
+        FROM part GROUP BY type_class, p_brand
+    ), t AS (
+        SELECT type_class, CAST(sum(n) AS BIGINT) AS total FROM g
+        GROUP BY type_class
+    )
+    SELECT g.type_class,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           round(-sum((CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+                      * ln(CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE))), 4)
+               + 0.0 AS entropy_nats
+    FROM g JOIN t USING (type_class)
+    GROUP BY g.type_class
+    """,
+)
+def part_brand_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the brand mix within each part type-class —
+    the assortment-diversity statistic (low entropy = one brand
+    dominates the class).  Counts are exact; each -p*ln(p) term is the
+    same double expression in both engines over identical exact inputs,
+    summed per class and rounded to 4 dp (the determinism class BM25
+    already proves out).  Two aggregates and a broadcast join of the
+    class totals — fully mergeable at any scale."""
+    p = table(spark, sf_dir, "part")
+    g = p.groupBy(
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_class"),
+        "p_brand",
+    ).agg(F.count("*").alias("n"))
+    t = g.groupBy("type_class").agg(F.sum("n").cast("long").alias("total"))
+    term = (F.col("n").cast("double") / F.col("total").cast("double"))
+    return (
+        g.join(F.broadcast(t), "type_class")
+        .groupBy("type_class")
+        .agg(
+            F.count("*").cast("long").alias("n_brands"),
+            (F.round(-F.sum(term * F.log(term)), 4) + 0.0).alias("entropy_nats"),
+        )
+    )
+
+
+@register(
+    "events_hhi_concentration",
+    "X83",
+    oracle="""
+    WITH u AS (
+        SELECT event_type, user_id, count(*) AS n
+        FROM events GROUP BY event_type, user_id
+    ), t AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM u
+        GROUP BY event_type
+    )
+    SELECT u.event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(CAST(sum(CAST(u.n AS HUGEINT) * u.n) AS HUGEINT) * 10000
+                // (CAST(t.total AS HUGEINT) * t.total) AS BIGINT) AS hhi_bp
+    FROM u JOIN t USING (event_type)
+    GROUP BY u.event_type, t.total
+    """,
+)
+def events_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of event volume across users,
+    per event type (10000 bp = one user generates everything) — the
+    abuse/bot-skew screen: a type whose HHI spikes is driven by a few
+    accounts.  HHI = Σ share_u² = Σ n_u² / total², computed ENTIRELY in
+    exact integers (DECIMAL(38,0) / HUGEINT for the squares — the same
+    overflow doctrine the Gini key enforces) with one basis-point floor
+    division at the end."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    t = u.groupBy("event_type").agg(F.sum("n").cast("long").alias("total"))
+    return (
+        u.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "total")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr(
+                "CAST(sum(CAST(n AS DECIMAL(38,0)) * n) * 10000"
+                " div (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)"
+            ).alias("hhi_bp"),
+        )
+        .drop("total")
+    )

@@ -120,7 +120,8 @@ DRIVER_PRIORITY = [
     "lineitem_weighted_median_price", "orders_gini_revenue",
     "similarity_lsh_recall_report", "dedup_jaccard_histogram",
     "events_cusum_changepoint", "sql_lateral_topn_nations",
-    "embedding_norms_arrow",
+    "embedding_norms_arrow", "part_brand_entropy",
+    "events_hhi_concentration",
     # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
     # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
