@@ -21,6 +21,41 @@ from debias_spark.pipeline import PipelineConfig, run_pipeline
 from debias_spark.session import get_spark
 
 
+def _run_query_mode(args) -> int:
+    """Registry-query access: every operator key a driver/test can run is
+    equally runnable from the shell — `--list-queries` to browse,
+    `--query KEY` to execute against any parquet table dir.  Output is
+    bounded (limit + toLocalIterator) so the driver never materializes a
+    large result."""
+    from debias_spark.registry import load_all_queries
+
+    specs = load_all_queries()
+    if args.list_queries:
+        for name, spec in sorted(specs.items()):
+            gate = "duckdb-oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t{spec.section}\t{gate}")
+        print(f"{len(specs)} keys")
+        return 0
+    if args.query not in specs:
+        import difflib
+
+        near = difflib.get_close_matches(args.query, specs, n=3)
+        print(f"unknown query {args.query!r}; close: {near}", file=sys.stderr)
+        return 2
+    spark = get_spark("debias-spark-query")
+    df = specs[args.query].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    cols = df.columns
+    print("\t".join(cols))
+    shown = 0
+    for r in df.limit(args.limit).toLocalIterator():
+        print("\t".join(str(r[c]) for c in cols))
+        shown += 1
+    print(f"({shown} rows shown; --limit {args.limit})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="debias-spark")
     p.add_argument("--config", help="config.ini path ([settings] section)")
@@ -54,7 +89,33 @@ def main(argv: list[str] | None = None) -> int:
         "call-debias.py:54-136; 'pdf' uses reportlab when installed, else "
         "the stdlib writer)",
     )
+    p.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="list every registered query key (name, section, oracle gate) "
+        "and exit",
+    )
+    p.add_argument(
+        "--query",
+        metavar="KEY",
+        help="run one registry query key against --sf-dir and print rows "
+        "(bounded by --limit)",
+    )
+    p.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="parquet table dir for --query (default sf0.01 testdata)",
+    )
+    p.add_argument("--limit", type=int, default=20, help="rows to print for --query")
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="with --query: also print the formatted physical plan",
+    )
     args = p.parse_args(argv)
+
+    if args.list_queries or args.query:
+        return _run_query_mode(args)
 
     if args.config:
         cfg = PipelineConfig.from_ini(args.config)

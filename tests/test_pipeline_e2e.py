@@ -227,3 +227,25 @@ def test_gui_headless_gating_and_logic():
     except ImportError:
         with pytest.raises(GuiUnavailableError, match="python -m debias_spark.cli"):
             launch("c.ini")
+
+
+def test_cli_query_mode(capsys):
+    """--list-queries enumerates the registry; --query executes a key and
+    prints bounded rows; unknown keys fail with suggestions."""
+    from debias_spark.cli import main
+
+    assert main(["--list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup_minhash_lsh" in out and "duckdb-oracle" in out
+
+    rc = main(
+        ["--query", "agg_count_by_key", "--sf-dir", "/root/testdata/sf0.001",
+         "--limit", "3"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.strip().splitlines() if l]
+    assert len(lines) <= 5  # header + <=3 rows + footer
+
+    assert main(["--query", "agg_count_by_keyz"]) == 2
+    assert "close:" in capsys.readouterr().err
