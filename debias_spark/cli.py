@@ -36,14 +36,21 @@ def _run_query_mode(args) -> int:
             print(f"{name}\t{spec.section}\t{gate}")
         print(f"{len(specs)} keys")
         return 0
-    if args.query not in specs:
+    if args.sql:
+        from debias_spark.catalog import register_views
+
+        spark = get_spark("debias-spark-sql")
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.sql)
+    elif args.query not in specs:
         import difflib
 
         near = difflib.get_close_matches(args.query, specs, n=3)
         print(f"unknown query {args.query!r}; close: {near}", file=sys.stderr)
         return 2
-    spark = get_spark("debias-spark-query")
-    df = specs[args.query].fn(spark, args.sf_dir)
+    else:
+        spark = get_spark("debias-spark-query")
+        df = specs[args.query].fn(spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")
     cols = df.columns
@@ -110,11 +117,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--explain",
         action="store_true",
-        help="with --query: also print the formatted physical plan",
+        help="with --query/--sql: also print the formatted physical plan",
+    )
+    p.add_argument(
+        "--sql",
+        metavar="STATEMENT",
+        help="run an ad-hoc Spark SQL statement with every testdata table "
+        "(region nation customer supplier part orders lineitem events "
+        "documents embeddings) pre-registered as a view over --sf-dir",
     )
     args = p.parse_args(argv)
 
-    if args.list_queries or args.query:
+    if args.list_queries or args.query or args.sql:
         return _run_query_mode(args)
 
     if args.config:

@@ -249,3 +249,15 @@ def test_cli_query_mode(capsys):
 
     assert main(["--query", "agg_count_by_keyz"]) == 2
     assert "close:" in capsys.readouterr().err
+
+
+def test_cli_sql_mode(capsys):
+    from debias_spark.cli import main
+
+    rc = main(
+        ["--sql", "SELECT count(*) AS n FROM nation",
+         "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "n" in out and "25" in out
