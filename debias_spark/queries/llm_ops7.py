@@ -282,3 +282,64 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInArrow(norms, schema="vec_id long, l2_norm double")
+
+
+@register(
+    "docs_lang_confusion_audit",
+    "Y16",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '')) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+            CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is'])) AS BIGINT) AS s_en,
+            CAST(len(list_intersect(toks, ['der','die','das','und','zu','ein','ist'])) AS BIGINT) AS s_de,
+            CAST(len(list_intersect(toks, ['el','la','de','y','que','un','es'])) AS BIGINT) AS s_es,
+            CAST(len(list_intersect(toks, ['le','la','de','et','les','un','est'])) AS BIGINT) AS s_fr
+        FROM t
+    ), p AS (
+        SELECT lang,
+               CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    )
+    SELECT lang AS labeled_lang, pred_lang, count(*) AS n_docs,
+           (count(*) * 10000)
+               // sum(count(*)) OVER (PARTITION BY lang) AS row_share_bp
+    FROM p GROUP BY lang, pred_lang
+    """,
+)
+def docs_lang_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-model agreement audit: the confusion matrix between the
+    corpus's LABELED language column and the function-word language-ID
+    heuristic (text_lang_id), with per-label row shares in basis points
+    — the data-quality check that catches mislabeled-source batches
+    before they poison a language-filtered training mix.  One rollup on
+    (label, prediction); the share window runs over the <=16-cell
+    matrix.  Counts exact, shares integer basis points."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from debias_spark.catalog import table as _table
+    from debias_spark.operators.text import lang_predict, lang_scores
+
+    docs = _table(spark, sf_dir, "documents")
+    p = docs.select(
+        "lang", lang_predict(lang_scores(F.col("text"))).alias("pred_lang")
+    )
+    g = p.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return (
+        g.withColumn("_tot", F.sum("n_docs").over(w))
+        .select(
+            F.col("lang").alias("labeled_lang"),
+            "pred_lang",
+            "n_docs",
+            F.expr("(n_docs * 10000) div _tot").alias("row_share_bp"),
+        )
+    )

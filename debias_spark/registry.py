@@ -121,7 +121,7 @@ DRIVER_PRIORITY = [
     "similarity_lsh_recall_report", "dedup_jaccard_histogram",
     "events_cusum_changepoint", "sql_lateral_topn_nations",
     "embedding_norms_arrow", "part_brand_entropy",
-    "events_hhi_concentration",
+    "events_hhi_concentration", "docs_lang_confusion_audit",
     # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
     # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",
