@@ -438,3 +438,35 @@ def test_contamination_broadcasts_eval_grams(spark, sf_dir):
     df = q("docs_contamination_ngram_audit", spark, sf_dir)
     joins = join_strategies(df)
     assert joins == ["BroadcastHashJoin"], joins
+
+
+def test_hhi_and_entropy_broadcast_totals(spark, sf_dir):
+    """Both concentration keys broadcast their per-group totals frame back
+    onto the group-level aggregate — never a shuffled join."""
+    for key in ("events_hhi_concentration", "part_brand_entropy"):
+        joins = join_strategies(q(key, spark, sf_dir))
+        assert joins and all(j == "BroadcastHashJoin" for j in joins), (key, joins)
+
+
+def test_cusum_window_is_daily_frame_only(spark, sf_dir):
+    """The CUSUM window may only ever see the daily aggregate (calendar-
+    bounded): a WindowExec must sit ABOVE a HashAggregate in the plan
+    tree (aggregate prints after the window it feeds)."""
+    phys = executed_plan(q("events_cusum_changepoint", spark, sf_dir))
+    w_pos = phys.find("Window")
+    assert w_pos >= 0 and "HashAggregate" in phys[w_pos:], phys[:1500]
+
+
+def test_lateral_decorrelates_to_joins(spark, sf_dir):
+    """Catalyst must decorrelate the LATERAL subquery — no nested-loop
+    per-row execution artifacts (CartesianProduct over the fact side)."""
+    df = q("sql_lateral_topn_nations", spark, sf_dir)
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+
+
+def test_arrow_norms_single_python_stage_no_shuffle(spark, sf_dir):
+    df = q("embedding_norms_arrow", spark, sf_dir)
+    phys = executed_plan(df)
+    assert phys.count("MapInArrow") == 1 or "ArrowEvalPython" in phys or "MapInArrow" in phys, phys[:800]
+    assert_max_exchanges(df, 0)
