@@ -343,3 +343,83 @@ def docs_lang_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_docs * 10000) div _tot").alias("row_share_bp"),
         )
     )
+
+
+def _minhash_incremental_oracle(num_hashes: int = 32, bands: int = 4) -> str:
+    from debias_spark.queries.llm_ops import _minhash_ctes
+
+    ctes, jac = _minhash_ctes(num_hashes, bands)
+    # reuse the sh/ex/sig/banded CTE chain, then split banded by batch
+    # membership instead of self-joining the whole corpus
+    return f"""
+    WITH {ctes}, new_b AS (
+        SELECT id, band_id, band_hash FROM banded WHERE id % 5 = 0
+    ), idx_b AS (
+        SELECT id, band_id, band_hash FROM banded WHERE id % 5 <> 0
+    ), cand2 AS (
+        SELECT n.id AS id, min(i.id) AS rep_id
+        FROM new_b n JOIN idx_b i
+          ON i.band_id = n.band_id AND i.band_hash = n.band_hash
+        GROUP BY n.id
+    )
+    SELECT c.id AS id, c.rep_id AS rep_id, {jac} AS jaccard
+    FROM cand2 c JOIN sh a ON a.id = c.id JOIN sh b ON b.id = c.rep_id
+    WHERE {jac} >= 0.8
+    """
+
+
+@register(
+    "dedup_minhash_incremental",
+    "Y17",
+    oracle=_minhash_incremental_oracle(32, 4),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a NEW batch (doc_id % 5 == 0 plays
+    today's arrivals) is checked against the EXISTING corpus index (the
+    rest) — the daily-pipeline shape where the historical side's band
+    table is precomputed and only new-vs-index collisions are ever
+    joined, never index-vs-index (the full self-dedup is
+    dedup_minhash_lsh's job and needs running once, not daily).  Per new
+    doc, the matched index representative is the min colliding index id
+    across ALL bands (one aggregate on the join output), verified by
+    exact Jaccard >= 0.8.  The banding pipeline and its DuckDB replay
+    are shared with the other minhash keys; in production the idx_b
+    frame is a parquet table keyed by (band_id, band_hash) and the join
+    prunes by bucket."""
+    from pyspark.sql import functions as F
+
+    from debias_spark.catalog import table as _table
+    from debias_spark.operators.dedup import jaccard, minhash_banded, word_shingles
+
+    docs = _table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
+    ).filter(F.size("sh") > 0)
+    banded = minhash_banded(sh, num_hashes=32, bands=4)
+    new_b = banded.filter(F.col("id") % 5 == 0)
+    idx_b = banded.filter(F.col("id") % 5 != 0).select(
+        F.col("id").alias("i_id"),
+        F.col("band_id").alias("i_band"),
+        F.col("band_hash").alias("i_hash"),
+    )
+    cand = (
+        new_b.join(
+            idx_b,
+            (F.col("i_band") == F.col("band_id"))
+            & (F.col("i_hash") == F.col("band_hash")),
+        )
+        .groupBy("id")
+        .agg(F.min("i_id").alias("rep_id"))
+    )
+    a_sh = sh
+    b_sh = sh.select(F.col("id").alias("rep_id"), F.col("sh").alias("rep_sh"))
+    return (
+        cand.join(a_sh, "id")
+        .join(b_sh, "rep_id")
+        .select(
+            "id",
+            "rep_id",
+            F.round(jaccard(F.col("sh"), F.col("rep_sh")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
