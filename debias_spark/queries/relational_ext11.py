@@ -386,3 +386,106 @@ def events_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total")
     )
+
+
+@register(
+    "events_latency_percentiles_hourly",
+    "X84",
+    oracle="""
+    WITH v AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           count(*) AS n,
+           quantile_cont(cents, 0.5) AS p50_cents,
+           quantile_cont(cents, 0.95) AS p95_cents,
+           quantile_cont(cents, 0.99) AS p99_cents
+    FROM v GROUP BY h, event_type
+    """,
+)
+def events_latency_percentiles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The on-call latency dashboard: p50/p95/p99 of event value per
+    (hour, type).  Exact grouped percentiles on integer cents — the
+    interpolated doubles are bit-equal between Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` on BIGINT inputs (the guarantee the
+    RFM cutoffs established) — computed as ONE mergeable count-map
+    aggregate per group, no sort, no window.  The 100 TB swap is
+    ``approx_percentile`` (t-digest, agg_percentiles_approx is the
+    tolerance-tested pair key)."""
+    from pyspark.sql.window import Window  # noqa: F401  (symmetry w/ file)
+
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return v.groupBy("h", "event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile("cents", 0.5).alias("p50_cents"),
+        F.percentile("cents", 0.95).alias("p95_cents"),
+        F.percentile("cents", 0.99).alias("p99_cents"),
+    ).select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        "p50_cents",
+        "p95_cents",
+        "p99_cents",
+    )
+
+
+@register(
+    "orders_weekly_growth",
+    "X85",
+    oracle="""
+    WITH w AS (
+        SELECT (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                + 3) // 7 AS week,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY week
+    )
+    SELECT week, rev AS rev_cents, prev AS prev_cents,
+           -- truncate-toward-zero division: Spark's `div` truncates while
+           -- DuckDB's `//` floors, and WoW growth goes NEGATIVE — spell
+           -- truncation explicitly so both engines agree below zero
+           CASE WHEN prev IS NULL THEN NULL
+                WHEN (rev - prev) >= 0
+                    THEN ((rev - prev) * 10000) // prev
+                ELSE -(((prev - rev) * 10000) // prev) END AS growth_bp
+    FROM (SELECT week, rev, lag(rev) OVER (ORDER BY week) AS prev FROM w)
+    """,
+)
+def orders_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth in basis points — the BI trendline.
+    Weeks are epoch-week integers ((epoch_day+3)//7 aligns the boundary
+    to Monday; pure integer math, immune to the engines' differing
+    week-function conventions the seasonality key already documents for
+    dow).  Revenue is BIGINT cents; growth is an exact integer floor
+    division.  The lag window runs over the WEEKLY frame — one row per
+    calendar week at any data volume (the same small-frame exemption as
+    CUSUM)."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = o.groupBy(
+        F.expr(
+            "(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') + 3) div 7"
+        ).alias("week")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    lw = Window.orderBy("week")
+    p = w.select("week", "rev", F.lag("rev").over(lw).alias("prev"))
+    # Spark `div` already truncates toward zero; the oracle spells the
+    # same truncation explicitly because DuckDB's `//` floors instead —
+    # they disagree exactly when growth is negative
+    return p.select(
+        "week",
+        F.col("rev").alias("rev_cents"),
+        F.col("prev").alias("prev_cents"),
+        F.expr(
+            "CASE WHEN prev IS NULL THEN NULL"
+            " ELSE ((rev - prev) * 10000) div prev END"
+        ).alias("growth_bp"),
+    )

@@ -130,7 +130,8 @@ DRIVER_PRIORITY = [
     "events_cusum_changepoint", "sql_lateral_topn_nations",
     "embedding_norms_arrow", "part_brand_entropy",
     "events_hhi_concentration", "docs_lang_confusion_audit",
-    "dedup_minhash_incremental",
+    "dedup_minhash_incremental", "events_latency_percentiles_hourly",
+    "orders_weekly_growth",
     # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
     # cheapest first; rows-only-by-declaration keys drain last ---
     "project_array_size", "filter_in_set", "agg_count_desc_topn",

@@ -21,6 +21,7 @@ SENSITIVE = [
     "sessionize_batch",          # gap windows over ts
     "events_rolling_dau7",       # ts -> date
     "window_tumbling_event_time",
+    "events_latency_percentiles_hourly",  # hourly percentile groups over ts
     "stream_rate_alert",         # streaming read of the NANOS file
     "docs_compaction_plan",      # n_chars arithmetic
     "docs_token_budget_curve",   # n_chars div tokens scoring
