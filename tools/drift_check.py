@@ -16,7 +16,7 @@ them:
 Usage:
     PYTHONPATH=/root/repo python tools/drift_check.py [src_sf_dir] [dst_dir]
 
-Round-3 result: 182/182 keys green against the drifted copy.
+Round-3 result: 185/185 keys green against the drifted copy.
 """
 
 from __future__ import annotations
