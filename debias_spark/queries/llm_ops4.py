@@ -226,7 +226,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            round(mx, 6) + 0.0 AS scale_max_abs,
-           list_sum(q8) AS q8_sum,
+           CAST(list_sum(q8) AS BIGINT) AS q8_sum,
            substr(md5(array_to_string(q8, ',')), 1, 16) AS q8_digest
     FROM q
     """,

@@ -309,8 +309,9 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT lang AS labeled_lang, pred_lang, count(*) AS n_docs,
-           (count(*) * 10000)
-               // sum(count(*)) OVER (PARTITION BY lang) AS row_share_bp
+           CAST((count(*) * 10000)
+               // sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+               AS row_share_bp
     FROM p GROUP BY lang, pred_lang
     """,
 )

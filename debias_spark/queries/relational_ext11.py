@@ -447,14 +447,16 @@ def events_latency_percentiles_hourly(spark: SparkSession, sf_dir: str) -> DataF
                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
         FROM orders GROUP BY week
     )
-    SELECT week, rev AS rev_cents, prev AS prev_cents,
+    SELECT week, CAST(rev AS BIGINT) AS rev_cents,
+           CAST(prev AS BIGINT) AS prev_cents,
            -- truncate-toward-zero division: Spark's `div` truncates while
            -- DuckDB's `//` floors, and WoW growth goes NEGATIVE — spell
            -- truncation explicitly so both engines agree below zero
-           CASE WHEN prev IS NULL THEN NULL
+           CAST(CASE WHEN prev IS NULL THEN NULL
                 WHEN (rev - prev) >= 0
                     THEN ((rev - prev) * 10000) // prev
-                ELSE -(((prev - rev) * 10000) // prev) END AS growth_bp
+                ELSE -(((prev - rev) * 10000) // prev) END AS BIGINT)
+               AS growth_bp
     FROM (SELECT week, rev, lag(rev) OVER (ORDER BY week) AS prev FROM w)
     """,
 )

@@ -432,7 +432,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s_nationkey FROM supplier GROUP BY s_nationkey
         ORDER BY count(*) DESC, s_nationkey LIMIT 1
     ), nat_value AS (
-        SELECT l_partkey, sum({_REV_CENTS_SQL}) AS value_cents
+        SELECT l_partkey, CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS value_cents
         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         WHERE s_nationkey = (SELECT s_nationkey FROM top_nation)
         GROUP BY l_partkey

@@ -109,12 +109,13 @@ _COMPACT_TARGET = 8000  # chars per output file
     oracle=f"""
     WITH c AS (
         SELECT source, doc_id, n_chars,
-               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-                                  ROWS UNBOUNDED PRECEDING) AS cum_chars
+               CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_chars
         FROM documents
     )
     SELECT source, doc_id, cum_chars,
-           (cum_chars - n_chars) // {_COMPACT_TARGET} AS file_id
+           CAST((cum_chars - n_chars) // {_COMPACT_TARGET} AS BIGINT) AS file_id
     FROM c
     """,
 )
@@ -236,17 +237,19 @@ def events_rolling_dau7(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pc AS (
         SELECT o_custkey,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
         FROM orders GROUP BY o_custkey
     ), c AS (
         SELECT o_custkey, rev_cents,
-               sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
-                                    ROWS UNBOUNDED PRECEDING) AS cum_cents,
-               sum(rev_cents) OVER () AS total
+               CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_cents,
+               CAST(sum(rev_cents) OVER () AS BIGINT) AS total
         FROM pc
     )
     SELECT o_custkey, rev_cents, cum_cents,
-           (cum_cents * 10000) // total AS cum_share_bp,
+           CAST((cum_cents * 10000) // total AS BIGINT) AS cum_share_bp,
            cum_cents * 5 <= total * 4 AS in_top80
     FROM c
     """,

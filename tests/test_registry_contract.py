@@ -28,3 +28,29 @@ def test_every_key_has_callable_and_section():
         assert spec.section, name
         if spec.oracle is not None:
             assert "SELECT" in spec.oracle.upper(), name
+
+
+# Types the driver's value-hash serializes differently from Spark's output
+# even when every value is numerically identical (round-3 adjudication:
+# embedding_quantize_int8 / tpch_q11 false hash-fails — DuckDB sum(BIGINT)
+# and list_sum return HUGEINT).  Oracles must CAST these to BIGINT/DOUBLE.
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT")
+
+
+def test_no_oracle_returns_hugeint_or_decimal():
+    """Execute every oracle's type signature at sf0.001 and assert no result
+    column carries a DuckDB type whose cell serialization diverges from the
+    Spark-side long/double (the round-3 false-hash-fail class)."""
+    from debias_spark.testing import duck_connection
+
+    con = duck_connection("/root/testdata/sf0.001")
+    bad = []
+    for name, spec in load_all_queries().items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(spec.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if any(b in t for b in _BANNED_DUCK_TYPES):
+                bad.append((name, col, t))
+    assert not bad, f"oracles emitting driver-hash-unsafe types: {bad}"
