@@ -9,12 +9,16 @@ round is: adjacent-symbol-pair weighted count (explode + aggregate),
 argmax (count desc, pair asc — deterministic ties), apply the merge.
 
 Merges apply through ``replace(' '||s||' ', ' a b ', ' ab ')`` on the
-space-joined symbol string: string replace scans left-to-right
-non-overlapping in Spark and DuckDB alike, which is exactly BPE's greedy
-left-to-right merge order — so the whole fit is deterministic and the
-DuckDB oracle can replay it as N unrolled CTE rounds, hash-matching the
-merge table of an actually-iterative engine run (same doctrine as
-dedup_clusters' WITH RECURSIVE closure).
+space-joined symbol string, applied TWICE per round: a single
+left-to-right replace consumes the trailing delimiter space of each
+match, so of k back-to-back occurrences ('x y x y') it merges only
+alternating ones; the survivors are never adjacent to each other, so one
+more pass merges them all, matching BPE's merge-every-occurrence
+semantics exactly.  Both engines run the identical double replace, so
+the whole fit is deterministic and the DuckDB oracle can replay it as N
+unrolled CTE rounds, hash-matching the merge table of an
+actually-iterative engine run (same doctrine as dedup_clusters'
+WITH RECURSIVE closure).
 
 Driver synchronization is one 1-row collect per merge round (the argmax
 pair) — the same O(rounds) sync budget as duplicate_clusters, and the
@@ -77,15 +81,17 @@ def bpe_fit(
         a, b = pair.split(" ")
         merged = a + b
         merges.append((r, pair, merged, cnt))
-        # left-to-right non-overlapping replace == greedy BPE merge order
+        # Column-expression replace (F.lit quotes apostrophes/backslashes a
+        # corpus-derived symbol may contain — SQL-text interpolation would
+        # not).  Applied twice: a single left-to-right pass consumes each
+        # match's trailing space, skipping every other back-to-back
+        # occurrence; the skipped ones are never adjacent, so pass 2
+        # merges the remainder = BPE merge-every-occurrence semantics.
+        search, repl = F.lit(f" {a} {b} "), F.lit(f" {merged} ")
+        padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
         cur = cur.select(
-            F.trim(
-                F.expr(
-                    "replace(' ' || s || ' ', ' {} {} ', ' {} ')".format(
-                        a, b, merged
-                    )
-                )
-            ).alias("s"),
+            F.trim(F.replace(F.replace(padded, search, repl), search, repl))
+            .alias("s"),
             "freq",
         )
     return spark.createDataFrame(
@@ -118,8 +124,13 @@ def bpe_oracle(n_merges: int, duck_tokens_all: str) -> str:
         SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM p{r}
         GROUP BY p ORDER BY cnt DESC, p LIMIT 1
     ), w{r + 1} AS (
-        SELECT trim(replace(' ' || s || ' ', ' ' || p || ' ',
-                            ' ' || replace(p, ' ', '') || ' ')) AS s, freq
+        -- double replace: pass 2 catches the alternating back-to-back
+        -- occurrences pass 1 skips (delimiter-space consumption)
+        SELECT trim(replace(
+                   replace(' ' || s || ' ', ' ' || p || ' ',
+                           ' ' || replace(p, ' ', '') || ' '),
+                   ' ' || p || ' ', ' ' || replace(p, ' ', '') || ' ')
+               ) AS s, freq
         FROM w{r}, b{r}
     )"""
         )

@@ -52,7 +52,10 @@ _EVAL_MAX_ID = 20  # docs below this id play the held-out benchmark set
         SELECT DISTINCT doc_id, gram FROM (
             SELECT doc_id,
                    unnest([array_to_string(t[i:i+7], ' ')
-                           FOR i IN range(1, greatest(len(t) - 6, 0) + 1)])
+                           -- len-7 upper bound: the inclusive slice t[i:i+7]
+                           -- clamps at i=len-6 to a 7-token gram the Spark
+                           -- lead(t,7) build never emits
+                           FOR i IN range(1, greatest(len(t) - 7, 0) + 1)])
                        AS gram
             FROM toks
         )

@@ -121,7 +121,10 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT doc_id, gram FROM (
             SELECT doc_id,
                    unnest([array_to_string(t[i:i+7], ' ')
-                           FOR i IN range(1, greatest(len(t) - 6, 0) + 1)])
+                           -- len-7 upper bound: the inclusive slice t[i:i+7]
+                           -- clamps at i=len-6 to a 7-token gram the Spark
+                           -- lead(t,7) build never emits
+                           FOR i IN range(1, greatest(len(t) - 7, 0) + 1)])
                        AS gram
             FROM toks
         )

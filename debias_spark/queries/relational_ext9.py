@@ -34,13 +34,15 @@ from debias_spark.registry import register
                epoch_us(date_trunc('microseconds', ts)) AS us, event_id
         FROM events
     ), marked AS (
-        SELECT user_id, event_type, us,
+        SELECT user_id, event_type, us, event_id,
                CASE WHEN event_type IS DISTINCT FROM
                          lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
     ), grouped AS (
+        -- event_id tie-break matches the Spark window: same-microsecond
+        -- events would make a us-only ROWS frame order-nondeterministic
         SELECT user_id, event_type, us,
-               sum(chg) OVER (PARTITION BY user_id ORDER BY us
+               sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
                               ROWS UNBOUNDED PRECEDING) AS grp
         FROM marked
     ), islands AS (

