@@ -9,6 +9,8 @@ register FIRST so any per-round key cap or time cutoff lands on keys that
 already have green CORRECTNESS_r01 rows, never on unproven ones.
 """
 
+import debias_spark.queries.relational_ext12  # noqa: F401  X86-X87 skyline, interval overlap (round 4)
+import debias_spark.queries.llm_ops8  # noqa: F401  Y18/Z23/Z24 bigram LM, URL dedup, containment (round 4)
 import debias_spark.queries.llm_ops  # noqa: F401  H7-H10 + dedup/similarity/text
 import debias_spark.queries.llm_ops2  # noqa: F401  Y1-Y5 quality filters + MLlib
 import debias_spark.queries.streaming_ext  # noqa: F401  H14-H16

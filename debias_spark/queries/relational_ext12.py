@@ -1,0 +1,233 @@
+"""Twelfth relational wave (X86-X87): two classic operators the engine was
+still missing as first-class keys — the skyline (Pareto-optimal set, via the
+standard distributed local-skyline/merge algorithm) and a variable-length
+interval-overlap self-join (banded replication + canonical-band dedup, the
+general form of X18's fixed-band point join).
+
+Neither has a reference citation: the reference (SirHooke/debias-batch-
+processor) contains no joins or multi-objective queries at all
+(call-debias.py is scan->annotate->sink); both keys are north-star
+extensions per SURVEY §2.H.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.registry import register
+
+
+def _skyline_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Partition-local skyline of (price_cents minimize, p_size maximize).
+
+    Sort by (price ascending, size descending); a point survives iff its
+    size strictly exceeds the running max size of every earlier point —
+    earlier means cheaper, or same price with larger-or-equal size, which
+    is exactly the dominance order.  Duplicate value pairs collapse to one
+    representative here; the caller re-expands via a value join, so
+    dropping intra-partition duplicates is harmless."""
+    pdf = pd.concat(list(batches), ignore_index=True)
+    if pdf.empty:
+        yield pdf
+        return
+    pdf = pdf.sort_values(["price_cents", "p_size"], ascending=[True, False])
+    prev_max = pdf["p_size"].cummax().shift(1, fill_value=-1)
+    yield pdf[pdf["p_size"] > prev_max]
+
+
+@register(
+    "part_skyline_pareto",
+    "X86",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               p_size
+        FROM part
+    )
+    SELECT a.p_partkey, a.price_cents, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+          AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+    )
+    """,
+)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts: cheapest-for-their-size parts
+    (minimize retail price, maximize size); a part is dominated if another
+    is no worse on both axes and strictly better on one.
+
+    Scale shape — the textbook two-phase distributed skyline: phase 1
+    computes the skyline of each input partition independently (Arrow
+    batch, no shuffle; a random partition's 2-D skyline is O(log n)
+    points, so this is a massive reducer), phase 2 merges the surviving
+    candidates on a single task — valid because the global skyline is a
+    subset of every partition-skyline union, and the same strict-dominance
+    sweep over the candidate set yields exactly the global frontier.  The
+    tiny value frontier then broadcast-joins back to recover every part
+    row carrying a frontier (price, size) pair, including exact ties.
+    Never all-pairs: the oracle's NOT EXISTS spelling is the O(n^2)
+    semantics, not the plan."""
+    part = table(spark, sf_dir, "part")
+    vals = part.select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size"),
+    )
+    schema = "price_cents long, p_size int"
+    local = vals.mapInPandas(_skyline_batches, schema)
+    frontier = local.repartition(1).mapInPandas(_skyline_batches, schema)
+    return part.join(
+        F.broadcast(frontier),
+        (F.round(F.col("p_retailprice") * 100).cast("long") == F.col("price_cents"))
+        & (part["p_size"] == frontier["p_size"]),
+    ).select("p_partkey", "price_cents", part["p_size"])
+
+
+@register(
+    "agg_percentiles_approx_banded",
+    "X4c",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(floor(count(*) * 0.48) AS BIGINT) AS p50_lo_rank,
+           CAST(ceiling(count(*) * 0.52) AS BIGINT) AS p50_hi_rank,
+           CAST(floor(count(*) * 0.88) AS BIGINT) AS p90_lo_rank,
+           CAST(ceiling(count(*) * 0.92) AS BIGINT) AS p90_hi_rank,
+           TRUE AS p50_in_band,
+           TRUE AS p90_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_approx_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-banded oracle for the approx-percentile sketch (upgrades
+    X4b's rows-only evidence to a value-hash row): the sketch estimate
+    itself is engine-specific and never leaves the query; what IS emitted
+    — and what DuckDB can assert — is whether the estimate's exact rank
+    lands inside a ±2% rank band, which the GK sketch at accuracy=10000
+    guarantees (rank error <= n/10000 << 0.02n) for any input.
+
+    Two passes, both scale-clean: (1) per-group sketch aggregate (mergeable
+    bounded state, map-side partials), (2) broadcast the tiny per-group
+    estimates back over the fact table and count values strictly below /
+    at-or-below each estimate — exact rank bounds, no sort.  In-band is
+    count(v < est) <= hi_rank AND count(v <= est) >= lo_rank; the oracle
+    states the band arithmetic from exact counts and TRUE literals, so a
+    sketch regression (or a broken rank contract) breaks the hash."""
+    li = table(spark, sf_dir, "lineitem")
+    est = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("a90"),
+    )
+    j = li.join(F.broadcast(est), "l_returnflag")
+    counted = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("l_quantity") < F.col("a50")).cast("long")).alias("lt50"),
+        F.sum((F.col("l_quantity") <= F.col("a50")).cast("long")).alias("le50"),
+        F.sum((F.col("l_extendedprice") < F.col("a90")).cast("long")).alias("lt90"),
+        F.sum((F.col("l_extendedprice") <= F.col("a90")).cast("long")).alias("le90"),
+    )
+    n = F.col("n_rows")
+    # literal band factors, spelled identically to the oracle's so the two
+    # engines floor/ceil the exact same doubles (0.5 - 0.02 in driver-side
+    # Python is 0.48000000000000004 — NOT the double the SQL literal 0.48
+    # denotes)
+    bounds = {
+        "p50_lo_rank": F.floor(n * 0.48),
+        "p50_hi_rank": F.ceiling(n * 0.52),
+        "p90_lo_rank": F.floor(n * 0.88),
+        "p90_hi_rank": F.ceiling(n * 0.92),
+    }
+    return counted.select(
+        "l_returnflag",
+        "n_rows",
+        *[v.alias(k) for k, v in bounds.items()],
+        ((F.col("lt50") <= bounds["p50_hi_rank"]) & (F.col("le50") >= bounds["p50_lo_rank"])).alias("p50_in_band"),
+        ((F.col("lt90") <= bounds["p90_hi_rank"]) & (F.col("le90") >= bounds["p90_lo_rank"])).alias("p90_in_band"),
+    )
+
+
+@register(
+    "lineitem_interval_overlap",
+    "X87",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               l_orderkey * 8 + l_linenumber AS tb,
+               date_diff('day', DATE '1970-01-01', l_shipdate) AS s,
+               date_diff('day', DATE '1970-01-01', l_shipdate)
+                   + (CAST(l_quantity AS INT) % 7) AS e
+        FROM lineitem
+    )
+    SELECT a.l_partkey,
+           count(*) AS n_pairs,
+           CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT)
+               AS overlap_days_total
+    FROM v a JOIN v b
+      ON a.l_partkey = b.l_partkey AND a.tb < b.tb
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.l_partkey
+    """,
+)
+def lineitem_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of shipments of the same part
+    whose availability windows [shipdate, shipdate + (qty mod 7) days]
+    overlap, aggregated per part (pair count + total overlapping days).
+
+    This generalizes X18 (join_range_banded): there the joined objects are
+    POINTS and a fixed band radius makes each pair meet in exactly one
+    band; here the objects are VARIABLE-LENGTH intervals, so each interval
+    is replicated into every 7-day band it covers (bounded fan-out: max
+    interval 6 days => at most 2 bands) and the equi-join on
+    (part, band) + overlap residual finds each overlapping pair once per
+    shared band — dedup is by the canonical-band rule: count the pair only
+    in the band containing the later interval start.  That turns an
+    inequality join (O(n^2) per part) into an equi-join Catalyst can
+    shuffle-partition, with AQE handling part skew."""
+    band_days = 7
+    li = table(spark, sf_dir, "lineitem")
+    s = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    v = li.select(
+        "l_partkey",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tb"),
+        s.alias("s"),
+        (s + F.col("l_quantity").cast("int") % band_days).alias("e"),
+    )
+    with_bands = v.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / band_days), F.floor(F.col("e") / band_days)
+            )
+        ).alias("band"),
+    )
+    a = with_bands.select(
+        "l_partkey", "band",
+        F.col("tb").alias("tb_a"), F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = with_bands.select(
+        "l_partkey", "band",
+        F.col("tb").alias("tb_b"), F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    pairs = (
+        a.join(b, ["l_partkey", "band"])
+        .filter(
+            (F.col("tb_a") < F.col("tb_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+            # canonical band: the one holding the later start — each
+            # overlapping pair is counted exactly once
+            & (F.col("band") == F.floor(F.greatest("s_a", "s_b") / band_days))
+        )
+    )
+    overlap = F.least("e_a", "e_b") - F.greatest("s_a", "s_b") + F.lit(1)
+    return pairs.groupBy("l_partkey").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(overlap).cast("long").alias("overlap_days_total"),
+    )

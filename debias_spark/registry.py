@@ -95,6 +95,9 @@ DRIVER_PRIORITY = [
     "lineitem_weighted_median_price", "dedup_minhash_est_vs_exact",
     "orders_copurchase_triangles",
     # --- block 1b: new round-4 keys (driver window slots 42-50) ---
+    "part_skyline_pareto", "lineitem_interval_overlap",
+    "text_bigram_lm_score", "docs_dedup_url", "docs_dedup_containment",
+    "agg_percentiles_approx_banded",
     # --- block 3: driver-evidenced keys (re-proving is a bonus), cheapest
     # first; rows-only-by-declaration keys drain last ---
     "agg_salted_skew", "embedding_random_projection", "funnel_conversion",
