@@ -228,12 +228,15 @@ def docs_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (H9c) misses, since a short doc embedded in a long one has low Jaccard
     but high containment.
 
-    Scale shape: the pair generation is an inverted-index self-join on the
-    shingle key — never all-pairs — and stays bounded because shingles
-    with document frequency > {cap} (boilerplate by definition) are
-    excluded from BOTH the index and each doc's denominator, capping the
-    per-posting fan-out at {cap}^2.  Counting co-occurrences per directed
-    pair gives |Sa ∩ Sb| exactly; one broadcast-size join adds |Sa|."""
+    Scale shape: pair generation is inverted-index postings expansion —
+    never all-pairs, never a self-join.  One aggregate builds each
+    shingle's posting list; lists longer than {cap} docs (boilerplate by
+    definition) are dropped from BOTH the index and each doc's
+    denominator, so expanding a list to its ordered doc pairs is a
+    bounded {cap}^2 in-row fan-out that Catalyst evaluates inside the
+    same stage — no second shuffle of the postings and no recomputation
+    of the upstream for a join's two sides.  Counting expanded pairs
+    gives |Sa ∩ Sb| exactly; one shuffle join adds |Sa|."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens().alias("t"))
     # sequence(0, -1) would count DOWN, so guard the short-doc case to an
@@ -254,16 +257,28 @@ def docs_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh = toks.select("doc_id", F.explode(grams).alias("g"))
-    good = sh.groupBy("g").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= _CONTAIN_DF_CAP
+    postings = (
+        sh.groupBy("g")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= _CONTAIN_DF_CAP)
     )
-    post = sh.join(good.select("g"), "g")
-    sz = post.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = post.select(F.col("doc_id").alias("id_a"), "g")
-    b = post.select(F.col("doc_id").alias("id_b"), "g")
+    sz = (
+        postings.select(F.explode("ids").alias("id_a"))
+        .groupBy("id_a")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.expr(
+                "transform(ids, x -> transform(ids,"
+                " y -> struct(x AS id_a, y AS id_b)))"
+            )
+        ),
+        lambda p: p["id_a"] != p["id_b"],
+    )
     pairs = (
-        a.join(b, "g")
-        .filter(F.col("id_a") != F.col("id_b"))
+        postings.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -271,7 +286,7 @@ def docs_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_common").cast("double") / F.col("n_sh").cast("double"), 4
     )
     return (
-        pairs.join(sz.withColumnRenamed("doc_id", "id_a"), "id_a")
+        pairs.join(sz, "id_a")
         .select("id_a", "id_b", "n_common", contain.alias("containment"))
         .filter(F.col("containment") >= _CONTAIN_TAU)
     )

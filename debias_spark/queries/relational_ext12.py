@@ -215,8 +215,11 @@ def lineitem_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "band",
         F.col("tb").alias("tb_b"), F.col("s").alias("s_b"), F.col("e").alias("e_b"),
     )
+    # both join inputs are exploded fact-table frames — at 100 TB neither
+    # side broadcasts, so pin the shuffle-hash strategy the real cluster
+    # would use instead of letting small-SF stats pick a broadcast
     pairs = (
-        a.join(b, ["l_partkey", "band"])
+        a.join(b.hint("shuffle_hash"), ["l_partkey", "band"])
         .filter(
             (F.col("tb_a") < F.col("tb_b"))
             & (F.col("s_a") <= F.col("e_b"))

@@ -470,3 +470,59 @@ def test_arrow_norms_single_python_stage_no_shuffle(spark, sf_dir):
     phys = executed_plan(df)
     assert phys.count("MapInArrow") == 1 or "ArrowEvalPython" in phys or "MapInArrow" in phys, phys[:800]
     assert_max_exchanges(df, 0)
+
+
+# --- round-4 wave (X86-X87, X4c, Y18, Z23-Z24) -------------------------------
+
+
+def test_skyline_two_arrow_stages_then_broadcast(spark, sf_dir):
+    """Two-phase skyline: exactly two Arrow (mapInPandas) stages — the
+    partition-local prune and the single-task merge — and the frontier
+    must come back via broadcast, never a shuffled join of part."""
+    df = q("part_skyline_pareto", spark, sf_dir)
+    phys = executed_plan(df)
+    assert phys.count("MapInPandas") == 2, phys[:1200]
+    assert join_strategies(df) == ["BroadcastHashJoin"], join_strategies(df)
+
+
+def test_interval_overlap_is_keyed_equijoin(spark, sf_dir):
+    """The banded interval join must be a shuffled equi-join on
+    (part, band) — two exploded fact sides, so broadcast would be wrong
+    at scale — with the overlap window as a residual, not a cross."""
+    df = q("lineitem_interval_overlap", spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins and set(joins) <= {"SortMergeJoin", "ShuffledHashJoin"}, joins
+
+
+def test_containment_has_no_selfjoin_and_no_python(spark, sf_dir):
+    """Postings-expansion containment: the only join in the plan is the
+    per-doc size lookup — pair generation happens inside the aggregate
+    stage (bounded df-cap fan-out), never as an index self-join — and the
+    whole pipeline stays JVM-side."""
+    df = q("docs_dedup_containment", spark, sf_dir)
+    assert len(join_strategies(df)) == 1, join_strategies(df)
+    phys = executed_plan(df)
+    assert "MapInPandas" not in phys and "BatchEvalPython" not in phys
+
+
+def test_bigram_lm_stays_jvm_side(spark, sf_dir):
+    """Bigram scoring is joins + aggregates only: no Python boundary, and
+    the 1-row vocabulary total arrives by broadcast."""
+    df = q("text_bigram_lm_score", spark, sf_dir)
+    phys = executed_plan(df)
+    assert "BatchEvalPython" not in phys and "MapInPandas" not in phys
+    assert "BroadcastExchange" in phys or "BroadcastNestedLoopJoin" in phys
+
+
+def test_url_dedup_single_shuffle(spark, sf_dir):
+    """Canonicalization is pure codegen; the dedup itself is one hash
+    aggregate — exactly one shuffle in the whole plan."""
+    assert_max_exchanges(q("docs_dedup_url", spark, sf_dir), 1)
+
+
+def test_banded_percentiles_broadcasts_estimates(spark, sf_dir):
+    """The per-group sketch estimates (3 rows) must be broadcast back over
+    the fact table; the fact side itself shuffles only for the final
+    per-group count aggregation."""
+    df = q("agg_percentiles_approx_banded", spark, sf_dir)
+    assert "BroadcastHashJoin" in join_strategies(df), join_strategies(df)

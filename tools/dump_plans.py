@@ -43,6 +43,10 @@ REPRESENTATIVE = [
     ("text_ngram_novelty_curve", "zip_with bigram build; novelty join between two doc-sized aggregates (round-3 8x fix)"),
     ("docs_bm25_search", "BM25: broadcast df/corpus stats onto the tf frame; two linear shuffles"),
     ("merge_upsert_snapshot", "MERGE as one full-outer key join"),
+    ("part_skyline_pareto", "two-phase distributed skyline: Arrow partition-local prune, single-task merge, broadcast frontier join-back"),
+    ("lineitem_interval_overlap", "variable-length interval overlap: banded replication + shuffle-hash equi-join (no fact broadcast), canonical-band dedup as residual"),
+    ("docs_dedup_containment", "inverted-index containment: postings aggregate + bounded in-row pair expansion — one join in the whole plan (size lookup)"),
+    ("agg_percentiles_approx_banded", "sketch estimates (3 rows) broadcast back over the fact scan; exact rank counts in one aggregate"),
 ]
 
 
