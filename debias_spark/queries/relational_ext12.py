@@ -31,10 +31,10 @@ def _skyline_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     is exactly the dominance order.  Duplicate value pairs collapse to one
     representative here; the caller re-expands via a value join, so
     dropping intra-partition duplicates is harmless."""
-    pdf = pd.concat(list(batches), ignore_index=True)
-    if pdf.empty:
-        yield pdf
+    parts = [b for b in batches if len(b)]
+    if not parts:
         return
+    pdf = pd.concat(parts, ignore_index=True)
     pdf = pdf.sort_values(["price_cents", "p_size"], ascending=[True, False])
     prev_max = pdf["p_size"].cummax().shift(1, fill_value=-1)
     yield pdf[pdf["p_size"] > prev_max]
@@ -154,6 +154,51 @@ def agg_percentiles_approx_banded(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "agg_distinct_sketch_banded",
+    "X88",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS acd_in_band,
+           TRUE AS hll_in_band
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct_sketch_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-oracle upgrade for the distinct-count sketches (H13's
+    approx_count_distinct and X28's Datasketches HLL), same pattern as
+    X4c: the estimates are engine-specific and stay inside the query;
+    what's emitted is the exact per-group distinct count plus whether
+    each estimate lands within ±5% of it — far outside the configured
+    error (HLL++ at rsd=0.01 → 5 sigma; HLL sketch at lgK=14,
+    rsd≈0.8% → 6 sigma), and deterministic for any fixed input, so the
+    value-hash is stable however the driver regenerates the data.
+
+    The exact count is itself the scale-honest spelling: count(DISTINCT)
+    per group is a two-level hash aggregate (distinct pairs, then count),
+    not a sort."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("acd"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias(
+            "hll"
+        ),
+    )
+    def in_band(est):
+        return (
+            F.abs(est - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        in_band(F.col("acd")).alias("acd_in_band"),
+        in_band(F.col("hll")).alias("hll_in_band"),
+    )
+
+
+@register(
     "lineitem_interval_overlap",
     "X87",
     oracle="""
@@ -182,14 +227,17 @@ def lineitem_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This generalizes X18 (join_range_banded): there the joined objects are
     POINTS and a fixed band radius makes each pair meet in exactly one
-    band; here the objects are VARIABLE-LENGTH intervals, so each interval
-    is replicated into every 7-day band it covers (bounded fan-out: max
-    interval 6 days => at most 2 bands) and the equi-join on
-    (part, band) + overlap residual finds each overlapping pair once per
-    shared band — dedup is by the canonical-band rule: count the pair only
-    in the band containing the later interval start.  That turns an
-    inequality join (O(n^2) per part) into an equi-join Catalyst can
-    shuffle-partition, with AQE handling part skew."""
+    band; here the objects are VARIABLE-LENGTH intervals.  Asymmetric
+    banding keeps the replication to ONE side: the "cover" side is
+    replicated into every 7-day band its interval touches (bounded
+    fan-out: max interval 6 days => at most 2 bands), the "start" side
+    sits only in the band of its own start.  For an overlapping pair, the
+    later start lies inside the earlier-starting interval, hence inside
+    one of its cover bands — so requiring start >= cover-start (tb as the
+    equal-start tiebreak) finds every unordered pair in exactly one
+    (band, orientation), with no dedup residual and half the shuffled
+    rows of the symmetric spelling.  An equi-join on (part, band)
+    Catalyst can shuffle-partition, AQE handling part skew."""
     band_days = 7
     li = table(spark, sf_dir, "lineitem")
     s = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
@@ -199,37 +247,35 @@ def lineitem_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("s"),
         (s + F.col("l_quantity").cast("int") % band_days).alias("e"),
     )
-    with_bands = v.select(
-        "*",
+    cover = v.select(
+        "l_partkey",
+        F.col("tb").alias("tb_c"), F.col("s").alias("s_c"), F.col("e").alias("e_c"),
         F.explode(
             F.sequence(
                 F.floor(F.col("s") / band_days), F.floor(F.col("e") / band_days)
             )
         ).alias("band"),
     )
-    a = with_bands.select(
-        "l_partkey", "band",
-        F.col("tb").alias("tb_a"), F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    start = v.select(
+        "l_partkey",
+        F.col("tb").alias("tb_s"), F.col("s").alias("s_s"), F.col("e").alias("e_s"),
+        F.floor(F.col("s") / band_days).alias("band"),
     )
-    b = with_bands.select(
-        "l_partkey", "band",
-        F.col("tb").alias("tb_b"), F.col("s").alias("s_b"), F.col("e").alias("e_b"),
-    )
-    # both join inputs are exploded fact-table frames — at 100 TB neither
-    # side broadcasts, so pin the shuffle-hash strategy the real cluster
-    # would use instead of letting small-SF stats pick a broadcast
+    # both join inputs are fact-table frames — at 100 TB neither side
+    # broadcasts, so pin the shuffle-hash strategy the real cluster would
+    # use instead of letting small-SF stats pick a broadcast
     pairs = (
-        a.join(b.hint("shuffle_hash"), ["l_partkey", "band"])
+        cover.join(start.hint("shuffle_hash"), ["l_partkey", "band"])
         .filter(
-            (F.col("tb_a") < F.col("tb_b"))
-            & (F.col("s_a") <= F.col("e_b"))
-            & (F.col("s_b") <= F.col("e_a"))
-            # canonical band: the one holding the later start — each
-            # overlapping pair is counted exactly once
-            & (F.col("band") == F.floor(F.greatest("s_a", "s_b") / band_days))
+            # the start side is the LATER-starting interval of the pair
+            # (tb breaks equal-start ties) and must begin inside the
+            # cover interval — that IS the overlap test
+            ((F.col("s_s") > F.col("s_c"))
+             | ((F.col("s_s") == F.col("s_c")) & (F.col("tb_s") > F.col("tb_c"))))
+            & (F.col("s_s") <= F.col("e_c"))
         )
     )
-    overlap = F.least("e_a", "e_b") - F.greatest("s_a", "s_b") + F.lit(1)
+    overlap = F.least("e_c", "e_s") - F.col("s_s") + F.lit(1)
     return pairs.groupBy("l_partkey").agg(
         F.count("*").alias("n_pairs"),
         F.sum(overlap).cast("long").alias("overlap_days_total"),

@@ -97,7 +97,7 @@ DRIVER_PRIORITY = [
     # --- block 1b: new round-4 keys (driver window slots 42-50) ---
     "part_skyline_pareto", "lineitem_interval_overlap",
     "text_bigram_lm_score", "docs_dedup_url", "docs_dedup_containment",
-    "agg_percentiles_approx_banded",
+    "agg_percentiles_approx_banded", "agg_distinct_sketch_banded",
     # --- block 3: driver-evidenced keys (re-proving is a bonus), cheapest
     # first; rows-only-by-declaration keys drain last ---
     "agg_salted_skew", "embedding_random_projection", "funnel_conversion",

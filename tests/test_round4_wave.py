@@ -149,3 +149,20 @@ def test_containment_is_asymmetric_and_bounded(spark, sf_dir):
     asym = [k for k in seen if (k[1], k[0]) not in seen]
     mutual = [k for k in seen if (k[1], k[0]) in seen]
     assert asym or mutual
+
+
+def test_distinct_sketch_bands_hold_and_exact_matches(spark, sf_dir):
+    """Both sketch estimates must sit inside the ±5% band, and the exact
+    column must equal a directly-computed count(DISTINCT)."""
+    out = SPECS["agg_distinct_sketch_banded"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in out:
+        assert r.acd_in_band and r.hll_in_band, r
+        assert r.exact_users == exact[r.event_type]

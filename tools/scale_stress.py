@@ -55,6 +55,15 @@ KEYS = [
     "orders_pareto_share",
     "scd2_user_status",
     "orders_copurchase_triangles",
+    # round-4 wave: corpus-replicating keys (documents grow Kx with exact
+    # and near duplicates — the containment/bigram/url pipelines see the
+    # realistic dedup shape).  lineitem_interval_overlap is deliberately
+    # NOT stressed here: lineitem replicates onto a single-copy part dim,
+    # so per-part shipment count grows Kx and the OUTPUT pair set grows
+    # ~K^2 by construction — a testdata artifact, not a plan property.
+    "docs_dedup_containment",
+    "text_bigram_lm_score",
+    "docs_dedup_url",
 ]
 
 OFFSETS = {
