@@ -56,8 +56,10 @@ def load_all_queries() -> dict[str, QuerySpec]:
 
 # ROUND-5 REBUILD NOTE: after CORRECTNESS_r04 lands, repeat the drill —
 # drain its green keys into block 3 (cheapest first), front-load any
-# failures plus whatever of block 1's tail (positions 51+) missed the
-# window, then new round-5 keys right behind them.
+# failures plus whatever of block 1's tail missed the window, then new
+# round-5 keys right behind them.  Round-4 state: block 1 (41 unproven
+# r03 keys) + block 1b (8 new round-4 keys) = 49 of the 50 window slots;
+# everything below is already driver-evidenced.
 #
 # The driver iterates queries() in dict order and rounds 1-3 showed it
 # stops after exactly the first 50 keys.  Whatever the mechanism — count
@@ -98,6 +100,7 @@ DRIVER_PRIORITY = [
     "part_skyline_pareto", "lineitem_interval_overlap",
     "text_bigram_lm_score", "docs_dedup_url", "docs_dedup_containment",
     "agg_percentiles_approx_banded", "agg_distinct_sketch_banded",
+    "graph_pagerank_copurchase",
     # --- block 3: driver-evidenced keys (re-proving is a bonus), cheapest
     # first; rows-only-by-declaration keys drain last ---
     "agg_salted_skew", "embedding_random_projection", "funnel_conversion",

@@ -166,3 +166,47 @@ def test_distinct_sketch_bands_hold_and_exact_matches(spark, sf_dir):
     for r in out:
         assert r.acd_in_band and r.hll_in_band, r
         assert r.exact_users == exact[r.event_type]
+
+
+def test_pagerank_matches_pure_python_iteration(spark, sf_dir):
+    """Replay the 5 synchronous damped iterations in pure Python over the
+    collected edge set and require the top-20 (rounded, tiebroken) to
+    match the distributed loop exactly."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .collect()
+    )
+    edges: dict[int, list[int]] = {}
+    for r in und:
+        edges.setdefault(r.pa, []).append(r.pb)
+        edges.setdefault(r.pb, []).append(r.pa)
+    n = len(edges)
+    assert n > 0
+    rank = {v: 1.0 / n for v in edges}
+    for _ in range(5):
+        new = {}
+        for v in edges:
+            new[v] = 0.15 / n + 0.85 * sum(
+                rank[u] / len(edges[u]) for u in edges[v]
+            )
+        rank = new
+    expect = sorted(
+        ((round(r, 6), v) for v, r in rank.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = [
+        (r.pagerank, r.part)
+        for r in SPECS["graph_pagerank_copurchase"].fn(spark, sf_dir).collect()
+    ]
+    # float-sum order may flip the last ulp across engines; compare with
+    # a 1e-6 tolerance on scores and exact membership on parts
+    assert [p for _, p in got] == [p for _, p in expect]
+    for (gs, _), (es, _) in zip(got, expect):
+        assert abs(gs - es) <= 2e-6
