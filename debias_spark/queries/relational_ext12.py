@@ -1,12 +1,15 @@
-"""Twelfth relational wave (X86-X87): two classic operators the engine was
-still missing as first-class keys — the skyline (Pareto-optimal set, via the
-standard distributed local-skyline/merge algorithm) and a variable-length
-interval-overlap self-join (banded replication + canonical-band dedup, the
-general form of X18's fixed-band point join).
+"""Twelfth relational wave (X86-X89, X4c): operators the engine was still
+missing as first-class keys — the skyline (Pareto-optimal set, standard
+distributed local-skyline/merge), a variable-length interval-overlap
+self-join (asymmetric banded replication, generalizing X18's fixed-band
+point join), fixed-iteration PageRank over the co-purchase graph (with an
+unrolled-CTE oracle), and the two banded sketch oracles that turn the
+approx-percentile and distinct-count accuracy contracts into
+driver-hash-checkable rows.
 
-Neither has a reference citation: the reference (SirHooke/debias-batch-
-processor) contains no joins or multi-objective queries at all
-(call-debias.py is scan->annotate->sink); both keys are north-star
+None has a reference citation: the reference (SirHooke/debias-batch-
+processor) contains no joins, graphs, sketches, or multi-objective queries
+at all (call-debias.py is scan->annotate->sink); all are north-star
 extensions per SURVEY §2.H.
 """
 
@@ -381,4 +384,69 @@ def lineitem_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("l_partkey").agg(
         F.count("*").alias("n_pairs"),
         F.sum(overlap).cast("long").alias("overlap_days_total"),
+    )
+
+
+@register(
+    "incremental_agg_maintenance",
+    "X90",
+    oracle="""
+    SELECT o_custkey % 100 AS cust_bucket,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+           max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE
+                 / count(*), 4) AS avg_cents
+    FROM orders GROUP BY o_custkey % 100
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the fact table
+    arrives as a BASE snapshot plus a DELTA batch (split here on
+    o_orderdate at 2000-01-01), each is aggregated independently, and the
+    two partial states merge into the exact full-table aggregate — the
+    pattern that lets a 100 TB pipeline refresh a rollup from the day's
+    partition instead of re-scanning history.
+
+    The merge rules are the textbook decomposable-aggregate
+    classification: count and sum re-aggregate with SUM, max with MAX,
+    and avg is ALGEBRAIC — never merged directly, always recomputed from
+    the merged (sum, count) pair.  The oracle aggregates the whole table
+    flat; the hash match proves base+delta merge == full recompute."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    with_cols = o.select(
+        (F.col("o_custkey") % 100).alias("cust_bucket"),
+        cents.alias("cents"),
+        F.col("o_orderdate"),
+    )
+    base = with_cols.filter(F.col("o_orderdate") < "2000-01-01")
+    delta = with_cols.filter(F.col("o_orderdate") >= "2000-01-01")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("cust_bucket").agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("s"),
+            F.max("cents").alias("m"),
+        )
+
+    merged = (
+        partial(base)
+        .unionAll(partial(delta))
+        .groupBy("cust_bucket")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").alias("rev_cents"),
+            F.max("m").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "cust_bucket",
+        "n_orders",
+        "rev_cents",
+        "max_cents",
+        F.round(
+            F.col("rev_cents").cast("double") / F.col("n_orders").cast("double"), 4
+        ).alias("avg_cents"),
     )

@@ -100,7 +100,7 @@ DRIVER_PRIORITY = [
     "part_skyline_pareto", "lineitem_interval_overlap",
     "text_bigram_lm_score", "docs_dedup_url", "docs_dedup_containment",
     "agg_percentiles_approx_banded", "agg_distinct_sketch_banded",
-    "graph_pagerank_copurchase",
+    "graph_pagerank_copurchase", "incremental_agg_maintenance",
     # --- block 3: driver-evidenced keys (re-proving is a bonus), cheapest
     # first; rows-only-by-declaration keys drain last ---
     "agg_salted_skew", "embedding_random_projection", "funnel_conversion",

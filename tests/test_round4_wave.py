@@ -210,3 +210,24 @@ def test_pagerank_matches_pure_python_iteration(spark, sf_dir):
     assert [p for _, p in got] == [p for _, p in expect]
     for (gs, _), (es, _) in zip(got, expect):
         assert abs(gs - es) <= 2e-6
+
+
+def test_incremental_merge_equals_flat_recompute(spark, sf_dir):
+    """The base+delta partial-aggregate merge must equal a flat one-pass
+    aggregate over the whole table, and both sides of the split must be
+    non-empty (otherwise the merge isn't exercised)."""
+    o = table(spark, sf_dir, "orders")
+    assert o.filter(F.col("o_orderdate") < "2000-01-01").count() > 0
+    assert o.filter(F.col("o_orderdate") >= "2000-01-01").count() > 0
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    flat = {
+        r.cust_bucket: (r.n, r.s, r.m)
+        for r in o.groupBy((F.col("o_custkey") % 100).alias("cust_bucket"))
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("s"), F.max(cents).alias("m"))
+        .collect()
+    }
+    got = {
+        r.cust_bucket: (r.n_orders, r.rev_cents, r.max_cents)
+        for r in SPECS["incremental_agg_maintenance"].fn(spark, sf_dir).collect()
+    }
+    assert got == flat
