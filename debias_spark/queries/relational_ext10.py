@@ -44,27 +44,23 @@ def orders_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cubic blow-up is controlled the way production triangle counts
     do it: (1) the SUPPORT FILTER shrinks the edge set before any
-    edge-edge join — pair generation is basket-bounded (self-join on the
-    order key, ~(basket size)^2 per order), and only pairs passing the
-    threshold survive; (2) the a<b<c orientation (edges stored a<b,
-    wedges closed pa->pb->pc) counts each triangle exactly once instead
-    of six times.  The standard next step at extreme skew — orienting
-    edges by degree so every wedge pivots on its lowest-degree node —
-    drops in as an extra join key, same shape.  Wedge join and closing
-    semi-check are equi-joins on part keys; AQE broadcasts the filtered
-    edge list when it is small, shuffles when it is not."""
-    items = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = items.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("pb"))
+    edge-edge join — pair generation is basket-local (operators/graph.py:
+    collect each basket, explode ordered pairs in codegen, ~(basket
+    size)^2 per order), and only pairs passing the threshold survive;
+    (2) the a<b<c orientation (edges stored a<b, wedges closed
+    pa->pb->pc) counts each triangle exactly once instead of six times.
+    The standard next step at extreme skew — orienting edges by degree so
+    every wedge pivots on its lowest-degree node — drops in as an extra
+    join key, same shape.  Wedge join and closing semi-check are
+    equi-joins on part keys; AQE broadcasts the filtered edge list when
+    it is small, shuffles when it is not."""
+    from debias_spark.operators.graph import copurchase_edges
+
     edges = (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("pa", "pb")
+        copurchase_edges(spark, sf_dir, min_support=2)
         # the support-pruned edge list feeds THREE join branches below;
-        # materialize it once instead of recomputing the basket self-join
-        # per branch (what production would persist anyway) — measured
+        # materialize it once instead of recomputing the basket build per
+        # branch (what production would persist anyway) — measured
         # ~2.1 s -> ~1.7 s at sf0.1
         .localCheckpoint(eager=True)
     )

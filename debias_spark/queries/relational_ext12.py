@@ -79,18 +79,12 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join of edges with the current rank vector plus one dst-keyed
     aggregate — the canonical message-passing round, shuffling rank mass
     only, never the graph.  Node count enters as a broadcast 1-row
-    aggregate, not a driver-side constant."""
-    li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = items.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("pb"))
-    und = (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("pa", "pb")
-    )
+    aggregate, not a driver-side constant.  Edge construction is the
+    shared basket-local build (operators/graph.py): two shuffles, no
+    self-join."""
+    from debias_spark.operators.graph import copurchase_edges
+
+    und = copurchase_edges(spark, sf_dir, min_support=2)
     edges = und.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
