@@ -4,11 +4,17 @@
 Edge build doctrine: pair generation is BASKET-LOCAL.  Instead of
 distinct + self-join on the order key (three shuffles: distinct, join,
 support aggregate), collect each order's part set once and explode the
-ordered pairs inside codegen with higher-order array functions — one
-shuffle to group baskets, one to aggregate support.  ``collect_set``
-dedups (order, part) repeats, so per-order pair multiplicity matches the
-distinct+self-join spelling exactly (A/B'd exceptAll-empty at sf0.1,
-3573 edges both ways; min-of-5 1.27 s vs 1.36 s locally).
+ordered pairs — one shuffle to group baskets, one to aggregate support.
+``collect_set`` dedups (order, part) repeats, so per-order pair
+multiplicity matches the distinct+self-join spelling exactly (A/B'd
+exceptAll-empty at sf0.1).
+
+Pair expansion is spelled as posexplode + tail-slice explode, NOT a
+nested ``transform(.., transform(slice(..)))`` lambda: higher-order
+functions with lambdas run as interpreted expressions outside
+whole-stage codegen, and the nested spelling measured 1.51 s vs 0.96 s
+for this one (min-of-3 at sf0.1; the self-join spelling sits between at
+1.21 s).  Two plain generators stay inside codegen.
 
 The per-basket blow-up is O(basket^2) in a single task either way (the
 self-join has the identical per-key fan-out), so the rewrite strictly
@@ -39,20 +45,16 @@ def copurchase_edges(
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    # sorted set => generating (i, j>i) index pairs yields each unordered
-    # pair exactly once with pa < pb, all inside whole-stage codegen
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "transform(slice(ps, i + 2, size(ps) - i - 1), "
-                "y -> struct(x AS pa, y AS pb))))"
-            )
-        ).alias("pr")
+    # sorted set => pairing each element with its strict tail yields each
+    # unordered pair exactly once with pa < pb; posexplode + slice are
+    # codegen'd generators (no interpreted lambda)
+    lhs = baskets.select(F.posexplode("ps").alias("i", "pa"), "ps")
+    pairs = lhs.select(
+        "pa",
+        F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("pb"),
     )
     return (
-        pairs.select("pr.pa", "pr.pb")
-        .groupBy("pa", "pb")
+        pairs.groupBy("pa", "pb")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= min_support)
         .select("pa", "pb")
