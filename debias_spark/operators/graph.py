@@ -1,5 +1,6 @@
-"""Co-purchase graph construction, shared by the graph-analytics keys
-(orders_copurchase_triangles X67, graph_pagerank_copurchase X89).
+"""Co-purchase basket/pair construction, shared by the basket-analytics
+keys (orders_market_basket X52, orders_basket_lift X54,
+orders_copurchase_triangles X67, graph_pagerank_copurchase X89).
 
 Edge build doctrine: pair generation is BASKET-LOCAL.  Instead of
 distinct + self-join on the order key (three shuffles: distinct, join,
@@ -21,6 +22,11 @@ self-join has the identical per-key fan-out), so the rewrite strictly
 removes shuffles without changing the skew profile; a pathological
 mega-basket would be salted upstream in both spellings.
 
+A second payoff of the basket frame: per-item frequencies and the order
+count are map-side explodes/aggregates over the SAME frame — keys that
+need pairs + item counts + order count (basket_lift) derive all three
+from one shuffle instead of re-shuffling lineitem per aggregate.
+
 No reference citation: the reference (SirHooke/debias-batch-processor)
 has no joins or graphs; north-star extension per SURVEY §2.H.
 """
@@ -33,6 +39,31 @@ from pyspark.sql import functions as F
 from debias_spark.catalog import table
 
 
+def order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per order: (l_orderkey, ps) with ps the SORTED distinct
+    part set of the order — the single-shuffle base every basket
+    aggregate derives from."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+
+
+def basket_pair_support(baskets: DataFrame) -> DataFrame:
+    """(pa, pb, support) for every unordered part pair (pa < pb) with
+    support = number of baskets containing both; no threshold applied.
+
+    Sorted set => pairing each element with its strict tail yields each
+    unordered pair exactly once with pa < pb; posexplode + slice are
+    codegen'd generators (no interpreted lambda)."""
+    lhs = baskets.select(F.posexplode("ps").alias("i", "pa"), "ps")
+    pairs = lhs.select(
+        "pa",
+        F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("pb"),
+    )
+    return pairs.groupBy("pa", "pb").agg(F.count("*").alias("support"))
+
+
 def copurchase_edges(
     spark: SparkSession, sf_dir: str, min_support: int = 2
 ) -> DataFrame:
@@ -41,21 +72,8 @@ def copurchase_edges(
     support(pa, pb) = number of orders whose basket contains both parts;
     only pairs with support >= ``min_support`` survive.  Returned columns:
     (pa, pb)."""
-    li = table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    # sorted set => pairing each element with its strict tail yields each
-    # unordered pair exactly once with pa < pb; posexplode + slice are
-    # codegen'd generators (no interpreted lambda)
-    lhs = baskets.select(F.posexplode("ps").alias("i", "pa"), "ps")
-    pairs = lhs.select(
-        "pa",
-        F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("pb"),
-    )
     return (
-        pairs.groupBy("pa", "pb")
-        .agg(F.count("*").alias("support"))
+        basket_pair_support(order_baskets(spark, sf_dir))
         .filter(F.col("support") >= min_support)
         .select("pa", "pb")
     )

@@ -153,30 +153,20 @@ def user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs bought together in >= 3
-    orders, top 50 by support.  Plan shape: the pair generation is a
-    SELF-JOIN ON THE ORDER KEY, so it is bounded by (basket size)^2 per
-    order — ~10 items/order means <=45 pairs/order, linear in orders —
-    never a global parts x parts cross join.  The distinct collapses
-    multi-line items map-side first; the pair join reuses the orderkey
-    partitioning from the distinct's shuffle.  Exact integer counts."""
-    items = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b")
-    )
+    orders, top 50 by support.  Plan shape: the basket-local pair build
+    (operators/graph.py — group each order's part set once, explode
+    ordered pairs in codegen) is bounded by (basket size)^2 per order —
+    ~10 items/order means <=45 pairs/order, linear in orders — never a
+    global parts x parts cross join, and two shuffles total vs three for
+    the distinct+self-join spelling.  Exact integer counts."""
+    from debias_spark.operators.graph import basket_pair_support, order_baskets
+
     return (
-        a.join(
-            b, (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b"))
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("support"))
+        basket_pair_support(order_baskets(spark, sf_dir))
         .filter(F.col("support") >= 3)
+        .select(
+            F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "support"
+        )
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(50)
     )

@@ -52,33 +52,32 @@ from debias_spark.registry import register
 def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over the basket pairs: support count, confidence
     P(b|a), and lift P(ab)/(P(a)P(b)) for pairs in >= 3 orders, top 50 by
-    lift.  Plan shape: the pair self-join is orderkey-bounded (basket^2 per
-    order, linear overall); the item-frequency side is a second aggregate
-    over the same distinct frame joined back — partkey-keyed, so at scale
-    it shuffles once and never broadcasts a fact-scaled table by force.
-    All ratios divide exact bigint counts (single fp op per output value,
-    engine-deterministic); ties in lift break on the part keys."""
-    items = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    n_orders = items.agg(
-        F.countDistinct("l_orderkey").alias("n")
-    )
-    item_n = items.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b")
+    lift.  Plan shape: pairs, per-item frequencies AND the order count all
+    derive from ONE basket frame (operators/graph.py — a single lineitem
+    shuffle, checkpointed so the three aggregates read it instead of
+    re-grouping lineitem each): pair generation is basket-local
+    (basket^2 per order, linear overall); item frequency is a map-side
+    explode + partkey aggregate; the order count is a plain count.  At
+    scale the item-frequency join stays partkey-keyed and never
+    broadcasts a fact-scaled table by force.  All ratios divide exact
+    bigint counts (single fp op per output value, engine-deterministic);
+    ties in lift break on the part keys."""
+    from debias_spark.operators.graph import basket_pair_support, order_baskets
+
+    baskets = order_baskets(spark, sf_dir).localCheckpoint(eager=True)
+    n_orders = baskets.agg(F.count("*").alias("n"))
+    item_n = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_item"))
     )
     pair_n = (
-        a.join(
-            b, (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b"))
+        basket_pair_support(baskets)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("support").alias("n_pair"),
         )
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_pair"))
         .filter(F.col("n_pair") >= 3)
     )
     ia = item_n.select(
