@@ -65,6 +65,20 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
+def bind_once(expr: Column, body) -> Column:
+    """Evaluate ``expr`` ONCE and feed the result to ``body`` (a
+    Column -> Column function), via a single-element transform lambda.
+
+    Column functions cannot materialize a projection, so an expression a
+    body references k times is otherwise evaluated k times — there is no
+    common-subexpression elimination across the interpreted-HOF boundary,
+    and re-running a tokenizer split per element_at measured 13.4 s vs
+    0.75 s for the 4-shingle build at sf0.1.  ``transform(array(e), x ->
+    body(x))[0]`` binds e to a lambda variable: one evaluation, one
+    1-element array allocation."""
+    return F.get(F.transform(F.array(expr), body), 0)
+
+
 def word_shingles(text: Column, n: int) -> Column:
     """Distinct n-word shingles; n=1 degenerates to the distinct token set
     (appropriate for bag-of-words corpora where sequence is uninformative).
@@ -74,31 +88,30 @@ def word_shingles(text: Column, n: int) -> Column:
     short document would emit truncated shingles (and slice at index 0
     errors under ANSI).
 
-    n=2 takes a single-pass ``zip_with`` of the two offset slices instead
-    of the generic transform: the generic form materializes one O(n)
-    slice PER POSITION inside the HOF interpreter, which measured 4.8 s
-    vs 0.85 s for the full novelty-curve query at sf0.1.  Same values
-    (the oracle hash-match is the regression test)."""
-    toks = word_tokens(text)
+    Spelling doctrine (each alternative measured at sf0.1): the token
+    array is lambda-BOUND (``bind_once``) so the split runs once however
+    many subexpressions read it, and shingles fold ``zip_with`` over the
+    n offset slices — n-1 single-pass zips, never one O(n) slice PER
+    POSITION inside the transform interpreter (4.8 s vs 0.85 s on the
+    novelty-curve query), never an unbound re-split per access (1.29 s
+    vs 0.71 s on the 4-gram containment build; bound zip n=2 is 0.39 s
+    vs 0.55 s for the previous unbound spelling).  Same values — the
+    oracle hash-matches are the regression tests."""
     if n == 1:
-        return F.array_distinct(toks)
-    if n == 2:
-        m = F.greatest(F.size(toks) - 1, F.lit(0))
-        pairs = F.zip_with(
-            F.slice(toks, 1, m),
-            F.slice(toks, 2, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-        return F.when(F.size(toks) >= 2, F.array_distinct(pairs)).otherwise(
+        return F.array_distinct(word_tokens(text))
+
+    def build(toks: Column) -> Column:
+        m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+        acc = F.slice(toks, 1, m)
+        for k in range(2, n + 1):
+            acc = F.zip_with(
+                acc, F.slice(toks, k, m), lambda a, b: F.concat(a, F.lit(" "), b)
+            )
+        return F.when(F.size(toks) >= n, F.array_distinct(acc)).otherwise(
             F.array().cast("array<string>")
         )
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    shingled = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
-    return F.when(F.size(toks) >= n, shingled).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    return bind_once(word_tokens(text), build)
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -236,27 +236,21 @@ def docs_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded {cap}^2 in-row fan-out that Catalyst evaluates inside the
     same stage — no second shuffle of the postings and no recomputation
     of the upstream for a join's two sides.  Counting expanded pairs
-    gives |Sa ∩ Sb| exactly; one shuffle join adds |Sa|."""
+    gives |Sa ∩ Sb| exactly; one shuffle join adds |Sa|.
+
+    Expression discipline: the 4-gram build is word_shingles'
+    lambda-bound zip_with fold (operators/dedup.py — tokens split once,
+    single-pass per offset, no per-position slices), and posting-list
+    pair expansion is TWO plain explodes with an inequality filter
+    instead of a nested transform-lambda struct build (0.18 s vs 0.24 s
+    for the expansion alone at sf0.1 — lambda HOFs run interpreted
+    outside whole-stage codegen)."""
+    from debias_spark.operators.dedup import word_shingles
+
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _tokens().alias("t"))
-    # sequence(0, -1) would count DOWN, so guard the short-doc case to an
-    # explicitly empty index array
-    idx = F.when(
-        F.size("t") >= 4, F.sequence(F.lit(0), F.size("t") - 4)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    grams = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("t", i + 1),
-                F.element_at("t", i + 2),
-                F.element_at("t", i + 3),
-                F.element_at("t", i + 4),
-            ),
-        )
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("g")
     )
-    sh = toks.select("doc_id", F.explode(grams).alias("g"))
     postings = (
         sh.groupBy("g")
         .agg(F.collect_list("doc_id").alias("ids"))
@@ -267,18 +261,10 @@ def docs_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a")
         .agg(F.count("*").alias("n_sh"))
     )
-    pair_structs = F.filter(
-        F.flatten(
-            F.expr(
-                "transform(ids, x -> transform(ids,"
-                " y -> struct(x AS id_a, y AS id_b)))"
-            )
-        ),
-        lambda p: p["id_a"] != p["id_b"],
-    )
     pairs = (
-        postings.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        postings.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
