@@ -101,6 +101,10 @@ DRIVER_PRIORITY = [
     "text_bigram_lm_score", "docs_dedup_url", "docs_dedup_containment",
     "agg_percentiles_approx_banded", "agg_distinct_sketch_banded",
     "graph_pagerank_copurchase", "incremental_agg_maintenance",
+    # --- block 1c: round-4 mid-round keys (first positions past the 50-key
+    # window — front of the r5 window once block 1 drains green) ---
+    "docs_block_dedup", "sink_orc_roundtrip", "sink_partitioned_parquet_prune",
+    "graph_kcore_copurchase", "orders_demand_forecast_ewma8",
     # --- block 3: driver-evidenced keys (re-proving is a bonus), cheapest
     # first; rows-only-by-declaration keys drain last ---
     "agg_salted_skew", "embedding_random_projection", "funnel_conversion",
