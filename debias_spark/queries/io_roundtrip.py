@@ -15,6 +15,7 @@ columnar sinks are north-star extensions per SURVEY §2.A4 rationale.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -123,5 +124,116 @@ def sink_partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(
             F.count("*").alias("n_items"),
             F.sum("qty").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "sink_csv_roundtrip",
+    "Z28",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum({_CENTS}) AS BIGINT) AS rev_cents,
+           CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_day,
+           CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_day
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source roundtrip with TYPED re-parse: write orders as
+    headered CSV (bigint keys, string status, integer cents, ISO dates),
+    read it back under an EXPLICIT schema — the only scale-sane way to
+    read CSV; inferSchema is a full extra pass over the data — and
+    aggregate per status.  The oracle aggregates the source parquet; a
+    hash match proves values survive the text round-trip including the
+    date column's format-parse cycle.
+
+    Scale shape: parallel per-partition writers (no coalesce(1)); the
+    read-back is a splittable uncompressed-CSV scan (each executor takes
+    line-aligned splits), and min/max dates re-serialize to ISO strings
+    so the emitted frame carries no raw temporal types (driver-hash
+    discipline)."""
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    out = _sink_dir(sf_dir, "csv_orders")
+    src.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("o_orderkey long, o_orderstatus string, cents long, odate date")
+        .option("header", True)
+        .csv(out)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+            F.min("odate").cast("string").alias("first_day"),
+            F.max("odate").cast("string").alias("last_day"),
+        )
+    )
+
+
+@register(
+    "sink_bucketed_join_noshuffle",
+    "Z29",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sink_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: save orders and lineitem bucketed
+    + sorted BY the join key into the warehouse, then join the two
+    bucketed tables — the layout investment that turns every future
+    fact-fact join on that key into a ZERO-EXCHANGE sort-merge join
+    (tests/test_round4_wave2.py pins the no-Exchange plan).  At 100 TB
+    this is the difference between shuffling the fact table per query
+    and shuffling it once at ingest; the bucket count (8 here) would be
+    sized so each bucket file stays in the hundreds of MB.
+
+    The aggregate after the join DOES shuffle (by priority) — bucketing
+    removes the join exchange, not the rollup's; the oracle proves the
+    bucketed layout returns exactly the rows a plain join returns."""
+    db = "io_bucket"
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    loc = os.path.join(_WAREHOUSE, "bucket_db")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    names = {}
+    for name, key, cols in (
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        ("lineitem", "l_orderkey", ["l_orderkey", "l_quantity"]),
+    ):
+        tbl = f"{db}.{name}_{tag}"
+        # the session catalog is ephemeral (in-memory metastore) but the
+        # managed-table LOCATION persists on disk — a fresh session's
+        # overwrite cannot see the orphaned dir, so drop both explicitly
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(loc, f"{name}_{tag}"), ignore_errors=True)
+        (
+            table(spark, sf_dir, name)
+            .select(*cols)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        names[name] = tbl
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
     )

@@ -105,6 +105,8 @@ DRIVER_PRIORITY = [
     # window — front of the r5 window once block 1 drains green) ---
     "docs_block_dedup", "sink_orc_roundtrip", "sink_partitioned_parquet_prune",
     "graph_kcore_copurchase", "orders_demand_forecast_ewma8",
+    "sink_csv_roundtrip", "sink_bucketed_join_noshuffle",
+    "stream_foreachbatch_upsert",
     # --- block 3: driver-evidenced keys (re-proving is a bonus), cheapest
     # first; rows-only-by-declaration keys drain last ---
     "agg_salted_skew", "embedding_random_projection", "funnel_conversion",

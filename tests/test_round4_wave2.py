@@ -66,6 +66,49 @@ def test_block_dedup_short_docs_and_shares(spark, sf_dir):
             assert r.dup_share_bp == (r.n_dup_blocks * 10000) // r.n_blocks
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The whole point of the bucketed layout: the fact-fact join runs
+    without a single shuffle exchange (the post-join rollup's exchange is
+    below the aggregate, not the join)."""
+    df = SPECS["sink_bucketed_join_noshuffle"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("Bucketed: true") == 2
+    # exactly ONE shuffle in the whole plan — the rollup's; the join
+    # itself contributes none (bucketed SMJ at scale; at tiny SF Catalyst
+    # may legitimately broadcast instead, which is also shuffle-free)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_csv_roundtrip_has_explicit_schema_scan(spark, sf_dir):
+    """The read-back must be a schema-bound CSV scan (no inferSchema
+    second pass) and the date column must re-parse as DateType."""
+    df = SPECS["sink_csv_roundtrip"].fn(spark, sf_dir)
+    rows = {r.o_orderstatus: r for r in df.collect()}
+    assert rows and all(len(r.first_day) == 10 for r in rows.values())
+
+
+def test_foreachbatch_state_survives_and_merges(spark, sf_dir):
+    """Running the drain twice must be idempotent (fresh state per run),
+    and the final state must equal the batch aggregate exactly."""
+    a = sorted(map(tuple, SPECS["stream_foreachbatch_upsert"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, SPECS["stream_foreachbatch_upsert"].fn(spark, sf_dir).collect()))
+    assert a == b
+    direct = sorted(
+        map(
+            tuple,
+            table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("u"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+            )
+            .collect(),
+        )
+    )
+    assert a == direct
+
+
 def test_kcore_matches_pure_python_peel(spark, sf_dir):
     from debias_spark.operators.graph import copurchase_edges
 

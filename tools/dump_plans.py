@@ -47,6 +47,10 @@ REPRESENTATIVE = [
     ("lineitem_interval_overlap", "variable-length interval overlap: banded replication + shuffle-hash equi-join (no fact broadcast), canonical-band dedup as residual"),
     ("docs_dedup_containment", "inverted-index containment: postings aggregate + bounded in-row pair expansion — one join in the whole plan (size lookup)"),
     ("agg_percentiles_approx_banded", "sketch estimates (3 rows) broadcast back over the fact scan; exact rank counts in one aggregate"),
+    ("orders_market_basket", "basket-local pair explode (round-4): two shuffles, no distinct+self-join"),
+    ("sink_partitioned_parquet_prune", "hive-partitioned sink read back with a PartitionFilter: one of three flag dirs scanned"),
+    ("orders_demand_forecast_ewma8", "exact-integer EWMA: broadcast dim join, one (brand,week) aggregate, broadcast max-week, brand rollup"),
+    ("docs_block_dedup", "non-overlapping block explode; min-claimant aggregate + one instance join"),
 ]
 
 

@@ -64,6 +64,13 @@ KEYS = [
     "docs_dedup_containment",
     "text_bigram_lm_score",
     "docs_dedup_url",
+    # round-4 wave 2: block dedup sees the replicated-duplicate corpus;
+    # the two graph keys stress the basket-local edge build + iteration;
+    # EWMA stresses the dim-join + weekly-rollup shape
+    "docs_block_dedup",
+    "graph_kcore_copurchase",
+    "graph_pagerank_copurchase",
+    "orders_demand_forecast_ewma8",
 ]
 
 OFFSETS = {
