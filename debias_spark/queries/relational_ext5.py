@@ -200,6 +200,9 @@ def tpch_q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
+        # the late set feeds BOTH the probe (l1) and anti (l3) sides —
+        # materialize the lineitem-orders join once (1.59 -> 1.48 s sf0.1)
+        .localCheckpoint(eager=True)
     )
     l1 = late.alias("l1")
     l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
