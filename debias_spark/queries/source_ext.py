@@ -1,0 +1,85 @@
+"""Round-4 source wave (Z30): the custom Python DataSource (Spark 4
+DataSource API, sources/synthetic.py) exposed as a driver-hash-checked
+key — the non-file source surface (partition-planned parallel generation)
+proven value-for-value against a DuckDB replay of the generator.
+
+Reference parity: the reference reads only CSV-lines files
+(call-debias.py:184-194); a programmatic source is a north-star extension
+(SURVEY §2.A rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.registry import register
+from debias_spark.sources.synthetic import _LANGS, _WORDS
+
+_SHARDS = 8
+_ROWS = 200
+_SEED = 7
+
+
+def _synth_oracle() -> str:
+    words_sql = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    langs_sql = "[" + ", ".join(f"'{la}'" for la in _LANGS) + "]"
+    return f"""
+    WITH g AS (
+        SELECT s.range AS shard, r.range AS r
+        FROM range({_SHARDS}) s, range({_ROWS}) r
+    ), hashed AS (
+        SELECT shard * {_ROWS} + r AS doc_id,
+               (({_SEED} * 1000003 + shard * 7919 + r * 2654435761)
+                & 2147483647) AS h
+        FROM g
+    ), rows_ AS (
+        SELECT doc_id, h,
+               5 + (h % 8) AS n_tokens,
+               {langs_sql}[(h % {len(_LANGS)}) + 1] AS lang,
+               CAST(list_sum([length({words_sql}[((h // (i + 1)) % {len(_WORDS)}) + 1])
+                              FOR i IN range(0, 5 + (h % 8))])
+                    AS BIGINT) + (5 + (h % 8)) - 1 AS n_chars
+        FROM hashed
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+           CAST(sum(n_chars) AS BIGINT) AS char_sum
+    FROM rows_ GROUP BY lang
+    """
+
+
+@register("source_python_datasource", "Z30", oracle=_synth_oracle())
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource read: the synthetic-corpus generator
+    (sources/synthetic.py — Spark 4 DataSource API, one InputPartition
+    per shard, each shard a pure function of (seed, shard, row)) read
+    with fixed options and aggregated per language.  The DuckDB oracle
+    REGENERATES the corpus from the same multiplicative-hash recipe over
+    ``range()`` — a hash match proves the source's partition planning
+    and per-shard generation produce exactly the declared rows, text
+    payload included (char_sum covers the word join).
+
+    Scale shape: generation parallelism is the partition count (shards),
+    set by an option instead of file layout — the back-fill/load-test
+    source pattern; the aggregate is an ordinary partial+final pair over
+    whatever the source emits.  sf_dir is intentionally unused: this key
+    proves the NON-file surface."""
+    from debias_spark.sources import synthetic
+
+    synthetic.register(spark)
+    df = (
+        spark.read.format("synthetic_corpus")
+        .option("shards", str(_SHARDS))
+        .option("rowspershard", str(_ROWS))
+        .option("seed", str(_SEED))
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.size(F.split("text", " "))).alias("token_sum"),
+        F.sum(F.length("text")).alias("char_sum"),
+    )

@@ -106,7 +106,7 @@ DRIVER_PRIORITY = [
     "docs_block_dedup", "sink_orc_roundtrip", "sink_partitioned_parquet_prune",
     "graph_kcore_copurchase", "orders_demand_forecast_ewma8",
     "sink_csv_roundtrip", "sink_bucketed_join_noshuffle",
-    "stream_foreachbatch_upsert",
+    "stream_foreachbatch_upsert", "source_python_datasource",
     # --- block 3: driver-evidenced keys (re-proving is a bonus), cheapest
     # first; rows-only-by-declaration keys drain last ---
     "agg_salted_skew", "embedding_random_projection", "funnel_conversion",
