@@ -15,6 +15,7 @@ import debias_spark.queries.llm_ops9  # noqa: F401  Y19 block dedup (round 4)
 import debias_spark.queries.io_roundtrip  # noqa: F401  Z25-Z26/Z28-Z29 ORC/CSV/bucketed sinks (round 4)
 import debias_spark.queries.streaming_ext2  # noqa: F401  Z27 foreachBatch upsert (round 4)
 import debias_spark.queries.source_ext  # noqa: F401  Z30 Python DataSource (round 4)
+import debias_spark.queries.llm_ops10  # noqa: F401  Y20 winnowing fingerprints (round 4)
 import debias_spark.queries.llm_ops8  # noqa: F401  Y18/Z23/Z24 bigram LM, URL dedup, containment (round 4)
 import debias_spark.queries.llm_ops  # noqa: F401  H7-H10 + dedup/similarity/text
 import debias_spark.queries.llm_ops2  # noqa: F401  Y1-Y5 quality filters + MLlib

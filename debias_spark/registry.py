@@ -107,6 +107,7 @@ DRIVER_PRIORITY = [
     "graph_kcore_copurchase", "orders_demand_forecast_ewma8",
     "sink_csv_roundtrip", "sink_bucketed_join_noshuffle",
     "stream_foreachbatch_upsert", "source_python_datasource",
+    "docs_winnowing_fingerprint",
     # --- block 3: driver-evidenced keys (re-proving is a bonus), cheapest
     # first; rows-only-by-declaration keys drain last ---
     "agg_salted_skew", "embedding_random_projection", "funnel_conversion",

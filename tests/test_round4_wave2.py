@@ -163,3 +163,40 @@ def test_ewma_matches_pure_python_closed_form(spark, sf_dir):
     for brand, s in expect.items():
         assert got[brand][0] == s
         assert got[brand][1] == round(3 * s / 10**8, 4)
+
+
+def test_winnowing_matches_pure_python(spark, sf_dir):
+    """Replay k=3/w=4 winnowing in pure Python (md5-h60 grams, window
+    mins, distinct, first-claimant attribution) and require exact rows."""
+    import hashlib
+
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    fps, grams_n = {}, {}
+    for did, text in docs.items():
+        t = [w for w in text.lower().split() if w]
+        hs = [h60(" ".join(t[i : i + 3])) for i in range(len(t) - 2)] if len(t) >= 3 else []
+        grams_n[did] = len(hs)
+        if len(hs) >= 4:
+            sel = {min(hs[i : i + 4]) for i in range(len(hs) - 3)}
+            fps[did] = sel
+    firsts = {}
+    for did in sorted(fps):
+        for f in fps[did]:
+            firsts.setdefault(f, did)
+    expect = {}
+    for did in docs:
+        sel = fps.get(did, set())
+        expect[did] = (
+            grams_n[did] if sel else 0,
+            len(sel),
+            sum(1 for f in sel if firsts[f] < did),
+        )
+    got = {
+        r.doc_id: (r.n_grams, r.n_fps, r.n_shared_fps)
+        for r in SPECS["docs_winnowing_fingerprint"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
