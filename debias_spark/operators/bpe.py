@@ -103,8 +103,12 @@ def bpe_oracle(n_merges: int, duck_tokens_all: str) -> str:
     """DuckDB replay: the identical fit as ``n_merges`` unrolled CTE
     rounds (pair counts -> deterministic argmax -> replace), over the
     same word-frequency base."""
+    # MATERIALIZED on every round CTE: w{r} is read twice (pair counts +
+    # the replace) and b{r} twice (replace + final union), and DuckDB's
+    # default inlining re-evaluates the whole merge chain per reference —
+    # 9.3 s -> ~1 s for the 10-round fit at sf0.01.
     parts = [
-        f"""w0 AS (
+        f"""w0 AS MATERIALIZED (
         SELECT array_to_string(string_split(t, ''), ' ') AS s, freq FROM (
             SELECT t, count(*) AS freq FROM (
                 SELECT unnest({duck_tokens_all}) AS t FROM documents
@@ -114,16 +118,16 @@ def bpe_oracle(n_merges: int, duck_tokens_all: str) -> str:
     ]
     for r in range(n_merges):
         parts.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
         SELECT unnest(pr) AS p, freq FROM (
             SELECT [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS pr,
                    freq
             FROM (SELECT string_split(s, ' ') AS t, freq FROM w{r})
         )
-    ), b{r} AS (
+    ), b{r} AS MATERIALIZED (
         SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM p{r}
         GROUP BY p ORDER BY cnt DESC, p LIMIT 1
-    ), w{r + 1} AS (
+    ), w{r + 1} AS MATERIALIZED (
         -- double replace: pass 2 catches the alternating back-to-back
         -- occurrences pass 1 skips (delimiter-space consumption)
         SELECT trim(replace(

@@ -23,24 +23,31 @@ _KCORE_ROUNDS = 4
 
 def _kcore_oracle() -> str:
     """Unrolled fixed-round peel as chained CTEs: DuckDB replays exactly
-    the synchronous rounds the Spark loop performs."""
+    the synchronous rounds the Spark loop performs.
+
+    Every round CTE is MATERIALIZED: each e{{r}} is referenced three
+    times (both degree orientations + the next filter) and each k{{r}}
+    twice through IN-subqueries, and DuckDB's default inlining
+    re-evaluates the whole peel chain per reference — measured 112 s for
+    the 4-round oracle at sf0.01 vs ~1 s materialized.  The same
+    reuse-count doctrine as the Spark side's per-round checkpoints."""
     ctes = [
-        "items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
-        """pairs AS (
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pairs AS MATERIALIZED (
             SELECT a.l_partkey AS pa, b.l_partkey AS pb
             FROM items a JOIN items b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
-        "e0 AS (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2)",
+        "e0 AS MATERIALIZED (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2)",
     ]
     for r in range(_KCORE_ROUNDS):
-        ctes.append(f"""d{r} AS (
+        ctes.append(f"""d{r} AS MATERIALIZED (
             SELECT node, count(*) AS d FROM (
                 SELECT pa AS node FROM e{r} UNION ALL SELECT pb FROM e{r}
             ) GROUP BY node)""")
         ctes.append(
-            f"k{r} AS (SELECT node FROM d{r} WHERE d >= {_KCORE_K})"
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {_KCORE_K})"
         )
-        ctes.append(f"""e{r + 1} AS (
+        ctes.append(f"""e{r + 1} AS MATERIALIZED (
             SELECT pa, pb FROM e{r}
             WHERE pa IN (SELECT node FROM k{r})
               AND pb IN (SELECT node FROM k{r}))""")
@@ -88,14 +95,19 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= _KCORE_K)
             .select("node")
         )
-        und = und.join(keep, und["pa"] == keep["node"], "left_semi").join(
-            keep, und["pb"] == keep["node"], "left_semi"
+        und = (
+            und.join(keep, und["pa"] == keep["node"], "left_semi")
+            .join(keep, und["pb"] == keep["node"], "left_semi")
+            # checkpoint EVERY round — unlike PageRank's rank vector
+            # (read once per round, so a stride-2 cadence only doubles
+            # plan depth), the edge frame is read THREE times per round
+            # (both union orientations + the semi-join base), so each
+            # un-checkpointed round multiplies the plan: measured 213 s
+            # for the 4-round peel under a default-conf 200-partition
+            # session at sf0.01 with stride 2, vs ~3 s checkpointing
+            # per round.  Reuse count, not round count, picks the cadence.
+            .localCheckpoint(eager=True)
         )
-        # the peeled edge list feeds the next round's degree count twice
-        # (both orientations) — truncate lineage on a stride-2 cadence,
-        # the same cost/depth balance as PageRank's checkpoints
-        if r % 2 == 1 or r == _KCORE_ROUNDS - 1:
-            und = und.localCheckpoint(eager=True)
     final = und.select(F.col("pa").alias("node")).unionAll(
         und.select(F.col("pb").alias("node"))
     )
