@@ -919,7 +919,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok"
         ),
     )
-    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # the counted frame feeds BOTH the df aggregate and the scored join —
+    # materialize it once instead of re-running the explode+count shuffle
+    # per consumer (1.36 -> 1.14 s at sf0.1)
+    tc = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df_counts = tc.groupBy("tok").agg(F.count("*").alias("n_docs"))
     scored = tc.join(F.broadcast(df_counts), "tok").withColumn(
         "score", F.col("tf") * F.log(F.lit(float(n_total)) / F.col("n_docs"))
