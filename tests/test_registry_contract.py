@@ -54,3 +54,29 @@ def test_no_oracle_returns_hugeint_or_decimal():
             if any(b in t for b in _BANNED_DUCK_TYPES):
                 bad.append((name, col, t))
     assert not bad, f"oracles emitting driver-hash-unsafe types: {bad}"
+
+
+def test_no_oracle_exceeds_runtime_ceiling():
+    """Execute every oracle at sf0.01 (the driver's own t2 scale) and
+    assert none takes more than 5 s.  This is the regression guard for
+    the round-4 CTE-inlining class: DuckDB re-evaluates an inlined CTE
+    per reference, so an unrolled iterative oracle whose round CTEs are
+    multi-referenced blows up exponentially in rounds (k-core measured
+    112 s, BPE 9.3 s — both now AS MATERIALIZED and ~0.1 s).  Normal
+    oracles run well under 1 s at this scale; 5 s leaves margin for a
+    loaded host while still catching any exponential chain."""
+    import time
+
+    from debias_spark.testing import duck_connection
+
+    con = duck_connection("/root/testdata/sf0.01")
+    slow = []
+    for name, spec in load_all_queries().items():
+        if spec.oracle is None:
+            continue
+        t0 = time.perf_counter()
+        con.sql(spec.oracle).fetchall()
+        dt = time.perf_counter() - t0
+        if dt > 5.0:
+            slow.append((name, round(dt, 2)))
+    assert not slow, f"oracles over the 5s ceiling at sf0.01: {slow}"
