@@ -301,9 +301,18 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     num_hashes, bands = 16, 4
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            word_shingles(F.col("text"), 1).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        # four consumers read this frame (signature build, band hashes,
+        # and both exact-Jaccard join sides) — shingle once, not 4x; the
+        # recompute factor grows with corpus size while the checkpoint is
+        # one doc-sized write
+        .localCheckpoint(eager=True)
+    )
     ex = sh.select("id", F.explode("sh").alias("s")).withColumn(
         "base", h60(F.col("s")) % F.lit(MINHASH_P)
     )
