@@ -301,18 +301,17 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     num_hashes, bands = 16, 4
     docs = table(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            word_shingles(F.col("text"), 1).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        # four consumers read this frame (signature build, band hashes,
-        # and both exact-Jaccard join sides) — shingle once, not 4x; the
-        # recompute factor grows with corpus size while the checkpoint is
-        # one doc-sized write
-        .localCheckpoint(eager=True)
-    )
+    # four consumers read this frame (signature build, band hashes, both
+    # exact-Jaccard join sides) — but do NOT checkpoint it: the
+    # lambda-bound shingle build is cheap enough that recompute beats the
+    # checkpoint round-trip (interleaved min-of-5 at sf0.1: 1.55 s
+    # recomputed vs 1.73 s checkpointed; same result for minhash_dedup's
+    # 3-consumer frame, 1.16 vs 1.29).  Checkpoint-by-reuse-count applies
+    # when the recomputed stage is a shuffle or a crypto-hash pipeline
+    # (q21's join, winnowing's md5 grams), not a map-side projection.
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
+    ).filter(F.size("sh") > 0)
     ex = sh.select("id", F.explode("sh").alias("s")).withColumn(
         "base", h60(F.col("s")) % F.lit(MINHASH_P)
     )
