@@ -26,9 +26,14 @@ from debias_spark.registry import register
 _WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse", "io_roundtrip")
 
 
-def _sink_dir(sf_dir: str, name: str) -> str:
+def _sink_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    # Suffix with the Spark applicationId: two concurrent runs of the same
+    # key+sf (e.g. bench alongside a correctness sweep) would otherwise race
+    # overwrite-vs-read-back on a shared fixed path and could read partial
+    # or doubled data.  Per-session dirs make the write/read pair private.
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(_WAREHOUSE, f"{name}_{tag}")
+    app = spark.sparkContext.applicationId
+    return os.path.join(_WAREHOUSE, f"{name}_{tag}_{app}")
 
 
 _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
@@ -66,7 +71,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    out = _sink_dir(sf_dir, "orc_orders")
+    out = _sink_dir(spark, sf_dir, "orc_orders")
     src.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return (
@@ -115,7 +120,7 @@ def sink_partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFram
         "l_linestatus",
         F.col("l_quantity").cast("long").alias("qty"),
     )
-    out = _sink_dir(sf_dir, "part_lineitem")
+    out = _sink_dir(spark, sf_dir, "part_lineitem")
     src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out)
     return (
@@ -161,7 +166,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.col("o_orderdate").cast("date").alias("odate"),
     )
-    out = _sink_dir(sf_dir, "csv_orders")
+    out = _sink_dir(spark, sf_dir, "csv_orders")
     src.write.mode("overwrite").option("header", True).csv(out)
     back = (
         spark.read.schema("o_orderkey long, o_orderstatus string, cents long, odate date")
@@ -204,7 +209,11 @@ def sink_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes the join exchange, not the rollup's; the oracle proves the
     bucketed layout returns exactly the rows a plain join returns."""
     db = "io_bucket"
-    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    # per-session table names/dirs (same concurrency discipline as
+    # _sink_dir): bench and a correctness sweep may run this key at the
+    # same sf simultaneously
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_") + "_" + app
     loc = os.path.join(_WAREHOUSE, "bucket_db")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     names = {}

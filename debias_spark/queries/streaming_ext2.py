@@ -64,7 +64,9 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only its own partial aggregate — history is never re-read."""
     from debias_spark.streaming import stream_events
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    # per-session dirs (same concurrency discipline as io_roundtrip._sink_dir):
+    # concurrent runs of this key at the same sf must not share state
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_" + spark.sparkContext.applicationId
     state_dir = os.path.join(_WAREHOUSE, f"fb_state_{tag}")
     ckpt_dir = os.path.join(_WAREHOUSE, f"fb_ckpt_{tag}")
     # a stale checkpoint marks the input already-processed and the drain
@@ -75,6 +77,18 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, sf_dir)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        # n_users_lb merges per-batch countDistinct with max(), which equals
+        # the oracle's exact COUNT(DISTINCT) ONLY while availableNow drains
+        # the single-file events source in one micro-batch.  Fail loudly if
+        # that assumption ever breaks (multi-file/multi-batch source) rather
+        # than silently diverging from the oracle.
+        if batch_id > 0 or os.path.isdir(state_dir):
+            raise RuntimeError(
+                "stream_foreachbatch_upsert drained in >1 micro-batch: "
+                "n_users_lb's max-of-countDistinct merge is only exact for "
+                "a single-batch drain; switch to a user-level state table "
+                "before allowing multi-batch sources"
+            )
         part = batch.groupBy("event_type").agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users_lb"),

@@ -78,5 +78,13 @@ def test_no_oracle_exceeds_runtime_ceiling():
         con.sql(spec.oracle).fetchall()
         dt = time.perf_counter() - t0
         if dt > 5.0:
-            slow.append((name, round(dt, 2)))
-    assert not slow, f"oracles over the 5s ceiling at sf0.01: {slow}"
+            # the ceiling is load-sensitive: a legitimately ~1s oracle can
+            # flake past 5s on a busy host.  The exponential-blowup class
+            # this guards against (k-core 112s, BPE 9.3s pre-MATERIALIZED)
+            # doesn't pass on retry — so retry once before declaring slow.
+            t0 = time.perf_counter()
+            con.sql(spec.oracle).fetchall()
+            dt = time.perf_counter() - t0
+            if dt > 5.0:
+                slow.append((name, round(dt, 2)))
+    assert not slow, f"oracles over the 5s ceiling at sf0.01 (after retry): {slow}"
