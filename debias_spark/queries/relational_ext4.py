@@ -414,7 +414,17 @@ def snapshot_diff_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_union", "X28", oracle=None)  # approximate by design
+@register(
+    "agg_hll_sketch_union",
+    "X28",
+    oracle="""
+    SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS exact_uniques,
+           TRUE AS union_in_band
+    FROM events
+    """,
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: one HLL sketch per day
     (hll_sketch_agg), union-merged into the period estimate
@@ -422,18 +432,34 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB distinct-counting pattern: daily partitions build sketches
     incrementally (bytes per day, not user lists), and any period rollup is
     a cheap sketch union — no re-scan of history, unlike a flat
-    count(DISTINCT) whose shuffle grows with the period.  Approximate by
-    design -> rows-only here; the ±5%-of-exact bound is asserted in
-    tests/test_llm_ops_properties.py."""
+    count(DISTINCT) whose shuffle grows with the period.
+
+    Banded value oracle (upgraded from rows-only, the X4c/X88 technique):
+    the union estimate never leaves the query; emitted instead are the
+    exact uniques plus whether the DAILY-SKETCH-UNION estimate lands within
+    ±5% of exact (lgConfigK=14 gives ~0.8% standard error — 6x margin, and
+    crucially the band covers the union-of-sketches path, not just one
+    sketch).  The ±5% property test in tests/test_llm_ops_properties.py
+    remains as the sf-independent guard."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
         F.count("*").alias("n_events"),
     )
-    return daily.agg(
+    unioned = daily.agg(
         F.count("*").cast("long").alias("n_days"),
         F.sum("n_events").alias("n_events"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uniques_est"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_uniques"))
+    return unioned.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "n_events",
+        "exact_uniques",
+        (
+            F.abs(F.col("est") - F.col("exact_uniques"))
+            <= F.col("exact_uniques") * F.lit(0.05)
+        ).alias("union_in_band"),
     )
 
 

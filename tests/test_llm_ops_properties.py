@@ -19,23 +19,22 @@ SPECS = load_all_queries()
 
 def test_hll_sketch_union_within_tolerance(spark, sf_dir):
     """The day-sketch union estimate is within ±5% of the flat exact
-    distinct count, and the day/event bookkeeping columns are exact."""
+    distinct count (the query now emits that band as union_in_band — its
+    banded oracle's driver hash depends on it), and the day/event
+    bookkeeping columns are exact."""
     row = SPECS["agg_hll_sketch_union"].fn(spark, sf_dir).collect()[0]
     ev = table(spark, sf_dir, "events")
     exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
     assert row.n_events == ev.count()
     assert row.n_days == ev.select(F.to_date("ts")).distinct().count()
-    assert abs(row.uniques_est - exact) <= max(1, 0.05 * exact), (
-        f"union estimate {row.uniques_est} vs exact {exact}"
-    )
+    assert row.exact_uniques == exact
+    assert row.union_in_band is True
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
-    """HLL estimate within ±5% of the exact distinct count per group."""
-    approx = {
-        r.event_type: r.approx_users
-        for r in SPECS["agg_approx_distinct"].fn(spark, sf_dir).collect()
-    }
+    """HLL estimate within ±5% of the exact distinct count per group (the
+    query emits the band as approx_in_band for its banded oracle)."""
+    rows = SPECS["agg_approx_distinct"].fn(spark, sf_dir).collect()
     exact = {
         r.event_type: r.n
         for r in table(spark, sf_dir, "events")
@@ -43,9 +42,10 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.event_type]
+        assert r.approx_in_band is True, (r.event_type, exact[r.event_type])
 
 
 def test_minhash_pairs_truly_near(spark, sf_dir):
