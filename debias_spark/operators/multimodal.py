@@ -4,10 +4,11 @@ with typed metadata, feature extraction as Arrow-batched pandas UDFs.
 The Spark-side plumbing is real and tested: binary payloads travel through
 Arrow as Python ``bytes``, features come back columnar via mapInPandas, and
 partitioning/batching behave exactly as they would with real media.  The
-actual media DECODE step (PIL/ffmpeg/torchaudio) is stubbed — those
-libraries aren't in this container — behind ``decode=True`` which raises
-NotImplementedError; the default path extracts deterministic byte-level
-features so every downstream stage is exercisable.
+``decode=True`` path runs a REAL pure-stdlib decoder (media_codec.py:
+uncompressed 24-bit BMP, PCM16 WAV); compressed formats (JPEG/MP4) would
+need PIL/ffmpeg, absent from this container — a production deploy swaps
+the decoder at the same hook.  The default path extracts deterministic
+byte-level features without interpreting the payload.
 """
 
 from __future__ import annotations
@@ -36,6 +37,18 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
 
 def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Model a media table: opaque binary payload + typed metadata struct.
@@ -52,16 +65,35 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
 def extract_features(df: DataFrame, decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    decode=True is the hook where a real pipeline would run PIL/ffmpeg per
-    batch (resize, frame-sample, spectrogram); stubbed in this container.
+    decode=True runs the REAL pure-stdlib decoder (operators/media_codec.py:
+    24-bit BMP and PCM16 WAV) per batch and returns typed media dimensions;
+    a production pipeline would swap in PIL/ffmpeg at the same hook for the
+    compressed formats.  decode=False extracts byte-level features without
+    interpreting the payload.
     """
+    if decode:
+
+        def run_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from debias_spark.operators.media_codec import decode_media
+
+            for pdf in batches:
+                rows = {k.name: [] for k in DECODED_SCHEMA.fields}
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    m = decode_media(bytes(payload))
+                    rows["doc_id"].append(doc_id)
+                    rows["media_format"].append(m["format"])
+                    rows["width"].append(m.get("width"))
+                    rows["height"].append(m.get("height"))
+                    rows["sum_r"].append(m.get("sum_r"))
+                    rows["sample_rate"].append(m.get("sample_rate"))
+                    rows["n_samples"].append(m.get("n_samples"))
+                yield pd.DataFrame(rows)
+
+        return df.select("doc_id", "payload").mapInPandas(
+            run_decode, schema=DECODED_SCHEMA
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if decode:
-            raise NotImplementedError(
-                "media decode requires PIL/ffmpeg (not in this container); "
-                "byte-level features are the default path"
-            )
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(

