@@ -16,6 +16,13 @@ import debias_spark.queries.io_roundtrip  # noqa: F401  Z25-Z26/Z28-Z29 ORC/CSV/
 import debias_spark.queries.streaming_ext2  # noqa: F401  Z27 foreachBatch upsert (round 4)
 import debias_spark.queries.source_ext  # noqa: F401  Z30 Python DataSource (round 4)
 import debias_spark.queries.llm_ops10  # noqa: F401  Y20 winnowing fingerprints (round 4)
+import debias_spark.queries.llm_ops11  # noqa: F401  Y30/Y31 real media decode (round 5)
+import debias_spark.queries.relational_ext14  # noqa: F401  X93-X96 unpivot/offset/hash-sample/BFS (round 5)
+import debias_spark.queries.relational_ext15  # noqa: F401  X97-X98 count-min / sequence pattern (round 5)
+import debias_spark.queries.llm_ops12  # noqa: F401  Y32/Y33 k-means assign+update (round 5)
+import debias_spark.queries.relational_ext16  # noqa: F401  X99-X100 cube / distribution windows (round 5)
+import debias_spark.queries.llm_ops13  # noqa: F401  Y34/Y35 PCA power iteration / Flesch (round 5)
+import debias_spark.queries.streaming_ext3  # noqa: F401  Z31 value-oracled stream-stream join (round 5)
 import debias_spark.queries.llm_ops8  # noqa: F401  Y18/Z23/Z24 bigram LM, URL dedup, containment (round 4)
 import debias_spark.queries.llm_ops  # noqa: F401  H7-H10 + dedup/similarity/text
 import debias_spark.queries.llm_ops2  # noqa: F401  Y1-Y5 quality filters + MLlib

@@ -1,0 +1,137 @@
+"""Round-5 streaming wave (Z31): stream-stream interval join upgraded from
+rows-only to a full value oracle.
+
+Z19 (llm_ops4.py stream_stream_join) established the attribution join shape
+but stayed rows-only because join-state eviction timing is engine-defined
+ACROSS micro-batches.  Within ONE micro-batch there is no eviction ambiguity:
+an availableNow drain of a single-file source emits exactly the closed-form
+range-join result, so the pair set is value-checkable against DuckDB — the
+same single-batch contract Z27 (streaming_ext2.py) uses, enforced loudly the
+same way.
+
+Reference parity: none — the reference (SirHooke/debias-batch-processor) is
+batch-only; Structured Streaming extension per SURVEY §2.H14-H16 rationale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.registry import register
+
+_WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+    "spark-warehouse",
+    "io_roundtrip",
+)
+
+
+@register(
+    "stream_stream_join_attrib",
+    "Z31",
+    oracle="""
+    SELECT p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+           CAST(round(p.value * 100) AS BIGINT) AS value_cents
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition, VALUE
+    ORACLED: each purchase joins the same user's clicks from the preceding
+    hour, and the full emitted pair set hash-matches DuckDB's closed-form
+    range join.  Both sides are watermarked (1 hour) so join state is
+    bounded — clicks older than watermark + range are evicted.
+
+    Determinism contract: within one micro-batch no state is evicted before
+    matching, so a single-batch availableNow drain (single-file events
+    source) emits exactly the batch range-join result.  A multi-batch drain
+    could split the two sides across batches in file order (not event-time
+    order) and legitimately drop late state — fail LOUDLY on that, exactly
+    like stream_foreachbatch_upsert (streaming_ext2.py:85), rather than
+    silently diverging from the oracle.  value converts to integer cents
+    per row before emission so float formatting cannot drift the hash.
+
+    Scale shape: the join state is keyed by user_id and bounded by the
+    watermark horizon (1 hour of clicks per user), independent of stream
+    length — the canonical attribution join a 100 TB clickstream runs
+    continuously; the capture sink appends per batch and never re-reads."""
+    from debias_spark.streaming import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "value")
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_" + spark.sparkContext.applicationId
+    out_dir = os.path.join(_WAREHOUSE, f"ssj_pairs_{tag}")
+    ckpt_dir = os.path.join(_WAREHOUSE, f"ssj_ckpt_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    def capture(batch: DataFrame, batch_id: int) -> None:
+        # availableNow runs a trailing empty micro-batch to commit the final
+        # watermark — benign; only ROWS arriving after batch 0 violate the
+        # single-batch determinism contract.
+        if batch_id > 0 and not batch.isEmpty():
+            raise RuntimeError(
+                "stream_stream_join_attrib drained in >1 micro-batch: "
+                "cross-batch join-state eviction timing is engine-defined, "
+                "so the pair set is only oracle-exact for a single-batch "
+                "drain; keep the events source single-file or drop this "
+                "key back to rows-only"
+            )
+        batch.write.mode("append").parquet(out_dir)
+
+    # state-store instances are one per shuffle partition PER JOIN SIDE;
+    # this drain-and-stop snapshot dials partitions down for the run (the
+    # run_available_now discipline, incremental.py:114) — most of the
+    # wall-clock at small data is state-store setup (measured 7.9s at 32
+    # partitions vs 2.5s at 4; 2 is no better — the residual is engine
+    # fixed cost: batch scheduling, checkpoint fsyncs, capture IO); a
+    # long-lived production stream keeps the session default
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.foreachBatch(capture)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return spark.read.parquet(out_dir).select(
+        "user_id", "purchase_time", "click_time", "value_cents"
+    )

@@ -77,7 +77,17 @@ DRIVER_PRIORITY = [
     "orders_demand_forecast_ewma8", "sink_partitioned_parquet_prune",
     "graph_kcore_copurchase", "sink_bucketed_join_noshuffle",
     "docs_winnowing_fingerprint",
-    # --- block 2: new round-5 keys (window slots 11+; appended as built) ---
+    # --- block 2: new round-5 keys (window slots 11+; appended as built),
+    # plus keys whose oracle was upgraded this round (need a fresh row) ---
+    "agg_approx_distinct", "agg_hll_sketch_union",
+    "multimodal_decode_dims", "multimodal_decode_audio",
+    "sql_unpivot_wide_to_long", "sql_offset_fetch_page",
+    "sample_hash_deterministic", "graph_shortest_hops",
+    "stream_stream_join_attrib",
+    "agg_countmin_heavyhitters", "events_sequence_pattern",
+    "embedding_kmeans_assign", "embedding_kmeans_update",
+    "sql_cube_grouping_id",
+    "embedding_pca_power_topvec", "text_readability_flesch",
     # --- block 3: driver-evidenced keys (re-proving is a bonus) ---
     "embedding_quantize_int8", "tpch_q11_important_inventory",
     "dedup_clusters", "scd2_user_status", "docs_compaction_plan",
@@ -146,13 +156,13 @@ DRIVER_PRIORITY = [
     "tpch_q20_dominant_supplier", "text_vocab_coverage",
     "tpch_q4_order_priority", "events_anomaly_mad",
     "tpch_q3_shipping_priority", "join_multiway_star", "text_quality_score",
-    "tpch_q5_local_supplier_volume", "dedup_simhash", "agg_approx_distinct",
+    "tpch_q5_local_supplier_volume", "dedup_simhash",
     "tpch_q9_product_profit", "tpch_q10_returned_items",
     "stream_static_join_counts", "text_tfidf_top_terms",
     "tpch_q8_market_share", "tpch_q2_min_cost_supplier",
     "tpch_q7_nation_trade", "text_repetition_ratio", "window_range_frame",
     "dedup_minhash_lsh", "tpch_q21_sole_late_shipper", "orders_market_basket",
-    "agg_percentiles", "agg_hll_sketch_union", "dedup_pipeline_survivors",
+    "agg_percentiles", "dedup_pipeline_survivors",
     "stream_dedup_watermark", "stream_stream_join", "agg_percentiles_approx",
 ]
 
