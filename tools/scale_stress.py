@@ -4,7 +4,11 @@ queries at 1x vs Kx.  Near-linear wall-clock growth is the evidence that
 the plan shapes hold as data grows; anything super-linear is a bug report.
 
 Usage:
-    PYTHONPATH=/root/repo python tools/scale_stress.py [K] [out_dir]
+    PYTHONPATH=/root/repo python tools/scale_stress.py [K] [out_dir] [--keys k1,k2]
+
+--keys limits the timed sweep to a comma-separated subset (incremental
+stress of newly-added keys without re-running the full list); replication
+still writes every table so any key can run.
 
 Replication semantics (FK-consistent):
   - fact tables (lineitem, orders, events) replicate with key offsets on
@@ -71,6 +75,13 @@ KEYS = [
     "graph_kcore_copurchase",
     "graph_pagerank_copurchase",
     "orders_demand_forecast_ewma8",
+    # round-5: winnowing (md5-per-gram + window-min zip-fold over the
+    # replicated near-dup corpus), BFS frontier expansion (iterative
+    # anti-join), and the watermark-bounded stream-stream join (state
+    # keyed by user; replication adds users, not per-user state)
+    "docs_winnowing_fingerprint",
+    "graph_shortest_hops",
+    "stream_stream_join_attrib",
 ]
 
 OFFSETS = {
@@ -110,12 +121,14 @@ def replicate(spark, k: int, out_dir: str) -> None:
         u.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
-def time_keys(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
+def time_keys(
+    spark, sf_dir: str, reps: int = 2, keys: list[str] | None = None
+) -> dict[str, float]:
     from debias_spark.registry import load_all_queries
 
     qs = load_all_queries()
     out = {}
-    for name in KEYS:
+    for name in keys or KEYS:
         # warmup once, then best-of-reps
         for _ in range(1):
             qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -131,8 +144,15 @@ def time_keys(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_x{k}"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    keys = None
+    for a in sys.argv[1:]:
+        if a.startswith("--keys"):
+            keys = a.split("=", 1)[1].split(",") if "=" in a else None
+    if keys is None and "--keys" in sys.argv:
+        keys = sys.argv[sys.argv.index("--keys") + 1].split(",")
+    k = int(args[0]) if args else 10
+    out_dir = args[1] if len(args) > 1 else f"/tmp/stress_x{k}"
 
     from debias_spark.session import get_spark
 
@@ -141,8 +161,9 @@ def main() -> None:
     replicate(spark, k, out_dir)
     print(f"replicated x{k} in {time.perf_counter() - t0:.1f}s -> {out_dir}", flush=True)
 
-    base = time_keys(spark, SRC)
-    big = time_keys(spark, out_dir)
+    sweep = keys or KEYS
+    base = time_keys(spark, SRC, keys=sweep)
+    big = time_keys(spark, out_dir, keys=sweep)
     report = {
         "k": k,
         "base_total": round(sum(base.values()), 2),
@@ -150,7 +171,7 @@ def main() -> None:
         "per_key": {
             n: {"x1": base[n], f"x{k}": big[n],
                 "ratio": round(big[n] / base[n], 2) if base[n] > 0 else None}
-            for n in KEYS
+            for n in sweep
         },
     }
     print(json.dumps(report, indent=1))
