@@ -25,6 +25,7 @@ Replication semantics (FK-consistent):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -118,7 +119,26 @@ def replicate(spark, k: int, out_dir: str) -> None:
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        u.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        if t == "events":
+            # the driver testdata ships events.parquet as a single FILE and
+            # the streaming keys' file source globs on that exact name
+            # (streaming/incremental.py pathGlobFilter) — a directory of
+            # part files would silently yield an EMPTY stream.  Write one
+            # part and move it into place as a literal file.
+            import glob as _glob
+            import shutil as _shutil
+
+            tmp = f"{out_dir}/_events_tmp"
+            u.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            dest = f"{out_dir}/{t}.parquet"
+            _shutil.rmtree(dest, ignore_errors=True)
+            if os.path.exists(dest):
+                os.remove(dest)
+            os.replace(part, dest)
+            _shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            u.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
 def time_keys(
