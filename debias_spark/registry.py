@@ -88,6 +88,7 @@ DRIVER_PRIORITY = [
     "embedding_kmeans_assign", "embedding_kmeans_update",
     "sql_cube_grouping_id",
     "embedding_pca_power_topvec", "text_readability_flesch",
+    "source_parquet_schema_merge", "source_csv_permissive_badrecords",
     # --- block 3: driver-evidenced keys (re-proving is a bonus) ---
     "embedding_quantize_int8", "tpch_q11_important_inventory",
     "dedup_clusters", "scd2_user_status", "docs_compaction_plan",

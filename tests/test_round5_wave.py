@@ -274,3 +274,32 @@ def test_flesch_matches_pure_python(spark, sf_dir):
         for r in SPECS["text_readability_flesch"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_schema_merge_nullfills_both_directions(spark, sf_dir):
+    row = SPECS["source_parquet_schema_merge"].fn(spark, sf_dir).collect()[0]
+    orders = table(spark, sf_dir, "orders")
+    n = orders.count()
+    n_even = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    assert row.n_rows == n
+    assert row.n_with_cents == n_even
+    assert row.n_with_priority == n - n_even
+    assert row.cents_sum == (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")))
+        .collect()[0][0]
+    )
+
+
+def test_csv_permissive_quarantines_not_drops(spark, sf_dir):
+    row = SPECS["source_csv_permissive_badrecords"].fn(spark, sf_dir).collect()[0]
+    orders = table(spark, sf_dir, "orders")
+    n = orders.count()
+    n_bad = orders.filter(F.col("o_orderkey") % 7 == 0).count()
+    assert row.n_rows == n  # corrupt rows are captured, not dropped
+    assert row.n_corrupt == n_bad
+    assert row.cents_good == (
+        orders.filter(F.col("o_orderkey") % 7 != 0)
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")))
+        .collect()[0][0]
+    )
