@@ -89,6 +89,8 @@ DRIVER_PRIORITY = [
     "sql_cube_grouping_id",
     "embedding_pca_power_topvec", "text_readability_flesch",
     "source_parquet_schema_merge", "source_csv_permissive_badrecords",
+    "sql_variant_json_path", "sql_session_variables",
+    "sql_parameterized_query", "udtf_text_bigram_stats",
     # --- block 3: driver-evidenced keys (re-proving is a bonus) ---
     "embedding_quantize_int8", "tpch_q11_important_inventory",
     "dedup_clusters", "scd2_user_status", "docs_compaction_plan",

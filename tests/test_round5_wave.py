@@ -303,3 +303,52 @@ def test_csv_permissive_quarantines_not_drops(spark, sf_dir):
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")))
         .collect()[0][0]
     )
+
+
+def test_variant_matches_get_json_object(spark, sf_dir):
+    got = {
+        r.event_type: (r.n_events, r.n_with_k, r.k_sum, r.k_max)
+        for r in SPECS["sql_variant_json_path"].fn(spark, sf_dir).collect()
+    }
+    k = F.get_json_object("props", "$.k").cast("long")
+    direct = {
+        r.event_type: (r.n, r.nk, r.s, r.m)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(k).alias("nk"),
+            F.sum(k).alias("s"),
+            F.max(k).alias("m"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_session_variables_fold_to_literals(spark, sf_dir):
+    """The variable-referencing plan must contain the folded literal (and
+    so keep pushdown), not a variable lookup at runtime."""
+    df = SPECS["sql_session_variables"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "150000" in plan
+    assert "variablereference" not in plan.lower()
+
+
+def test_udtf_bigrams_match_wordlist(spark, sf_dir):
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    expect = {}
+    for r in docs:
+        toks = [t for t in r.text.lower().split() if t]
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        expect[r.doc_id] = (len(bgs), len(set(bgs)))
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_distinct_bigrams)
+        for r in SPECS["udtf_text_bigram_stats"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
