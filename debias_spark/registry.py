@@ -91,6 +91,7 @@ DRIVER_PRIORITY = [
     "source_parquet_schema_merge", "source_csv_permissive_badrecords",
     "sql_variant_json_path", "sql_session_variables",
     "sql_parameterized_query", "udtf_text_bigram_stats",
+    "join_salted_hotkey", "diag_key_skew_profile",
     # --- block 3: driver-evidenced keys (re-proving is a bonus) ---
     "embedding_quantize_int8", "tpch_q11_important_inventory",
     "dedup_clusters", "scd2_user_status", "docs_compaction_plan",
