@@ -51,6 +51,15 @@ REPRESENTATIVE = [
     ("sink_partitioned_parquet_prune", "hive-partitioned sink read back with a PartitionFilter: one of three flag dirs scanned"),
     ("orders_demand_forecast_ewma8", "exact-integer EWMA: broadcast dim join, one (brand,week) aggregate, broadcast max-week, brand rollup"),
     ("docs_block_dedup", "non-overlapping block explode; min-claimant aggregate + one instance join"),
+    # round-5 wave
+    ("sql_offset_fetch_page", "OFFSET/FETCH as TakeOrderedAndProject: top-(offset+fetch) per partition, no global sort"),
+    ("agg_countmin_heavyhitters", "count-min: bounded 4x256 sketch aggregate broadcast back onto the top-10 probes"),
+    ("agg_approx_distinct", "pre-distinct pair shuffle instead of the Expand a mixed exact+approx aggregate would plan (round-5 2x fix)"),
+    ("embedding_kmeans_assign", "k-means assign: K-row centroid broadcast over one corpus scan; per-vector K-row argmax window"),
+    ("embedding_pca_power_topvec", "Gram reduction via Arrow matmul partials; three matvec joins over the checkpointed DIM^2 frame"),
+    ("sql_cube_grouping_id", "CUBE: one Expand (4 grouping sets) + one map-side-combined aggregate"),
+    ("join_salted_hotkey", "salted fact-dim join: (key, salt) equi-join, dim replicated x8"),
+    ("multimodal_decode_dims", "two chained Arrow stages (encode, decode): zero shuffles, embarrassingly parallel"),
 ]
 
 
