@@ -135,3 +135,65 @@ def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "user_id", "purchase_time", "click_time", "value_cents"
     )
+
+
+@register(
+    "stream_session_window_oracled",
+    "Z34",
+    oracle="""
+    WITH o AS MATERIALIZED (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w >= 300000000 THEN 1 ELSE 0 END AS brk
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), g AS (
+        SELECT user_id, us,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flagged
+    )
+    SELECT strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(max(us) + 300000000), '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+           user_id, count(*) AS n_events
+    FROM g GROUP BY user_id, grp
+    """,
+    bench=False,
+)
+def stream_session_window_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows, VALUE ORACLED: the engine's session_window
+    state merge hash-matched against DuckDB's gaps-and-islands replay (a
+    new session starts when the gap is >= 5 minutes — session_window's end
+    bound is exclusive; the oracle compares at MICROSECOND truncation via
+    epoch_ns // 1000 because Spark truncates parquet ns timestamps to us,
+    and a ns-precision compare would flip boundary gaps — the drift-sweep
+    class).
+
+    H16 (stream_session_window) stays rows-only BY DESIGN: with a
+    watermark in append mode, which trailing sessions are withheld depends
+    on the engine's watermark/eviction boundary arithmetic.  This variant
+    removes the watermark and drains in COMPLETE mode, so every session
+    emits and the result is the exact batch sessionization — the
+    equivalence a production migration from batch to streaming must prove
+    before turning the watermark on.
+
+    Scale shape: session state is per-user and merge-on-arrival; complete
+    mode re-emits all state per batch, which is fine for a drain-and-stop
+    snapshot but is exactly why a long-lived stream needs the watermark +
+    append pair (H16)."""
+    from debias_spark.streaming import run_available_now, stream_events
+
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return run_available_now(agg, spark, output_mode="complete")

@@ -92,6 +92,7 @@ DRIVER_PRIORITY = [
     "sql_variant_json_path", "sql_session_variables",
     "sql_parameterized_query", "udtf_text_bigram_stats",
     "join_salted_hotkey", "diag_key_skew_profile",
+    "stream_session_window_oracled",
     # --- block 3: driver-evidenced keys (re-proving is a bonus) ---
     "embedding_quantize_int8", "tpch_q11_important_inventory",
     "dedup_clusters", "scd2_user_status", "docs_compaction_plan",
