@@ -64,11 +64,15 @@ _DUCK_TOKENS = (
 )
 
 
-def _minhash_ctes(num_hashes: int = 32, bands: int = 4) -> tuple[str, str]:
+def _minhash_ctes(
+    num_hashes: int = 32, bands: int = 4, source: str = "documents"
+) -> tuple[str, str]:
     """(cte_chain, jaccard_expr) for the DuckDB replay of minhash_dedup:
     same base-h60 + affine-permutation signatures, band hashes, and
-    bucket-representative window.  Shared by the pair oracle and the
-    recursive-closure cluster oracle."""
+    bucket-representative window.  Shared by the pair oracle, the
+    recursive-closure cluster oracle, and (via ``source``) the Z20
+    full-pipeline oracle, which runs the same chain over the exact-dedup
+    representatives CTE instead of raw documents."""
     from debias_spark.operators.dedup import MINHASH_P, minhash_params
 
     rpb = num_hashes // bands
@@ -97,7 +101,7 @@ def _minhash_ctes(num_hashes: int = 32, bands: int = 4) -> tuple[str, str]:
         " / len(list_distinct(a.sh || b.sh)), 4)"
     )
     ctes = f"""sh AS (
-        SELECT doc_id AS id, {_DUCK_TOKENS} AS sh FROM documents
+        SELECT doc_id AS id, {_DUCK_TOKENS} AS sh FROM {source}
         WHERE len({_DUCK_TOKENS}) > 0
     ), ex AS (
         SELECT id, unnest(sh) AS s FROM sh

@@ -21,6 +21,8 @@ lists them explicitly after the round-1-unproven keys).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -256,18 +258,43 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_dedup_watermark", "Z9", oracle=None, bench=False)  # rows-only
+@register(
+    "stream_dedup_watermark",
+    "Z9",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_first_seen
+    FROM events GROUP BY event_type
+    """,
+    bench=False,
+)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion dedup: dropDuplicatesWithinWatermark on
     (user_id, event_type) over a file stream with a 1-hour watermark,
     drained with availableNow — the incremental version of
     dedup_within_time_window's batch contract.  State is bounded by the
     watermark horizon (old keys are evicted), which is what makes exactly-
-    once ingestion dedup feasible on an unbounded stream.  Watermark
-    eviction timing is engine-defined -> rows-only; the batch/stream
-    subset relationship is asserted in tests."""
+    once ingestion dedup feasible on an unbounded stream.
+
+    Upgraded from rows-only in round 5 under the single-batch contract
+    (the Z27/Z31 discipline): within ONE micro-batch no key state is
+    evicted mid-batch, so exactly one row per (user_id, event_type)
+    survives and the per-type count equals the exact COUNT(DISTINCT).
+    Watermark eviction only re-admits keys ACROSS batches — a multi-file
+    events source could drain in several batches and legitimately emit
+    more rows, so that layout fails loudly here instead of diverging
+    silently from the oracle."""
+    import glob as _glob
+
     from debias_spark.streaming import run_available_now, stream_events
 
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(ev_path) and len(_glob.glob(os.path.join(ev_path, "*.parquet"))) > 1:
+        raise RuntimeError(
+            "stream_dedup_watermark: multi-file events source would drain "
+            "in several micro-batches, where watermark eviction can "
+            "re-admit keys and the count exceeds COUNT(DISTINCT); this "
+            "key's oracle requires the single-file (single-batch) layout"
+        )
     stream = stream_events(spark, sf_dir)
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
@@ -767,7 +794,61 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, spark, output_mode="append")
 
 
-@register("dedup_pipeline_survivors", "Z20", oracle=None, bench=False)
+def _pipeline_survivors_oracle() -> str:
+    """DuckDB replay of the ENTIRE dedup pipeline (upgraded from rows-only
+    in round 5): normalize + digest-window exact dedup, the minhash CTE
+    chain re-rooted at the representatives CTE (the ``source`` parameter
+    of _minhash_ctes), exact-Jaccard verification, WITH RECURSIVE
+    transitive closure, and min-per-cluster survivor selection — the
+    H9/H9e oracle machinery composed end to end.  Regex note: DuckDB
+    regexp_replace needs the 'g' flag to match Spark's replace-all."""
+    from debias_spark.queries.llm_ops import _minhash_ctes
+
+    ctes, jac = _minhash_ctes(num_hashes=32, bands=4, source="reps")
+    return f"""
+    WITH RECURSIVE grp AS MATERIALIZED (
+        SELECT doc_id, text,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS digest
+        FROM documents
+    ), reps AS MATERIALIZED (
+        SELECT doc_id, text, n_exact_copies FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (PARTITION BY digest) AS rep_id,
+                   count(*) OVER (PARTITION BY digest) AS n_exact_copies
+            FROM grp
+        ) WHERE doc_id = rep_id
+    ), {ctes}, verified AS (
+        SELECT c.id AS id, c.rep_id AS rep_id
+        FROM cand c JOIN sh a ON a.id = c.id JOIN sh b ON b.id = c.rep_id
+        WHERE {jac} >= 0.8
+    ), edges AS (
+        SELECT id AS src, rep_id AS dst FROM verified
+        UNION
+        SELECT rep_id AS src, id AS dst FROM verified
+    ), reach(node, r) AS (
+        SELECT doc_id AS node, doc_id AS r FROM reps
+        UNION
+        SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+    ), labeled AS (
+        SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+    )
+    SELECT r.doc_id, r.n_exact_copies, s.cluster_size
+    FROM labeled l
+    JOIN sizes s USING (cluster_id)
+    JOIN reps r ON r.doc_id = l.id
+    WHERE l.id = l.cluster_id
+    """
+
+
+@register(
+    "dedup_pipeline_survivors",
+    "Z20",
+    oracle=_pipeline_survivors_oracle(),
+    bench=False,
+)
 def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ENDGAME as one operator — the composition a training-data
     pipeline actually runs:
@@ -778,9 +859,14 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
       4. survivors = one representative (min doc_id) per cluster
 
     Returns (doc_id, n_exact_copies, cluster_size) for every surviving
-    document.  Iterative step 3 makes it non-SQL-expressible -> rows-only;
-    the survivor-set invariants (no near-dup pair survives, every dropped
-    doc maps to a survivor) are asserted in tests."""
+    document.  Upgraded from rows-only in round 5: the engine-side
+    ITERATION (pointer-jumping label propagation) and the oracle-side
+    RECURSION (_pipeline_survivors_oracle's WITH RECURSIVE closure over
+    the same md5-portable minhash chain, re-rooted at the exact-dedup
+    reps) compute the same fixpoint, so the driver hash-checks the whole
+    pipeline end to end.  The survivor-set invariants (no near-dup pair
+    survives, every dropped doc maps to a survivor) remain asserted in
+    tests."""
     from debias_spark.operators.dedup import duplicate_clusters, minhash_dedup
 
     docs = table(spark, sf_dir, "documents")

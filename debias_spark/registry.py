@@ -93,6 +93,7 @@ DRIVER_PRIORITY = [
     "sql_parameterized_query", "udtf_text_bigram_stats",
     "join_salted_hotkey", "diag_key_skew_profile",
     "stream_session_window_oracled",
+    "dedup_pipeline_survivors", "stream_dedup_watermark",
     # --- block 3: driver-evidenced keys (re-proving is a bonus) ---
     "embedding_quantize_int8", "tpch_q11_important_inventory",
     "dedup_clusters", "scd2_user_status", "docs_compaction_plan",
@@ -167,8 +168,7 @@ DRIVER_PRIORITY = [
     "tpch_q8_market_share", "tpch_q2_min_cost_supplier",
     "tpch_q7_nation_trade", "text_repetition_ratio", "window_range_frame",
     "dedup_minhash_lsh", "tpch_q21_sole_late_shipper", "orders_market_basket",
-    "agg_percentiles", "dedup_pipeline_survivors",
-    "stream_dedup_watermark", "stream_stream_join", "agg_percentiles_approx",
+    "agg_percentiles", "stream_stream_join", "agg_percentiles_approx",
 ]
 
 
