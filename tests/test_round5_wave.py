@@ -352,3 +352,32 @@ def test_udtf_bigrams_match_wordlist(spark, sf_dir):
         for r in SPECS["udtf_text_bigram_stats"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_round5_plan_invariants(spark, sf_dir):
+    """Pin the plan shapes the round-5 docstrings claim (the SCALE.md
+    audit, encoded): OFFSET/FETCH plans as TakeOrdered (no global sort),
+    the count-min probe joins against a BROADCAST sketch, k-means assign
+    broadcasts the centroid frame, and CUBE expands into ONE aggregate."""
+
+    def executed(key):
+        df = SPECS[key].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = executed("sql_offset_fetch_page")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort
+
+    p = executed("agg_countmin_heavyhitters")
+    assert "BroadcastExchange" in p  # the 4x256 CM table broadcasts
+
+    p = executed("embedding_kmeans_assign")
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+    p = executed("sql_cube_grouping_id")
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1  # one aggregate shuffle
+
+    p = executed("sample_hash_deterministic")
+    assert p.count("Exchange hashpartitioning") == 1  # filter is map-side
