@@ -94,6 +94,7 @@ DRIVER_PRIORITY = [
     "join_salted_hotkey", "diag_key_skew_profile",
     "stream_session_window_oracled",
     "dedup_pipeline_survivors", "stream_dedup_watermark",
+    "sql_try_arithmetic", "sql_collation_lcase",
     # --- block 3: driver-evidenced keys (re-proving is a bonus) ---
     "embedding_quantize_int8", "tpch_q11_important_inventory",
     "dedup_clusters", "scd2_user_status", "docs_compaction_plan",
