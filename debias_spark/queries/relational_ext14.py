@@ -207,4 +207,12 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hops", F.lit(hop).cast("int"))
         )
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # early exit once the frontier empties (BFS saturated or dead-ended):
+        # the check scans only the materialized checkpoint, and skipped
+        # rounds could never add rows, so the result is identical to the
+        # fixed 4 rounds the oracle unrolls.  Wall-clock is edge-build
+        # dominated at tested SFs (no measurable delta), but at scale a
+        # dead frontier stops paying per-round shuffles immediately
+        if visited.filter(F.col("hops") == hop).isEmpty():
+            break
     return visited
