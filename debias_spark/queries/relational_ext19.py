@@ -88,3 +88,45 @@ def sql_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lower("pri_ci").alias("priority_ci"), "n_orders", "n_statuses"
     )
+
+
+_BOM_SQL = """
+WITH RECURSIVE bom AS (
+    SELECT p_partkey AS pk, 0 AS depth,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+    FROM part WHERE p_partkey = 1
+    UNION ALL
+    SELECT c.p_partkey AS pk, b.depth + 1 AS depth,
+           CAST(round(c.p_retailprice * 100) AS BIGINT) AS cents
+    FROM bom b JOIN part c
+      ON c.p_partkey = b.pk * 2 OR c.p_partkey = b.pk * 2 + 1
+)
+SELECT CAST(depth AS INTEGER) AS depth, count(*) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS cents_total
+FROM bom GROUP BY depth
+"""
+
+
+@register("sql_recursive_bom_rollup", "X109", oracle=_BOM_SQL)
+def sql_recursive_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4 WITH RECURSIVE): a BOM-style
+    hierarchy walk — part keys form an implicit binary tree (children
+    2k, 2k+1), the recursion explodes the assembly from root 1 and rolls
+    up per-depth component counts and cost.  The ONE SQL string runs
+    verbatim in BOTH engines (oracle == query text): dialect-portable
+    recursion, no DataFrame-loop translation at all.
+
+    Spark executes the recursion as iterated joins against the
+    accumulated working set — the engine-managed version of the manual
+    checkpoint loops this repo uses for cyclic graphs (X96 BFS,
+    PageRank).  Spark's recursion supports UNION ALL only, so it is the
+    right tool exactly when the traversal is ACYCLIC (each node reached
+    once — trees, DAG levels); cyclic reachability still needs the
+    manual loop with its anti-join dedup, which is why both spellings
+    exist in this repo.
+
+    Scale shape: each recursion level is one equi-join of the frontier
+    against the dimension — the same per-level cost profile as the
+    manual BFS, with bounded depth log2(|part|)."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_BOM_SQL)
