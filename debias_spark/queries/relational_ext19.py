@@ -98,8 +98,9 @@ WITH RECURSIVE bom AS (
     UNION ALL
     SELECT c.p_partkey AS pk, b.depth + 1 AS depth,
            CAST(round(c.p_retailprice * 100) AS BIGINT) AS cents
-    FROM bom b JOIN part c
-      ON c.p_partkey = b.pk * 2 OR c.p_partkey = b.pk * 2 + 1
+    FROM bom b
+    CROSS JOIN (VALUES (0), (1)) AS x(i)
+    JOIN part c ON c.p_partkey = b.pk * 2 + x.i
 )
 SELECT CAST(depth AS INTEGER) AS depth, count(*) AS n_parts,
        CAST(sum(cents) AS BIGINT) AS cents_total
@@ -125,8 +126,13 @@ def sql_recursive_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     manual loop with its anti-join dedup, which is why both spellings
     exist in this repo.
 
-    Scale shape: each recursion level is one equi-join of the frontier
-    against the dimension — the same per-level cost profile as the
-    manual BFS, with bounded depth log2(|part|)."""
+    Scale shape: each recursion level is one EQUI-join of the frontier
+    against the dimension — the child keys expand on the frontier side
+    via a 2-row VALUES cross join so the join condition stays
+    hash-joinable (the `= pk*2 OR = pk*2+1` disjunction planned a
+    nested-loop scan of part PER LEVEL: 5.0s -> 2.3s at sf0.1, and at
+    100 TB a per-level dimension re-scan would be fatal).  Residual cost
+    is per-level iteration overhead, same profile as the manual BFS;
+    depth is bounded at log2(|part|)."""
     table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_BOM_SQL)
