@@ -152,3 +152,128 @@ def geo_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist_m") <= int(_RADIUS_M))
         .select("probe_id", F.col("id").alias("cand_id"), "dist_m")
     )
+
+
+@register(
+    "timeseries_linear_interp",
+    "X110",
+    oracle="""
+    WITH src AS MATERIALIZED (
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_s,
+               event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 7 = 0
+    ), bounds AS (
+        SELECT min(hour_s) AS start_s FROM src
+    ), grid AS (
+        SELECT unnest(generate_series(start_s, start_s + 23 * 3600, 3600)) AS hour_s
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM src
+    ), pts AS (
+        SELECT hour_s, event_type, avg(cents) AS v
+        FROM src GROUP BY 1, 2
+    ), dense AS MATERIALIZED (
+        SELECT g.hour_s, t.event_type, p.v
+        FROM grid g CROSS JOIN types t
+        LEFT JOIN pts p ON p.hour_s = g.hour_s AND p.event_type = t.event_type
+    ), anchored AS (
+        SELECT hour_s, event_type, v,
+               last_value(v IGNORE NULLS) OVER wb AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hour_s END IGNORE NULLS)
+                   OVER wb AS ph,
+               first_value(v IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN hour_s END IGNORE NULLS)
+                   OVER wf AS nh
+        FROM dense
+        WINDOW wb AS (PARTITION BY event_type ORDER BY hour_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY hour_s
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT hour_s, event_type,
+           (v IS NOT NULL) AS observed,
+           CAST(floor(
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE pv + (nv - pv) * (hour_s - ph) / (nh - ph)
+               END * 1000 + 0.5 + 1e-9) AS BIGINT) AS interp_millicents
+    FROM anchored
+    """,
+)
+def timeseries_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation — the semantic step past zero-fill (X26):
+    a sparse hourly series (a deterministic ~14% event sample, so gaps are
+    guaranteed at every SF) densifies onto the hour grid, and each missing
+    point interpolates linearly between its nearest observed anchors
+    (ends clamp to the nearest anchor).  Both engines compute anchors with
+    the same IGNORE NULLS running windows — one backward, one forward —
+    so the whole fill is two window passes, no self-join per gap.
+
+    Scale shape: one aggregate over the (pushed-down) sample filter, a
+    broadcast dense grid, and two window passes partitioned by series key
+    — per-series state is O(1) (last/next anchor), the canonical
+    streaming-friendly interpolation plan.  Output rounds to integer
+    milli-cents via the floor(x + 0.5 + eps) rule (SCALE.md round-5 note
+    3); `observed` marks real vs interpolated points."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    sec = F.unix_seconds(F.col("ts").cast("timestamp"))
+    hour_s = (sec - F.pmod(sec, F.lit(3600))).alias("hour_s")
+    src = ev.select(
+        hour_s,
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pts = src.groupBy("hour_s", "event_type").agg(F.avg("cents").alias("v"))
+    bounds = src.agg(F.min("hour_s").alias("start_s"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("start_s"), F.col("start_s") + 23 * 3600, F.lit(3600))
+        ).alias("hour_s")
+    )
+    types = src.select("event_type").distinct()
+    dense = F.broadcast(grid.crossJoin(types)).join(
+        pts, ["hour_s", "event_type"], "left"
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vh = F.when(F.col("v").isNotNull(), F.col("hour_s"))
+    anchored = dense.select(
+        "hour_s",
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(vh, ignorenulls=True).over(wb).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(vh, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hour_s") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    return anchored.select(
+        "hour_s",
+        "event_type",
+        F.col("v").isNotNull().alias("observed"),
+        F.floor(interp * 1000 + F.lit(0.5 + 1e-9)).cast("long").alias(
+            "interp_millicents"
+        ),
+    )

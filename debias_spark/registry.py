@@ -96,6 +96,7 @@ DRIVER_PRIORITY = [
     "dedup_pipeline_survivors", "stream_dedup_watermark",
     "sql_try_arithmetic", "sql_collation_lcase",
     "geo_grid_radius_join", "sql_recursive_bom_rollup",
+    "timeseries_linear_interp",
     # --- block 3: driver-evidenced keys (re-proving is a bonus) ---
     "embedding_quantize_int8", "tpch_q11_important_inventory",
     "dedup_clusters", "scd2_user_status", "docs_compaction_plan",
