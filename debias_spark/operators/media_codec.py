@@ -58,6 +58,10 @@ def decode_bmp(data: bytes) -> dict:
     compression = struct.unpack_from("<I", data, 30)[0]
     if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    # mirror the encoder-side bound checks: a crafted non-positive width
+    # would make row_stride nonsense below instead of failing loudly
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions ({width}x{height})")
     top_down = height < 0
     height = abs(height)
     row_stride = (width * 3 + 3) & ~3
@@ -106,7 +110,17 @@ def decode_wav(data: bytes) -> dict:
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         pos += 8
+        # chunk sizes are untrusted: an oversized declared size would
+        # silently truncate the body slice and yield wrong-but-plausible
+        # stats — fail loudly instead
+        if size > len(data) - pos:
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{len(data) - pos} remain"
+            )
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"WAV fmt chunk too short ({size} bytes)")
             fmt = struct.unpack_from("<HHIIHH", data, pos)
         elif cid == b"data":
             body = data[pos : pos + size]

@@ -55,9 +55,16 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
         .select(
             key,
             "n",
-            F.round(F.col("n") * F.col("n_keys") / F.col("total_rows"), 2).alias(
-                "x_mean"
-            ),
+            # centi-units integer via floor(x*100 + 0.5 + eps), not
+            # round(x, 2): an integer ratio landing on an exact .xx5 tie
+            # splits Spark (shortest-decimal HALF_UP) from DuckDB (binary
+            # round) — the llm_ops13 flesch recipe.
+            F.floor(
+                F.col("n") * F.col("n_keys") / F.col("total_rows") * 100
+                + F.lit(0.5 + 1e-9)
+            )
+            .cast("long")
+            .alias("x_mean_centi"),
         )
         .orderBy(F.desc("n"), F.asc(key))
         .limit(top)

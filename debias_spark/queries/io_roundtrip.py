@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
 from debias_spark.registry import register
+from debias_spark.warehouse import prune_stale_siblings
 
 _WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse", "io_roundtrip")
 
@@ -33,6 +34,10 @@ def _sink_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
     # or doubled data.  Per-session dirs make the write/read pair private.
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     app = spark.sparkContext.applicationId
+    # Prune prior sessions' dirs for the same key+sf (the appId suffix
+    # means nothing overwrites in place, so the warehouse would otherwise
+    # grow without bound across bench+correctness runs).
+    prune_stale_siblings(_WAREHOUSE, f"{name}_{tag}_", f"{name}_{tag}_{app}")
     return os.path.join(_WAREHOUSE, f"{name}_{tag}_{app}")
 
 
@@ -224,9 +229,12 @@ def sink_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl = f"{db}.{name}_{tag}"
         # the session catalog is ephemeral (in-memory metastore) but the
         # managed-table LOCATION persists on disk — a fresh session's
-        # overwrite cannot see the orphaned dir, so drop both explicitly
+        # overwrite cannot see the orphaned dir, so drop both explicitly,
+        # and prune prior sessions' orphaned table dirs (per-appId names
+        # never overwrite in place, so they'd accumulate forever)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(os.path.join(loc, f"{name}_{tag}"), ignore_errors=True)
+        prune_stale_siblings(loc, f"{name}_", f"{name}_{tag}")
         (
             table(spark, sf_dir, name)
             .select(*cols)

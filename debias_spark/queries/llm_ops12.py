@@ -102,9 +102,9 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_ASSIGN_CTE + """
     SELECT a.cent_id,
            count(*) AS n_members,
-           round(avg(e.v[1]), 4) AS m0,
-           round(avg(e.v[2]), 4) AS m1,
-           round(avg(e.v[3]), 4) AS m2
+           CAST(floor(avg(e.v[1]) * 10000 + 0.5 + 1e-9) AS BIGINT) AS m0_e4,
+           CAST(floor(avg(e.v[2]) * 10000 + 0.5 + 1e-9) AS BIGINT) AS m1_e4,
+           CAST(floor(avg(e.v[3]) * 10000 + 0.5 + 1e-9) AS BIGINT) AS m2_e4
     FROM a JOIN e ON e.vec_id = a.vec_id
     GROUP BY a.cent_id
     """,
@@ -121,11 +121,18 @@ def embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations scale: each round is broadcast-assign + tiny mean shuffle.
     A full trainer loops this pair with the update feeding the next
     round's broadcast (and at 100 TB adds minibatching), but the per-round
-    dataflow is exactly what this key hashes."""
+    dataflow is exactly what this key hashes.
+
+    Means are emitted as e4 INTEGERS via floor(x*1e4 + 0.5 + 1e-9), not
+    round(x, 4): Spark rounds the shortest-decimal repr HALF_UP while
+    DuckDB rounds the binary double, so exact .xxx5 ties diverge (this
+    was round 5's one red driver row) — floor of the identical double is
+    bit-stable in both engines (the llm_ops13 flesch recipe)."""
     assigned = _assignment(spark, sf_dir)
+    eps = F.lit(0.5 + 1e-9)
     return assigned.groupBy("cent_id").agg(
         F.count("*").alias("n_members"),
-        F.round(F.avg(F.get("v", 0).cast("double")), 4).alias("m0"),
-        F.round(F.avg(F.get("v", 1).cast("double")), 4).alias("m1"),
-        F.round(F.avg(F.get("v", 2).cast("double")), 4).alias("m2"),
+        F.floor(F.avg(F.get("v", 0).cast("double")) * 10000 + eps).cast("long").alias("m0_e4"),
+        F.floor(F.avg(F.get("v", 1).cast("double")) * 10000 + eps).cast("long").alias("m1_e4"),
+        F.floor(F.avg(F.get("v", 2).cast("double")) * 10000 + eps).cast("long").alias("m2_e4"),
     )

@@ -52,10 +52,19 @@ def udtf_text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output schema is fixed."""
     from pyspark.sql.functions import udtf
 
+    import re
+
     @udtf(returnType="doc_id: bigint, bigram: string")
     class BigramEmit:
+        # Explicit ASCII whitespace class, NOT str.split(): Python's bare
+        # split() breaks on Unicode whitespace (NBSP, \x85, \x1c-\x1f)
+        # while the DuckDB oracle's RE2 '\s+' and the repo's other text
+        # keys' Java-regex '\s+' are ASCII-only — a non-ASCII-space doc
+        # would silently split the hash.
+        _WS = re.compile(r"[ \t\n\r\f\v]+")
+
         def eval(self, doc_id: int, text: str):
-            toks = [t for t in text.lower().split() if t]
+            toks = [t for t in self._WS.split(text.lower()) if t]
             for a, b in zip(toks, toks[1:]):
                 yield doc_id, f"{a} {b}"
 

@@ -28,8 +28,10 @@ _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
         FROM documents
     )
     SELECT doc_id, n_tokens,
-           round(coalesce(sum_len / nullif(n_tokens, 0), 0), 4) + 0.0 AS mean_word_len,
-           round(coalesce(n_distinct::DOUBLE / nullif(n_tokens, 0), 0), 4) + 0.0 AS frac_unique,
+           CAST(floor(coalesce(sum_len / nullif(n_tokens, 0), 0) * 10000
+                      + 0.5 + 1e-9) AS BIGINT) AS mean_word_len_e4,
+           CAST(floor(coalesce(n_distinct::DOUBLE / nullif(n_tokens, 0), 0) * 10000
+                      + 0.5 + 1e-9) AS BIGINT) AS frac_unique_e4,
            (n_tokens >= 10 AND n_tokens <= 100000
             AND coalesce(sum_len / nullif(n_tokens, 0), 0) BETWEEN 2 AND 12
             AND coalesce(n_distinct::DOUBLE / nullif(n_tokens, 0), 0) >= 0.1) AS passes
@@ -62,8 +64,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        (F.round(mean_wl, 4) + 0.0).alias("mean_word_len"),
-        (F.round(frac_uq, 4) + 0.0).alias("frac_unique"),
+        # floor-eps e4 integers: these are integer-ratio formulas, exactly
+        # the exact-.xxx5-tie shape where Spark/DuckDB round() diverges
+        # (llm_ops13 flesch recipe).
+        F.floor(mean_wl * 10000 + F.lit(0.5 + 1e-9)).cast("long").alias("mean_word_len_e4"),
+        F.floor(frac_uq * 10000 + F.lit(0.5 + 1e-9)).cast("long").alias("frac_unique_e4"),
         passes.alias("passes"),
     )
 

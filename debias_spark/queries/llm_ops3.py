@@ -133,9 +133,9 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            count(*) AS n_vecs,
-           round(avg(nrm), 4) + 0.0 AS avg_norm,
-           round(min(nrm), 4) + 0.0 AS min_norm,
-           round(max(nrm), 4) + 0.0 AS max_norm
+           CAST(floor(avg(nrm) * 10000 + 0.5 + 1e-9) AS BIGINT) AS avg_norm_e4,
+           CAST(floor(min(nrm) * 10000 + 0.5 + 1e-9) AS BIGINT) AS min_norm_e4,
+           CAST(floor(max(nrm) * 10000 + 0.5 + 1e-9) AS BIGINT) AS max_norm_e4
     FROM n GROUP BY label ORDER BY label
     """,
 )
@@ -156,9 +156,11 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            (F.round(F.avg("nrm"), 4) + 0.0).alias("avg_norm"),
-            (F.round(F.min("nrm"), 4) + 0.0).alias("min_norm"),
-            (F.round(F.max("nrm"), 4) + 0.0).alias("max_norm"),
+            # floor-eps e4 integers, not round(,4)+0.0: the .xxx5 repr-tie
+            # class diverges across engines (llm_ops13 flesch recipe).
+            F.floor(F.avg("nrm") * 10000 + F.lit(0.5 + 1e-9)).cast("long").alias("avg_norm_e4"),
+            F.floor(F.min("nrm") * 10000 + F.lit(0.5 + 1e-9)).cast("long").alias("min_norm_e4"),
+            F.floor(F.max("nrm") * 10000 + F.lit(0.5 + 1e-9)).cast("long").alias("max_norm_e4"),
         )
         .orderBy("label")
     )

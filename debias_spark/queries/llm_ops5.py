@@ -43,8 +43,8 @@ VOCAB_TOP = 1000  # unigram-LM vocabulary cap (bounded broadcast at any corpus s
     )
     SELECT t.doc_id,
            count(*) AS n_tokens,
-           round(avg(-ln(coalesce(v.n, 1) / (total.big_n + 1.0))), 6)
-               AS avg_surprisal
+           CAST(floor(avg(-ln(coalesce(v.n, 1) / (total.big_n + 1.0)))
+                      * 1000000 + 0.5 + 1e-9) AS BIGINT) AS avg_surprisal_e6
     FROM toks t
     LEFT JOIN vocab v ON t.token = v.token
     CROSS JOIN total
@@ -84,7 +84,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
+            # floor-eps e6 integer, not round(,6): .x5 repr-tie class
+            # (llm_ops13 flesch recipe).
+            F.floor(F.avg(surprisal) * 1000000 + F.lit(0.5 + 1e-9)).cast("long").alias("avg_surprisal_e6"),
         )
     )
 

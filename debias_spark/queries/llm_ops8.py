@@ -45,7 +45,8 @@ def _tokens(col: str = "text"):
     )
     SELECT bg.doc_id,
            count(*) AS n_bigrams,
-           round(avg(-ln((big.n12 + 1.0) / (uni.n1 + vv.v))), 6) AS avg_nll
+           CAST(floor(avg(-ln((big.n12 + 1.0) / (uni.n1 + vv.v)))
+                      * 1000000 + 0.5 + 1e-9) AS BIGINT) AS avg_nll_e6
     FROM bg
     JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
     JOIN uni ON bg.w1 = uni.w
@@ -91,7 +92,9 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(nll), 6).alias("avg_nll"),
+            # floor-eps e6 integer, not round(,6): .x5 repr-tie class
+            # (llm_ops13 flesch recipe).
+            F.floor(F.avg(nll) * 1000000 + F.lit(0.5 + 1e-9)).cast("long").alias("avg_nll_e6"),
         )
     )
 

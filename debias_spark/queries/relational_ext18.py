@@ -68,7 +68,8 @@ def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts
     )
     SELECT l_suppkey, n,
-           round(n * t.n_keys / t.total_rows, 2) AS x_mean
+           CAST(floor(n * t.n_keys / t.total_rows * 100 + 0.5 + 1e-9)
+                AS BIGINT) AS x_mean_centi
     FROM counts, tot t
     ORDER BY n DESC, l_suppkey
     LIMIT 10

@@ -247,10 +247,12 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "X19",
     oracle="""
     SELECT event_type,
-           round(corr(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS corr_vu,
-           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS covar_vu,
-           round(var_samp(value), 4) AS var_v,
-           round(stddev_samp(value), 4) AS std_v
+           CAST(floor(corr(value, CAST(user_id AS DOUBLE)) * 10000 + 0.5 + 1e-9)
+                AS BIGINT) AS corr_vu_e4,
+           CAST(floor(covar_samp(value, CAST(user_id AS DOUBLE)) * 10000 + 0.5 + 1e-9)
+                AS BIGINT) AS covar_vu_e4,
+           CAST(floor(var_samp(value) * 10000 + 0.5 + 1e-9) AS BIGINT) AS var_v_e4,
+           CAST(floor(stddev_samp(value) * 10000 + 0.5 + 1e-9) AS BIGINT) AS std_v_e4
     FROM events GROUP BY event_type
     """,
 )
@@ -261,11 +263,14 @@ def agg_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     conventions, so they stay out of the oracle contract.)"""
     ev = table(spark, sf_dir, "events")
     u = F.col("user_id").cast("double")
+    eps = F.lit(0.5 + 1e-9)
+    # floor-eps e4 integers, not round(,4): the .xxx5 repr-tie class
+    # diverges across engines (llm_ops13 flesch recipe).
     return ev.groupBy("event_type").agg(
-        (F.round(F.corr("value", u), 4) + 0.0).alias("corr_vu"),
-        (F.round(F.covar_samp("value", u), 4) + 0.0).alias("covar_vu"),
-        F.round(F.var_samp("value"), 4).alias("var_v"),
-        F.round(F.stddev_samp("value"), 4).alias("std_v"),
+        F.floor(F.corr("value", u) * 10000 + eps).cast("long").alias("corr_vu_e4"),
+        F.floor(F.covar_samp("value", u) * 10000 + eps).cast("long").alias("covar_vu_e4"),
+        F.floor(F.var_samp("value") * 10000 + eps).cast("long").alias("var_v_e4"),
+        F.floor(F.stddev_samp("value") * 10000 + eps).cast("long").alias("std_v_e4"),
     )
 
 
@@ -341,10 +346,10 @@ def map_fn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT user_id) AS n_users,
            count(DISTINCT event_type) AS n_types,
            count(*) - count(props) AS null_props,
-           round(min(value), 4) AS min_value,
-           round(max(value), 4) AS max_value,
-           round(avg(value), 4) AS avg_value,
-           round(stddev_samp(value), 4) AS std_value
+           CAST(floor(min(value) * 10000 + 0.5 + 1e-9) AS BIGINT) AS min_value_e4,
+           CAST(floor(max(value) * 10000 + 0.5 + 1e-9) AS BIGINT) AS max_value_e4,
+           CAST(floor(avg(value) * 10000 + 0.5 + 1e-9) AS BIGINT) AS avg_value_e4,
+           CAST(floor(stddev_samp(value) * 10000 + 0.5 + 1e-9) AS BIGINT) AS std_value_e4
     FROM events
     """,
 )
@@ -360,8 +365,10 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_type").alias("n_types"),
         (F.count("*") - F.count("props")).alias("null_props"),
-        F.round(F.min("value"), 4).alias("min_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+        # floor-eps e4 integers, not round(,4): Spark/DuckDB diverge on
+        # exact .xxx5 decimal-repr ties (llm_ops13 flesch recipe).
+        F.floor(F.min("value") * 10000 + F.lit(0.5 + 1e-9)).cast("long").alias("min_value_e4"),
+        F.floor(F.max("value") * 10000 + F.lit(0.5 + 1e-9)).cast("long").alias("max_value_e4"),
+        F.floor(F.avg("value") * 10000 + F.lit(0.5 + 1e-9)).cast("long").alias("avg_value_e4"),
+        F.floor(F.stddev_samp("value") * 10000 + F.lit(0.5 + 1e-9)).cast("long").alias("std_value_e4"),
     )

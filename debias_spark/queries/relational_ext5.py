@@ -247,7 +247,7 @@ def tpch_q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(dwell_s) AS n_dwells,
            CAST(sum(dwell_s) AS BIGINT) AS total_dwell_s,
-           round(avg(dwell_s), 4) AS avg_dwell_s
+           CAST(floor(avg(dwell_s) * 10000 + 0.5 + 1e-9) AS BIGINT) AS avg_dwell_e4
     FROM nexted WHERE dwell_s IS NOT NULL
     GROUP BY event_type ORDER BY event_type
     """,
@@ -269,7 +269,9 @@ def event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_dwells"),
             F.sum("dwell_s").cast("long").alias("total_dwell_s"),
-            F.round(F.avg("dwell_s"), 4).alias("avg_dwell_s"),
+            # floor-eps e4 integer, not round(,4): .xxx5 repr-tie class
+            # (llm_ops13 flesch recipe).
+            F.floor(F.avg("dwell_s") * 10000 + F.lit(0.5 + 1e-9)).cast("long").alias("avg_dwell_e4"),
         )
         .orderBy("event_type")
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.registry import register
+from debias_spark.warehouse import prune_stale_siblings
 
 _WAREHOUSE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
@@ -69,6 +70,10 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_" + spark.sparkContext.applicationId
     state_dir = os.path.join(_WAREHOUSE, f"fb_state_{tag}")
     ckpt_dir = os.path.join(_WAREHOUSE, f"fb_ckpt_{tag}")
+    # prune prior sessions' state/ckpt dirs — per-appId names never
+    # overwrite in place, so without this the warehouse grows unbounded
+    prune_stale_siblings(_WAREHOUSE, "fb_state_", f"fb_state_{tag}")
+    prune_stale_siblings(_WAREHOUSE, "fb_ckpt_", f"fb_ckpt_{tag}")
     # a stale checkpoint marks the input already-processed and the drain
     # would no-op against the freshly-cleared state: clear BOTH together
     shutil.rmtree(state_dir, ignore_errors=True)

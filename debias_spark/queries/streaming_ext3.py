@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.registry import register
+from debias_spark.warehouse import prune_stale_siblings
 
 _WAREHOUSE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
@@ -96,6 +97,10 @@ def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = os.path.join(_WAREHOUSE, f"ssj_ckpt_{tag}")
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
+    # prune prior sessions' dirs — per-appId names never overwrite in
+    # place, so without this the warehouse grows unbounded across runs
+    prune_stale_siblings(_WAREHOUSE, "ssj_pairs_", f"ssj_pairs_{tag}")
+    prune_stale_siblings(_WAREHOUSE, "ssj_ckpt_", f"ssj_ckpt_{tag}")
 
     def capture(batch: DataFrame, batch_id: int) -> None:
         # availableNow runs a trailing empty micro-batch to commit the final

@@ -94,6 +94,33 @@ def test_wav_rejects_non_pcm16():
         decode_wav(bytes(wav))
 
 
+def test_wav_rejects_oversized_chunk_size():
+    # a data chunk DECLARING more bytes than remain must raise, not
+    # silently truncate into wrong-but-plausible n_samples/sum_abs
+    wav = bytearray(encode_wav(8000, [1, 2, 3, 4]))
+    data_hdr = wav.find(b"data")
+    struct.pack_into("<I", wav, data_hdr + 4, 10_000)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(bytes(wav))
+
+
+def test_wav_rejects_short_fmt_chunk():
+    wav = bytearray(encode_wav(8000, [1]))
+    struct.pack_into("<I", wav, 12 + 4, 8)  # fmt declares 8 of 16 bytes
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav))
+
+
+def test_bmp_rejects_nonpositive_width():
+    data = bytearray(encode_bmp(2, 2, lambda x, y: (0, 0, 0)))
+    struct.pack_into("<i", data, 18, -2)
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(bytes(data))
+    struct.pack_into("<i", data, 18, 0)
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(bytes(data))
+
+
 def test_decode_media_sniffs():
     assert decode_media(encode_bmp(1, 1, lambda x, y: (9, 9, 9)))["format"] == "bmp"
     assert decode_media(encode_wav(8000, [5]))["format"] == "wav"

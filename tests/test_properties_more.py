@@ -98,7 +98,7 @@ def test_unigram_surprisal_orders_repetitive_below_rare(spark, sf_dir):
     from debias_spark.registry import load_all_queries
 
     qs = load_all_queries()
-    scored = {r["doc_id"]: r["avg_surprisal"]
+    scored = {r["doc_id"]: r["avg_surprisal_e6"]
               for r in qs["text_unigram_logprob"].fn(spark, sf_dir).collect()}
     docs = table(spark, sf_dir, "documents")
     # most common token is 'a' or similar; find each doc's OOV-ish share proxy:

@@ -56,6 +56,25 @@ def test_no_oracle_returns_hugeint_or_decimal():
     assert not bad, f"oracles emitting driver-hash-unsafe types: {bad}"
 
 
+def test_no_oracle_rounds_a_double_mean():
+    """Regression guard for the rounding-tie class (round-5 Y33): Spark's
+    round() HALF_UPs the shortest-decimal repr while DuckDB rounds the
+    binary double, so `round(avg(<double>))` oracle pairs diverge whenever
+    the mean lands on an exact .xx5 decimal tie.  The sanctioned emission
+    is the floor-eps integer recipe `floor(x*scale + 0.5 + 1e-9)`
+    (llm_ops13.py flesch) — assert no declared oracle still carries the
+    fragile form (stddev/var share the same many-term-double risk)."""
+    import re
+
+    fragile = re.compile(r"round\s*\(\s*(avg|mean|stddev|var_samp|var_pop)\s*\(", re.I)
+    bad = [
+        name
+        for name, spec in load_all_queries().items()
+        if spec.oracle is not None and fragile.search(spec.oracle)
+    ]
+    assert not bad, f"oracles still using round(avg/stddev(...)): {bad}"
+
+
 def test_no_oracle_exceeds_runtime_ceiling():
     """Execute every oracle at sf0.01 (the driver's own t2 scale) and
     assert none takes more than 5 s.  This is the regression guard for

@@ -31,7 +31,7 @@ def test_key_skew_profile(spark, sf_dir):
     prof = key_skew_profile(table(spark, sf_dir, "lineitem"), "l_orderkey", top=5)
     rows = prof.collect()
     assert len(rows) == 5
-    assert all(r.x_mean >= 1.0 for r in rows)  # hottest keys are >= mean
+    assert all(r.x_mean_centi >= 100 for r in rows)  # hottest keys are >= mean
 
 
 @pytest.mark.slow

@@ -17,9 +17,9 @@ def test_sql_text_matches_dataframe_api(spark, sf_dir):
                round(sum(l_extendedprice), 2) AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               CAST(floor(avg(l_quantity) * 10000 + 0.5 + 1e-9) AS BIGINT) AS avg_qty_e4,
+               CAST(floor(avg(l_extendedprice) * 10000 + 0.5 + 1e-9) AS BIGINT) AS avg_price_e4,
+               CAST(floor(avg(l_discount) * 10000 + 0.5 + 1e-9) AS BIGINT) AS avg_disc_e4,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-01 00:00:00'
