@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from debias_spark.catalog import table
 from debias_spark.registry import register
@@ -67,16 +68,44 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_stateful_user_counts", "H16b", oracle=None, bench=False)
+@register(
+    "stream_stateful_user_counts",
+    "H16b",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY user_id
+    """,
+    bench=False,
+)
 def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
-    counts in explicit group state, drained with availableNow.  rows-only
-    here; the equivalence test asserts the final state matches the batch
-    aggregate exactly."""
+    counts in explicit group state, drained with availableNow — VALUE
+    ORACLED (upgraded from rows-only in round 6 via the Z34 drain
+    discipline): update mode may emit one row per user per micro-batch,
+    but n_events strictly increases per emission, so the max-n_events row
+    per user IS the final state regardless of how the source splits into
+    batches — making the selected set batch-split-independent and
+    hash-comparable to the batch groupBy the oracle runs.  The state
+    carries integer cents (per-row floor(v*100+0.5) before accumulation)
+    so float summation order cannot drift the value either.
+
+    Scale shape: state is keyed by user_id, each trigger shuffles only
+    that batch's rows to their state partitions, and Arrow batches feed
+    the Python state function — the applyInPandasWithState contract a
+    100 TB clickstream sessionizer relies on."""
     from debias_spark.streaming.stateful import running_user_counts
 
     stream = stream_events(spark, sf_dir)
-    return run_available_now(running_user_counts(stream), spark, output_mode="update")
+    out = run_available_now(running_user_counts(stream), spark, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "value_cents")
+    )
 
 
 @register("stream_session_window", "H16", oracle=None, bench=False)  # rows-only

@@ -328,3 +328,38 @@ def test_approx_percentiles_within_rank_tolerance(spark, sf_dir):
             assert abs(rank - q) <= 0.02 + 1.0 / n, (
                 r.l_returnflag, col, est, rank, q
             )
+
+
+def test_mllib_minhash_distance0_pairs_are_exact_token_set_dups(spark, sf_dir):
+    """Y4's oracle contract, proven from first principles: the MLlib
+    pipeline's distance-0 pair set must (a) contain every identical-TEXT
+    pair (LSH cannot miss identical vectors — they share every signature)
+    and (b) contain only pairs whose distinct lowercased token sets are
+    equal (distance 0 on binary HashingTF vectors)."""
+    import re
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in SPECS["dedup_minhash_mllib"].fn(spark, sf_dir).collect()
+    }
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}
+    ws = re.compile(r"\s+")
+    toksets = {
+        d: frozenset(t for t in ws.split(txt.lower()) if t) for d, txt in docs.items()
+    }
+    # (a) identical text => must be found
+    by_text = {}
+    for d, txt in docs.items():
+        by_text.setdefault(txt, []).append(d)
+    exact_pairs = {
+        (a, b)
+        for ids in by_text.values()
+        for a in ids
+        for b in ids
+        if a < b and toksets[a]  # empty-token docs are dropped by contract
+    }
+    assert exact_pairs <= pairs, f"LSH missed exact pairs: {exact_pairs - pairs}"
+    # (b) every returned pair has equal token sets
+    for a, b in pairs:
+        assert toksets[a] == toksets[b], (a, b)
+    assert pairs, "corpus should contain planted exact duplicates"

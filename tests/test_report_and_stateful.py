@@ -88,15 +88,21 @@ def test_stateful_counts_match_batch(spark, sf_dir):
     # user is the one with the max running count
     final = (
         out.groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value"))
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_cents").alias("value_cents"),
+        )
         .collect()
     )
     batch = {
-        r.user_id: (r.n, round(r.s, 2))
+        r.user_id: (r.n, r.cents)
         for r in table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+        )
         .collect()
     }
-    got = {r.user_id: (r.n_events, round(r.sum_value, 2)) for r in final}
+    got = {r.user_id: (r.n_events, r.value_cents) for r in final}
     assert got == batch
