@@ -58,12 +58,24 @@ def adjacent_pairs(s: F.Column) -> F.Column:
 
 
 def bpe_fit(
-    spark: SparkSession, words: DataFrame, n_merges: int = 10
+    spark: SparkSession, words: DataFrame, n_merges: int = 10, stride: int = 4
 ) -> DataFrame:
     """Run ``n_merges`` BPE rounds over a (s, freq) vocabulary frame;
     returns the merge table (rank, pair, merged, cnt) — the artifact a
     tokenizer ships.  Symbols must be space-free (word_tokens guarantees
-    it)."""
+    it).
+
+    ``stride``: localCheckpoint the vocab frame every ``stride`` merges.
+    Each round's argmax collect re-executes the full replace chain since
+    the last checkpoint, so without checkpoints total replace work grows
+    quadratically in rounds (plan depth r at round r).  The frame is read
+    once per round (reuse count 1), so per the repo's cadence doctrine a
+    multi-round stride amortizes the checkpoint round-trip: at
+    n_merges=50 / sf0.01, interleaved A/B (min of 2) measured
+    no-checkpoint 8.5s, stride-8 5.4s, stride-4 5.0s, stride-1 5.8s —
+    stride 4 wins because the vocab frame is word-type-bounded (tiny to
+    persist) while replace-chain recompute is not; the gap widens with
+    n_merges as the uncheckpointed chain deepens."""
     cur = words
     merges: list[tuple[int, str, str, int]] = []
     for r in range(n_merges):
@@ -94,6 +106,8 @@ def bpe_fit(
             .alias("s"),
             "freq",
         )
+        if (r + 1) % stride == 0:
+            cur = cur.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, schema="rank long, pair string, merged string, cnt long"
     )

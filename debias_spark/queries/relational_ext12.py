@@ -127,7 +127,9 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _skyline_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _skyline_batches(
+    batches: Iterator[pd.DataFrame], candidate_cap: int | None = None
+) -> Iterator[pd.DataFrame]:
     """Partition-local skyline of (price_cents minimize, p_size maximize).
 
     Sort by (price ascending, size descending); a point survives iff its
@@ -135,11 +137,24 @@ def _skyline_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     earlier means cheaper, or same price with larger-or-equal size, which
     is exactly the dominance order.  Duplicate value pairs collapse to one
     representative here; the caller re-expands via a value join, so
-    dropping intra-partition duplicates is harmless."""
+    dropping intra-partition duplicates is harmless.
+
+    ``candidate_cap`` guards the PHASE-2 (single-task global merge) use:
+    on random 2-D data each partition skyline is O(log n) survivors, but
+    ADVERSARIAL anti-correlated data (price falling exactly as size
+    rises) keeps every point on the frontier, silently turning the merge
+    task into the bottleneck — fail fast with the remedy instead."""
     parts = [b for b in batches if len(b)]
     if not parts:
         return
     pdf = pd.concat(parts, ignore_index=True)
+    if candidate_cap is not None and len(pdf) > candidate_cap:
+        raise ValueError(
+            f"skyline merge received {len(pdf)} candidates (cap "
+            f"{candidate_cap}): the data is heavily anti-correlated, so "
+            "the single-task merge would be the scaling bottleneck — "
+            "switch to a grid/angular-partitioned skyline for this input"
+        )
     pdf = pdf.sort_values(["price_cents", "p_size"], ascending=[True, False])
     prev_max = pdf["p_size"].cummax().shift(1, fill_value=-1)
     yield pdf[pdf["p_size"] > prev_max]
@@ -187,7 +202,13 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema = "price_cents long, p_size int"
     local = vals.mapInPandas(_skyline_batches, schema)
-    frontier = local.repartition(1).mapInPandas(_skyline_batches, schema)
+    # phase-2 cap: 2M candidates is far beyond any plausible partition-
+    # skyline union for real 2-D data (32 partitions x O(log n) points)
+    # while still comfortably single-task mergeable; anti-correlated
+    # inputs that exceed it fail loudly (see _skyline_batches)
+    frontier = local.repartition(1).mapInPandas(
+        lambda it: _skyline_batches(it, candidate_cap=2_000_000), schema
+    )
     return part.join(
         F.broadcast(frontier),
         (F.round(F.col("p_retailprice") * 100).cast("long") == F.col("price_cents"))

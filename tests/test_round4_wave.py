@@ -37,6 +37,39 @@ def test_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_skyline_anticorrelated_data_handled_and_capped(spark, sf_dir):
+    """Adversarial skyline input: perfectly anti-correlated points (price
+    falls exactly as size rises) keep EVERY point on the frontier.  The
+    two-phase merge must (a) still return the exact frontier when the
+    candidate set fits, and (b) fail fast with the documented remedy when
+    the phase-2 candidate count exceeds the cap, instead of silently
+    becoming a single-task bottleneck."""
+    import pytest
+
+    from debias_spark.queries.relational_ext12 import _skyline_batches
+
+    n = 400
+    # price RISES with size: cheaper always means smaller, so no point
+    # dominates any other and the whole input is the frontier
+    vals = spark.range(n).select(
+        (F.col("id") * 7).alias("price_cents"),
+        F.col("id").cast("int").alias("p_size"),
+    )
+    schema = "price_cents long, p_size int"
+    local = vals.repartition(8).mapInPandas(_skyline_batches, schema)
+    # (a) exact frontier: every point is non-dominated on this input
+    merged = local.repartition(1).mapInPandas(
+        lambda it: _skyline_batches(it, candidate_cap=10_000), schema
+    )
+    assert merged.count() == n
+    # (b) cap smaller than the candidate set -> loud failure
+    capped = local.repartition(1).mapInPandas(
+        lambda it: _skyline_batches(it, candidate_cap=n - 1), schema
+    )
+    with pytest.raises(Exception, match="anti-correlated"):
+        capped.count()
+
+
 def test_interval_overlap_pairs_match_naive_quadratic(spark, sf_dir):
     """The banded equi-join must count each overlapping pair exactly once —
     compare totals against a per-part quadratic recomputation in Python."""
