@@ -67,47 +67,50 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # are unproven by definition and go first — keep (new + block 1 + block 2)
 # under 50 or explicitly slot new keys below block 1.
 DRIVER_PRIORITY = [
-    # Rebuilt for round 5 from the CORRECTNESS_r01..r04 union (204 keys
-    # registered, 194 driver-evidenced, all green at latest check).
-    # Block 1 = the 10 round-4 wave-2 keys the driver has never checked
-    # (judge-verified green in VERDICT r4 but no driver row), cheapest
-    # first per BENCH_r04 sf0.1 per-key times (unbenched ~0.3s).
+    # Rebuilt for round 6 from the CORRECTNESS_r01..r05 union (all 232
+    # keys driver-evidenced, Y33 the one r5 hash-fail).
+    # Block 1 = keys whose oracle or implementation CHANGED in round 6
+    # and therefore need fresh driver rows: the Y33 floor-eps fix, the
+    # 9 rounding-tie oracle conversions, the Y36 ASCII-whitespace
+    # tokenizer fix, the two rows-only -> value-oracle upgrades (Y4,
+    # H16b), and the skyline/BPE plan changes (results unchanged,
+    # re-proving is cheap insurance).
+    "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
+    "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",
+    "event_dwell_time", "tpch_q1_pricing_summary", "text_unigram_logprob",
+    "text_bigram_lm_score", "udtf_text_bigram_stats", "dedup_minhash_mllib",
+    "stream_stateful_user_counts", "part_skyline_pareto", "bpe_vocab_fit",
+    # --- block 2: new round-6 keys (window slots; appended as built) ---
+    # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",
     "orders_demand_forecast_ewma8", "sink_partitioned_parquet_prune",
     "graph_kcore_copurchase", "sink_bucketed_join_noshuffle",
-    "docs_winnowing_fingerprint",
-    # --- block 2: new round-5 keys (window slots 11+; appended as built),
-    # plus keys whose oracle was upgraded this round (need a fresh row) ---
-    "agg_approx_distinct", "agg_hll_sketch_union",
-    "multimodal_decode_dims", "multimodal_decode_audio",
-    "sql_unpivot_wide_to_long", "sql_offset_fetch_page",
-    "sample_hash_deterministic", "graph_shortest_hops",
-    "stream_stream_join_attrib",
+    "docs_winnowing_fingerprint", "agg_approx_distinct",
+    "agg_hll_sketch_union", "multimodal_decode_dims",
+    "multimodal_decode_audio", "sql_unpivot_wide_to_long",
+    "sql_offset_fetch_page", "sample_hash_deterministic",
+    "graph_shortest_hops", "stream_stream_join_attrib",
     "agg_countmin_heavyhitters", "events_sequence_pattern",
-    "embedding_kmeans_assign", "embedding_kmeans_update",
-    "sql_cube_grouping_id",
+    "embedding_kmeans_assign", "sql_cube_grouping_id",
     "embedding_pca_power_topvec", "text_readability_flesch",
     "source_parquet_schema_merge", "source_csv_permissive_badrecords",
     "sql_variant_json_path", "sql_session_variables",
-    "sql_parameterized_query", "udtf_text_bigram_stats",
-    "join_salted_hotkey", "diag_key_skew_profile",
-    "stream_session_window_oracled",
-    "dedup_pipeline_survivors", "stream_dedup_watermark",
-    "sql_try_arithmetic", "sql_collation_lcase",
+    "sql_parameterized_query", "join_salted_hotkey",
+    "stream_session_window_oracled", "dedup_pipeline_survivors",
+    "stream_dedup_watermark", "sql_try_arithmetic", "sql_collation_lcase",
     "geo_grid_radius_join", "sql_recursive_bom_rollup",
-    "timeseries_linear_interp",
-    # --- block 3: driver-evidenced keys (re-proving is a bonus) ---
-    "embedding_quantize_int8", "tpch_q11_important_inventory",
-    "dedup_clusters", "scd2_user_status", "docs_compaction_plan",
-    "zorder_cluster_key", "events_rolling_dau7", "abtest_conversion_ztest",
-    "docs_token_budget_curve", "multimodal_batch_manifest",
-    "events_seasonality_profile", "embedding_dim_stats",
-    "merge_upsert_snapshot", "text_inverted_index_sample",
-    "stream_rate_alert", "bpe_vocab_fit", "events_cusum_changepoint",
-    "sql_lateral_topn_nations", "embedding_norms_arrow", "part_brand_entropy",
-    "events_hhi_concentration", "docs_lang_confusion_audit",
-    "orders_weekly_growth", "regr_price_vs_quantity", "docs_bm25_search",
+    "timeseries_linear_interp", "embedding_quantize_int8",
+    "tpch_q11_important_inventory", "dedup_clusters", "scd2_user_status",
+    "docs_compaction_plan", "zorder_cluster_key", "events_rolling_dau7",
+    "abtest_conversion_ztest", "docs_token_budget_curve",
+    "multimodal_batch_manifest", "events_seasonality_profile",
+    "embedding_dim_stats", "merge_upsert_snapshot",
+    "text_inverted_index_sample", "stream_rate_alert",
+    "events_cusum_changepoint", "sql_lateral_topn_nations",
+    "embedding_norms_arrow", "part_brand_entropy", "events_hhi_concentration",
+    "docs_lang_confusion_audit", "orders_weekly_growth",
+    "regr_price_vs_quantity", "docs_bm25_search",
     "events_latency_percentiles_hourly", "similarity_ann_lsh",
     "orders_pareto_share", "orders_gini_revenue", "text_crossdoc_ngram_dup",
     "text_ngram_novelty_curve", "dedup_lsh_bucket_stats",
@@ -115,16 +118,15 @@ DRIVER_PRIORITY = [
     "dedup_minhash_incremental", "orders_equidepth_histogram",
     "dedup_jaccard_histogram", "orders_basket_lift",
     "lineitem_weighted_median_price", "dedup_minhash_est_vs_exact",
-    "orders_copurchase_triangles",
-    "part_skyline_pareto", "lineitem_interval_overlap",
-    "text_bigram_lm_score", "docs_dedup_url", "docs_dedup_containment",
+    "orders_copurchase_triangles", "lineitem_interval_overlap",
+    "docs_dedup_url", "docs_dedup_containment",
     "agg_percentiles_approx_banded", "agg_distinct_sketch_banded",
     "graph_pagerank_copurchase", "incremental_agg_maintenance",
     "agg_salted_skew", "embedding_random_projection", "funnel_conversion",
     "join_prefilter_hashbucket", "sample_mixture_weighted",
     "dedup_exact_normalized", "tpch_q14_promo_revenue", "timeseries_gapfill",
-    "event_dwell_time", "tpch_q22_idle_balances", "tpch_q17_small_quantity",
-    "retention_cohorts", "snapshot_diff_full_outer", "tpch_q19_disjunctive",
+    "tpch_q22_idle_balances", "tpch_q17_small_quantity", "retention_cohorts",
+    "snapshot_diff_full_outer", "tpch_q19_disjunctive",
     "dedup_near_editdistance", "tpch_q12_priority_class",
     "tpch_q13_order_distribution", "tpch_q15_top_supplier",
     "docs_quality_filterchain", "user_path_transitions",
@@ -142,25 +144,22 @@ DRIVER_PRIORITY = [
     "agg_histogram", "join_sortmerge_large", "join_broadcast_hash",
     "map_batch_annotate", "agg_argmin_argmax", "array_fn_pack",
     "window_distribution_pack", "pivot_status_by_flag", "set_ops",
-    "tpch_q1_pricing_summary", "explode_tags", "explode_with_position",
-    "annotate_issue_distribution", "dedup_first_marker", "text_pii_redact",
-    "multimodal_resize_plan", "text_decontaminate", "array_quantifiers",
-    "text_token_count", "sample_train_val_test", "map_fn_pack", "regexp_pack",
+    "explode_tags", "explode_with_position", "annotate_issue_distribution",
+    "dedup_first_marker", "text_pii_redact", "multimodal_resize_plan",
+    "text_decontaminate", "array_quantifiers", "text_token_count",
+    "sample_train_val_test", "map_fn_pack", "regexp_pack",
     "multimodal_extract", "text_chunk_documents", "text_tokenize_topterms",
     "text_lang_id", "multimodal_frame_sample", "text_fingerprint",
     "text_pack_sequences", "join_range_banded", "join_asof_last_click",
-    "agg_stats_pack", "window_sliding", "profile_table_stats",
-    "dedup_embedding_cosine", "set_except_all", "window_tumbling_event_time",
-    "pandas_udf_sigmoid", "grouped_zscore_applyinpandas",
-    "embedding_norm_stats", "similarity_cosine_topk", "text_ngram_counts",
-    "variant_json_pack", "sessionize_batch", "dedup_exact",
-    "dedup_within_time_window", "sample_cap_per_source",
+    "window_sliding", "dedup_embedding_cosine", "set_except_all",
+    "window_tumbling_event_time", "pandas_udf_sigmoid",
+    "grouped_zscore_applyinpandas", "similarity_cosine_topk",
+    "text_ngram_counts", "variant_json_pack", "sessionize_batch",
+    "dedup_exact", "dedup_within_time_window", "sample_cap_per_source",
     "multimodal_dedup_binary", "agg_mode_per_group", "unpivot_metrics",
-    "dedup_minhash_mllib", "stream_session_window",
-    "stream_stateful_user_counts", "text_gopher_rules",
-    "customer_rfm_segments", "window_rank_lag_frame", "join_skew_salted",
-    "text_rolling_hash", "scalar_fn_pack", "tpch_q18_large_orders",
-    "udtf_tokenize_positions", "text_unigram_logprob",
+    "stream_session_window", "customer_rfm_segments", "window_rank_lag_frame",
+    "join_skew_salted", "text_rolling_hash", "scalar_fn_pack",
+    "tpch_q18_large_orders", "udtf_tokenize_positions",
     "tpch_q16_supplier_count", "similarity_ann_ivf", "dedup_ngram_jaccard",
     "tpch_q20_dominant_supplier", "text_vocab_coverage",
     "tpch_q4_order_priority", "events_anomaly_mad",
