@@ -81,6 +81,9 @@ DRIVER_PRIORITY = [
     "text_bigram_lm_score", "udtf_text_bigram_stats", "dedup_minhash_mllib",
     "stream_stateful_user_counts", "part_skyline_pareto", "bpe_vocab_fit",
     # --- block 2: new round-6 keys (window slots; appended as built) ---
+    "sql_listagg_ordered", "sql_filtered_aggregates",
+    "sql_group_order_by_all", "agg_percentile_disc",
+    "events_autocorr_lag", "abtest_chi2_independence",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",
