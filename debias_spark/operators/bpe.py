@@ -113,10 +113,9 @@ def bpe_fit(
     )
 
 
-def bpe_oracle(n_merges: int, duck_tokens_all: str) -> str:
-    """DuckDB replay: the identical fit as ``n_merges`` unrolled CTE
-    rounds (pair counts -> deterministic argmax -> replace), over the
-    same word-frequency base."""
+def _merge_ctes(n_merges: int, duck_tokens_all: str) -> list[str]:
+    """The shared DuckDB CTE chain replaying the fit: w0 (word freqs),
+    then per round p{r} (pairs) / b{r} (argmax) / w{r+1} (replace)."""
     # MATERIALIZED on every round CTE: w{r} is read twice (pair counts +
     # the replace) and b{r} twice (replace + final union), and DuckDB's
     # default inlining re-evaluates the whole merge chain per reference —
@@ -152,9 +151,60 @@ def bpe_oracle(n_merges: int, duck_tokens_all: str) -> str:
         FROM w{r}, b{r}
     )"""
         )
+    return parts
+
+
+def bpe_oracle(n_merges: int, duck_tokens_all: str) -> str:
+    """DuckDB replay of the fit: the identical ``n_merges`` unrolled CTE
+    rounds (pair counts -> deterministic argmax -> replace), over the
+    same word-frequency base."""
+    parts = _merge_ctes(n_merges, duck_tokens_all)
     unions = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS rank, p AS pair,"
         f" replace(p, ' ', '') AS merged, cnt FROM b{r}"
         for r in range(n_merges)
     )
     return "WITH " + ", ".join(parts) + " " + unions
+
+
+def bpe_encode_oracle(n_merges: int, duck_tokens_all: str) -> str:
+    """DuckDB replay of ENCODING the corpus with the fitted merges: the
+    same b0..b{n-1} merge chain, then every document word runs the
+    identical double-replace per rank and the per-doc token counts roll
+    up.  Each enc{r} is referenced exactly once (linear chain, safe to
+    inline); the word explode is MATERIALIZED because every merge round
+    rewrites it."""
+    parts = _merge_ctes(n_merges, duck_tokens_all)
+    parts.append(
+        f"""enc0 AS MATERIALIZED (
+        SELECT doc_id,
+               array_to_string(string_split(w, ''), ' ') AS s,
+               length(w) AS wc
+        FROM (SELECT doc_id, unnest({duck_tokens_all}) AS w FROM documents)
+    )"""
+    )
+    for r in range(n_merges):
+        parts.append(
+            f"""enc{r + 1} AS (
+        SELECT doc_id,
+               trim(replace(
+                   replace(' ' || s || ' ', ' ' || p || ' ',
+                           ' ' || replace(p, ' ', '') || ' '),
+                   ' ' || p || ' ', ' ' || replace(p, ' ', '') || ' ')
+               ) AS s, wc
+        FROM enc{r}, b{r}
+    )"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f"""
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(wc) AS BIGINT) AS sum_chars,
+           CAST(floor(sum(wc)::DOUBLE / sum(len(string_split(s, ' ')))
+                      * 10000 + 0.5 + 1e-9) AS BIGINT) AS fertility_e4
+    FROM enc{n_merges} GROUP BY doc_id
+    """
+    )

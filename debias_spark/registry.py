@@ -84,6 +84,8 @@ DRIVER_PRIORITY = [
     "sql_listagg_ordered", "sql_filtered_aggregates",
     "sql_group_order_by_all", "agg_percentile_disc",
     "events_autocorr_lag", "abtest_chi2_independence",
+    "bpe_encode_corpus", "semdedup_cluster_cosine",
+    "embedding_matryoshka_rerank", "docs_quality_ntile_bins",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",
