@@ -254,3 +254,99 @@ def sink_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
     )
+
+
+@register(
+    "sink_json_roundtrip",
+    "Z35",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source roundtrip: project documents to typed
+    columns, write newline-delimited JSON (the reference's only sink
+    format — call-debias.py:141,154 — here as a DISTRIBUTED multi-part
+    sink), re-read through a fresh scan WITH AN EXPLICIT SCHEMA, and
+    aggregate.  The oracle aggregates the source parquet directly, so a
+    hash match proves the JSON writer/reader preserves every value and
+    type.
+
+    The explicit read schema matters twice at scale: it skips the
+    whole-dataset inference pass a schemaless json read performs, and it
+    pins types (inference widens int-looking strings and reorders
+    columns).  Text is deliberately EXCLUDED from the sink projection:
+    JSON re-escaping round-trips strings correctly but costs 4x parquet;
+    a production pipeline keeps payloads columnar and ships JSON only
+    for interchange rows like these rollup inputs."""
+    src = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = _sink_dir(spark, sf_dir, "json_docs")
+    src.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "join_dpp_partitioned",
+    "Z36",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT lang FROM documents
+        WHERE substr(md5(lang), 1, 1) < '8'
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN dim USING (lang)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, executed and value-proven: the corpus
+    is laid out partitioned by lang (the 100 TB layout), the dim side's
+    filter is OPAQUE to static analysis (md5 of the value), and the join
+    still only READS the surviving partitions — Spark plans a
+    dynamicpruning subquery that executes the dim first and turns its
+    result into a partition filter on the fact scan.  This is the
+    mechanism that makes fact-to-dim star joins feasible on partitioned
+    100 TB tables: I/O scales with the dim selectivity, not the fact
+    size (tests/test_plan_invariants.py asserts the dynamicpruning
+    expression is really in the scan).
+
+    The oracle computes the same join on the unpartitioned source —
+    a hash match proves pruning dropped no rows."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = _sink_dir(spark, sf_dir, "dpp_docs")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        fact.select("lang")
+        .distinct()
+        .filter(F.substring(F.md5("lang"), 1, 1) < "8")
+    )
+    return (
+        fact.join(dim, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -86,6 +86,7 @@ DRIVER_PRIORITY = [
     "events_autocorr_lag", "abtest_chi2_independence",
     "bpe_encode_corpus", "semdedup_cluster_cosine",
     "embedding_matryoshka_rerank", "docs_quality_ntile_bins",
+    "sink_json_roundtrip", "join_dpp_partitioned",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",

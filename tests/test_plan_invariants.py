@@ -526,3 +526,11 @@ def test_banded_percentiles_broadcasts_estimates(spark, sf_dir):
     per-group count aggregation."""
     df = q("agg_percentiles_approx_banded", spark, sf_dir)
     assert "BroadcastHashJoin" in join_strategies(df), join_strategies(df)
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """Z36's whole claim: the opaque dim filter still becomes a DYNAMIC
+    partition filter on the partitioned fact scan (a dynamicpruning
+    subquery), so fact I/O scales with dim selectivity at 100 TB."""
+    plan = executed_plan(q("join_dpp_partitioned", spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
