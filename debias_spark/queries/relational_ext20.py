@@ -1,319 +1,279 @@
-"""Round-6 relational wave (X111-X116): Spark 4 SQL surfaces not yet in
-the registry (ordered LISTAGG, aggregate FILTER clauses, GROUP BY ALL,
-percentile_disc) plus two statistics keys a data-quality pipeline leans
-on (per-series autocorrelation, chi-square independence).
+"""Round-5 relational wave 8 (X108): spatial radius join via grid
+bucketing — the geospatial member of the bucketed-join family (LSH bands
+for text, sign-LSH for vectors, grid cells for coordinates: never
+all-pairs).
+
+Coordinates are synthesized deterministically from customer keys via the
+md5 idiom both engines share (the testdata has no geo columns), so the
+whole pipeline — projection, cell assignment, neighbor expansion,
+haversine verification — is value-oracled.
 
 No reference citation: the reference (SirHooke/debias-batch-processor)
-has no SQL layer; north-star extensions per SURVEY §2.H / §8.
+has no spatial surface; north-star extension per SURVEY §2.H.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from debias_spark.catalog import table
 from debias_spark.registry import register
 
+_CELL = 0.5  # degrees; at |lat| <= 2 a 3x3 neighborhood covers 50 km (0.45 deg)
+_RADIUS_M = 50_000.0
+_R_EARTH = 6_371_000.0
 
-@register(
-    "sql_listagg_ordered",
-    "X111",
-    oracle="""
-    WITH d AS (
-        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
-    )
-    SELECT o_orderstatus,
-           string_agg(o_orderpriority, '|' ORDER BY o_orderpriority)
-               AS priorities,
-           count(*) AS n_priorities
-    FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-)
-def sql_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered string aggregation (Spark 4 LISTAGG ... WITHIN GROUP):
-    distinct order priorities per status, sorted then joined — only the
-    explicit ORDER BY makes the concatenation deterministic, which is
-    the whole point of the 4.0 surface over collect_list (whose order is
-    partition-arrival-defined and therefore never oracle-safe).
 
-    The (status, priority) pairs are pre-distincted, then a plain
-    ordered LISTAGG + count(*) aggregates them.  Two reasons: the
-    pre-distinct avoids the multi-DISTINCT Expand replication through
-    the shuffle (the repo's agg_approx_distinct discipline), and this
-    Spark build's RewriteDistinctAggregates cannot plan
-    `listagg(DISTINCT) WITHIN GROUP` NEXT TO another distinct aggregate
-    at all (AttributeReference->SortOrder ClassCastException) — the
-    pre-distinct spelling sidesteps the bug without giving up the
-    ordered-LISTAGG surface.
+def _coords_sql(key: str) -> tuple[str, str]:
+    """(lat, lon) DuckDB expressions: md5-derived uniform grid, lat/lon in
+    [-2, 2) at 1e-6 degree resolution — a dense simulated metro region so
+    every SF (including sf0.001, 150 points) yields real within-radius
+    pairs instead of a vacuous empty result."""
+    lat = (
+        f"((('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % 4000000) / 1000000.0 - 2.0)"
+    )
+    lon = (
+        f"((('0x' || substr(md5(CAST({key} AS VARCHAR)), 9, 8))::BIGINT"
+        f" % 4000000) / 1000000.0 - 2.0)"
+    )
+    return lat, lon
 
-    Scale shape: the distinct pair set is bounded by the two domains
-    (3 x 5 values), so both aggregation states are tiny regardless of
-    fact rows — map-side combine does all the work."""
-    orders = table(spark, sf_dir, "orders")
-    orders.select("o_orderstatus", "o_orderpriority").distinct().createOrReplaceTempView(
-        "_x111_pairs"
+
+def _coords_spark(key):
+    lat = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % 4000000
+    ) / 1000000.0 - 2.0
+    lon = (
+        F.conv(F.substring(F.md5(key.cast("string")), 9, 8), 16, 10).cast("long")
+        % 4000000
+    ) / 1000000.0 - 2.0
+    return lat, lon
+
+
+def _haversine_m_sql(lat1, lon1, lat2, lon2) -> str:
+    return (
+        f"(2.0 * {_R_EARTH} * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
     )
-    return spark.sql(
-        """
-        SELECT o_orderstatus,
-               listagg(o_orderpriority, '|')
-                   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
-               count(*) AS n_priorities
-        FROM _x111_pairs
-        GROUP BY o_orderstatus ORDER BY o_orderstatus
-        """
-    )
+
+
+_LAT, _LON = _coords_sql("c_custkey")
 
 
 @register(
-    "sql_filtered_aggregates",
-    "X112",
-    oracle="""
-    SELECT o_orderpriority,
-           count(*) AS n_orders,
-           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
-           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
-           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
-               AS fulfilled_cents
-    FROM orders
-    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    "geo_grid_radius_join",
+    "X108",
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+        SELECT c_custkey AS id, {_LAT} AS lat, {_LON} AS lon
+        FROM customer
+    ), cells AS MATERIALIZED (
+        SELECT id, lat, lon,
+               CAST(floor(lat / {_CELL}) AS BIGINT) AS cy,
+               CAST(floor(lon / {_CELL}) AS BIGINT) AS cx
+        FROM pts
+    ), probe AS (
+        SELECT * FROM cells WHERE id % 50 = 0
+    ), cand AS (
+        SELECT p.id AS probe_id, c.id AS cand_id,
+               p.lat AS plat, p.lon AS plon, c.lat AS clat, c.lon AS clon
+        FROM probe p
+        CROSS JOIN range(-1, 2) dy(y)
+        CROSS JOIN range(-1, 2) dx(x)
+        JOIN cells c ON c.cy = p.cy + dy.y AND c.cx = p.cx + dx.x
+        WHERE c.id <> p.id
+    )
+    SELECT probe_id, cand_id, dist_m FROM (
+        SELECT probe_id, cand_id,
+               CAST(floor({_haversine_m_sql('plat', 'plon', 'clat', 'clon')}
+                          + 0.5 + 1e-9) AS BIGINT) AS dist_m
+        FROM cand
+    ) WHERE dist_m <= {int(_RADIUS_M)}
     """,
 )
-def sql_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate FILTER clauses: one pass over orders producing total,
-    per-status conditional counts, and a conditional sum — the idiomatic
-    replacement for N self-joins or sum(CASE WHEN) pyramids, and Catalyst
-    plans ALL the filtered aggregates into a single hash-aggregate scan
-    (one shuffle, no matter how many FILTER branches).
+def geo_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join, grid-bucketed: find every point within 50 km
+    of each probe point WITHOUT an all-pairs cross join.  Points hash
+    into 0.5-degree grid cells; each probe expands to its 3x3 cell
+    neighborhood (a 9-row generator, covering the radius at these latitudes)
+    and equi-joins candidates on the cell key; exact haversine verifies
+    survivors.  This is the same candidate-then-verify shape as MinHash
+    bands (H9) and sign-LSH buckets (H8b) — grid cells are spatial LSH.
 
-    Cents convert per row via floor(x*100+0.5) before summing (the
-    repo's cross-engine rounding doctrine)."""
-    orders = table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("_x112_orders")
-    return spark.sql(
-        """
-        SELECT o_orderpriority,
-               count(*) AS n_orders,
-               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
-               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
-               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                   FILTER (WHERE o_orderstatus = 'F') AS fulfilled_cents
-        FROM _x112_orders
-        GROUP BY o_orderpriority ORDER BY o_orderpriority
-        """
+    Scale shape: candidate generation is an equi-join on cell ids (one
+    shuffle, skew = densest cell — salt or split hot cells exactly like
+    any hot join key); verification is a per-pair projection.  At 100 TB
+    the cell size tunes the candidates-per-probe ratio the way band
+    count tunes LSH.  Distance emits as integer meters via the
+    floor(x + 0.5 + eps) rule (SCALE.md round-5 note 3) so round-half
+    ties cannot split the engines."""
+    cust = table(spark, sf_dir, "customer")
+    lat, lon = _coords_spark(F.col("c_custkey"))
+    pts = cust.select(
+        F.col("c_custkey").alias("id"), lat.alias("lat"), lon.alias("lon")
+    ).withColumn("cy", F.floor(F.col("lat") / _CELL)).withColumn(
+        "cx", F.floor(F.col("lon") / _CELL)
     )
-
-
-@register(
-    "sql_group_order_by_all",
-    "X113",
-    oracle="""
-    SELECT n_name, o_orderpriority, count(*) AS n,
-           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS cents
-    FROM orders
-    JOIN customer ON c_custkey = o_custkey
-    JOIN nation ON n_nationkey = c_nationkey
-    GROUP BY ALL ORDER BY ALL
-    """,
-)
-def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ALL / ORDER BY ALL (Spark 4): grouping keys inferred from
-    the non-aggregate select items, ordering over the full output row —
-    the analyst-ergonomics surface, resolved at analysis time into the
-    identical plan the explicit spelling produces (same broadcast dim
-    joins + one fact shuffle; nothing dynamic survives into execution)."""
-    for name in ("orders", "customer", "nation"):
-        table(spark, sf_dir, name).createOrReplaceTempView(f"_x113_{name}")
-    return spark.sql(
-        """
-        SELECT n_name, o_orderpriority, count(*) AS n,
-               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
-        FROM _x113_orders
-        JOIN _x113_customer ON c_custkey = o_custkey
-        JOIN _x113_nation ON n_nationkey = c_nationkey
-        GROUP BY ALL ORDER BY ALL
-        """
+    probe = pts.filter(F.col("id") % 50 == 0).select(
+        F.col("id").alias("probe_id"),
+        F.col("lat").alias("plat"),
+        F.col("lon").alias("plon"),
+        F.explode(
+            F.expr("flatten(transform(sequence(-1, 1), y -> "
+                   "transform(sequence(-1, 1), x -> struct(cy + y AS cy, cx + x AS cx))))")
+        ).alias("cell"),
+    ).select("probe_id", "plat", "plon", F.col("cell.cy").alias("cy"), F.col("cell.cx").alias("cx"))
+    cand = probe.join(pts, ["cy", "cx"]).filter(F.col("id") != F.col("probe_id"))
+    hav = (
+        2.0
+        * _R_EARTH
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat") - F.col("plat")) / 2), 2)
+                + F.cos(F.radians("plat"))
+                * F.cos(F.radians("lat"))
+                * F.pow(F.sin(F.radians(F.col("lon") - F.col("plon")) / 2), 2)
+            )
+        )
     )
-
-
-@register(
-    "agg_percentile_disc",
-    "X114",
-    oracle="""
-    WITH c AS (
-        SELECT l_returnflag,
-               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-        FROM lineitem
-    )
-    SELECT l_returnflag,
-           CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25_cents,
-           CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50_cents,
-           CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75_cents,
-           count(*) AS n
-    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-)
-def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discrete percentiles (percentile_disc WITHIN GROUP): unlike the
-    interpolating percentile (X4), disc returns an ACTUAL data value —
-    the lowest element whose cumulative rank reaches the quantile — so
-    the result is exact-integer oracle-safe with no interpolation-
-    arithmetic parity concerns at all.
-
-    Scale shape: same mergeable count-map aggregate as X4; the integer
-    cents domain keeps state bounded by distinct prices, not rows."""
-    li = table(spark, sf_dir, "lineitem")
-    li.select(
-        "l_returnflag",
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
-    ).createOrReplaceTempView("_x114_c")
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT)
-                   AS p25_cents,
-               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS BIGINT)
-                   AS p50_cents,
-               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT)
-                   AS p75_cents,
-               count(*) AS n
-        FROM _x114_c GROUP BY l_returnflag ORDER BY l_returnflag
-        """
+    # threshold applies AFTER integer-meter rounding (the same
+    # threshold-after-rounding rule the cosine keys use) so an ulp of
+    # cross-engine float difference at the radius boundary cannot flip a
+    # pair's inclusion
+    return (
+        cand.withColumn(
+            "dist_m", F.floor(hav + F.lit(0.5 + 1e-9)).cast("long")
+        )
+        .filter(F.col("dist_m") <= int(_RADIUS_M))
+        .select("probe_id", F.col("id").alias("cand_id"), "dist_m")
     )
 
 
 @register(
-    "events_autocorr_lag",
-    "X115",
+    "timeseries_linear_interp",
+    "X110",
     oracle="""
-    WITH h AS MATERIALIZED (
-        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
-        FROM events GROUP BY event_type, hr
-    ), l AS (
-        SELECT event_type, n,
-               lag(n, 1) OVER w AS l1,
-               lag(n, 2) OVER w AS l2,
-               lag(n, 3) OVER w AS l3
-        FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    WITH src AS MATERIALIZED (
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_s,
+               event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 7 = 0
+    ), bounds AS (
+        SELECT min(hour_s) AS start_s FROM src
+    ), grid AS (
+        SELECT unnest(generate_series(start_s, start_s + 23 * 3600, 3600)) AS hour_s
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM src
+    ), pts AS (
+        SELECT hour_s, event_type, avg(cents) AS v
+        FROM src GROUP BY 1, 2
+    ), dense AS MATERIALIZED (
+        SELECT g.hour_s, t.event_type, p.v
+        FROM grid g CROSS JOIN types t
+        LEFT JOIN pts p ON p.hour_s = g.hour_s AND p.event_type = t.event_type
+    ), anchored AS (
+        SELECT hour_s, event_type, v,
+               last_value(v IGNORE NULLS) OVER wb AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hour_s END IGNORE NULLS)
+                   OVER wb AS ph,
+               first_value(v IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN hour_s END IGNORE NULLS)
+                   OVER wf AS nh
+        FROM dense
+        WINDOW wb AS (PARTITION BY event_type ORDER BY hour_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY hour_s
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
-    SELECT event_type,
-           count(*) AS n_hours,
-           CAST(floor(corr(n, l1) * 10000 + 0.5 + 1e-9) AS BIGINT) AS acf1_e4,
-           CAST(floor(corr(n, l2) * 10000 + 0.5 + 1e-9) AS BIGINT) AS acf2_e4,
-           CAST(floor(corr(n, l3) * 10000 + 0.5 + 1e-9) AS BIGINT) AS acf3_e4
-    FROM l GROUP BY event_type ORDER BY event_type
+    SELECT hour_s, event_type,
+           (v IS NOT NULL) AS observed,
+           CAST(floor(
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE pv + (nv - pv) * (hour_s - ph) / (nh - ph)
+               END * 1000 + 0.5 + 1e-9) AS BIGINT) AS interp_millicents
+    FROM anchored
     """,
 )
-def events_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series autocorrelation (ACF at row-lags 1-3 of the hourly
-    count series): the seasonality/burstiness diagnostic behind the
-    forecast (X_ewma) and changepoint (CUSUM) keys — high acf1 means
-    smooth load, acf24 spikes mean daily cycles (the hourly grain here
-    keeps the key cheap; the lag unit is one OBSERVED hour, documented
-    rather than gap-filled, identically in both engines).
+def timeseries_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation — the semantic step past zero-fill (X26):
+    a sparse hourly series (a deterministic ~14% event sample, so gaps are
+    guaranteed at every SF) densifies onto the hour grid, and each missing
+    point interpolates linearly between its nearest observed anchors
+    (ends clamp to the nearest anchor).  Both engines compute anchors with
+    the same IGNORE NULLS running windows — one backward, one forward —
+    so the whole fill is two window passes, no self-join per gap.
 
-    Scale shape: the aggregation collapses events to one row per
-    (series, hour) FIRST, so the window sort runs on series-length
-    frames partitioned by event_type — never on raw events; corr is a
-    mergeable moment aggregate.  Emitted as floor-eps e4 integers per
-    the rounding doctrine."""
-    ev = table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.count("*").alias("n"))
-    w = Window.partitionBy("event_type").orderBy("hr")
-    lagged = hourly.select(
+    Scale shape: one aggregate over the (pushed-down) sample filter, a
+    broadcast dense grid, and two window passes partitioned by series key
+    — per-series state is O(1) (last/next anchor), the canonical
+    streaming-friendly interpolation plan.  Output rounds to integer
+    milli-cents via the floor(x + 0.5 + eps) rule (SCALE.md round-5 note
+    3); `observed` marks real vs interpolated points."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    sec = F.unix_seconds(F.col("ts").cast("timestamp"))
+    hour_s = (sec - F.pmod(sec, F.lit(3600))).alias("hour_s")
+    src = ev.select(
+        hour_s,
         "event_type",
-        F.col("n").cast("double").alias("n"),
-        F.lag("n", 1).over(w).cast("double").alias("l1"),
-        F.lag("n", 2).over(w).cast("double").alias("l2"),
-        F.lag("n", 3).over(w).cast("double").alias("l3"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    eps = F.lit(0.5 + 1e-9)
-    return (
-        lagged.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_hours"),
-            F.floor(F.corr("n", "l1") * 10000 + eps).cast("long").alias("acf1_e4"),
-            F.floor(F.corr("n", "l2") * 10000 + eps).cast("long").alias("acf2_e4"),
-            F.floor(F.corr("n", "l3") * 10000 + eps).cast("long").alias("acf3_e4"),
+    pts = src.groupBy("hour_s", "event_type").agg(F.avg("cents").alias("v"))
+    bounds = src.agg(F.min("hour_s").alias("start_s"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("start_s"), F.col("start_s") + 23 * 3600, F.lit(3600))
+        ).alias("hour_s")
+    )
+    types = src.select("event_type").distinct()
+    dense = F.broadcast(grid.crossJoin(types)).join(
+        pts, ["hour_s", "event_type"], "left"
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vh = F.when(F.col("v").isNotNull(), F.col("hour_s"))
+    anchored = dense.select(
+        "hour_s",
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(vh, ignorenulls=True).over(wb).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(vh, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hour_s") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
         )
-        .orderBy("event_type")
     )
-
-
-@register(
-    "abtest_chi2_independence",
-    "X116",
-    oracle="""
-    WITH cell AS MATERIALIZED (
-        SELECT event_type, isodow(ts) AS dow, count(*)::DOUBLE AS o
-        FROM events GROUP BY event_type, dow
-    ), rt AS (SELECT event_type, sum(o) AS r FROM cell GROUP BY event_type),
-    ct AS (SELECT dow, sum(o) AS c FROM cell GROUP BY dow),
-    n AS (SELECT sum(o) AS n FROM cell),
-    terms AS (
-        SELECT (cell.o - rt.r * ct.c / n.n) * (cell.o - rt.r * ct.c / n.n)
-               / (rt.r * ct.c / n.n) AS t
-        FROM cell JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
-    )
-    SELECT CAST(floor(sum(t) * 10000 + 0.5 + 1e-9) AS BIGINT) AS chi2_e4,
-           (SELECT count(*) FROM rt) AS n_types,
-           (SELECT count(*) FROM ct) AS n_dows,
-           CAST(((SELECT count(*) FROM rt) - 1)
-                * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof
-    FROM terms
-    """,
-)
-def abtest_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square test of independence for event_type x ISO-weekday —
-    the categorical complement of the z-test key (X_abtest): is traffic
-    mix independent of weekday?  chi2 = sum (O-E)^2/E with E from the
-    broadcast row/column marginals.
-
-    Note the weekday spelling: Spark weekday() (0=Mon) + 1 equals
-    DuckDB isodow() (1=Mon) — dayofweek() does NOT line up across the
-    engines (Sunday=1 vs 0) and is avoided deliberately.
-
-    Scale shape: one cell aggregation over the fact table (map-side
-    combined), then every marginal is a tiny broadcast — the O(cells)
-    term sum never re-touches the events.  Deterministic float path:
-    each term is computed from identical doubles in both engines, summed
-    over a handful of cells, emitted floor-eps."""
-    ev = table(spark, sf_dir, "events")
-    cell = ev.groupBy(
-        "event_type", (F.weekday("ts") + 1).alias("dow")
-    ).agg(F.count("*").cast("double").alias("o"))
-    rt = cell.groupBy("event_type").agg(F.sum("o").alias("r"))
-    ct = cell.groupBy("dow").agg(F.sum("o").alias("c"))
-    n = cell.agg(F.sum("o").alias("n"))
-    e = F.col("r") * F.col("c") / F.col("n")
-    terms = (
-        cell.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "dow")
-        .crossJoin(F.broadcast(n))
-        .select(((F.col("o") - e) * (F.col("o") - e) / e).alias("t"))
-    )
-    n_types = rt.agg(F.count("*").alias("n_types"))
-    n_dows = ct.agg(F.count("*").alias("n_dows"))
-    return (
-        terms.agg(
-            F.floor(F.sum("t") * 10000 + F.lit(0.5 + 1e-9))
-            .cast("long")
-            .alias("chi2_e4")
-        )
-        .crossJoin(F.broadcast(n_types))
-        .crossJoin(F.broadcast(n_dows))
-        .select(
-            "chi2_e4",
-            "n_types",
-            "n_dows",
-            ((F.col("n_types") - 1) * (F.col("n_dows") - 1))
-            .cast("long")
-            .alias("dof"),
-        )
+    return anchored.select(
+        "hour_s",
+        "event_type",
+        F.col("v").isNotNull().alias("observed"),
+        F.floor(interp * 1000 + F.lit(0.5 + 1e-9)).cast("long").alias(
+            "interp_millicents"
+        ),
     )
