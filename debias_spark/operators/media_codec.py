@@ -101,9 +101,12 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     )
 
 
-def decode_wav(data: bytes) -> dict:
+def decode_wav(data: bytes, with_samples: bool = False) -> dict:
     """Decode PCM16 WAV headers + samples: walks the RIFF chunk list (so
-    extra chunks like LIST/INFO are skipped correctly, not assumed absent)."""
+    extra chunks like LIST/INFO are skipped correctly, not assumed absent).
+    ``with_samples`` additionally returns the raw sample list (for
+    per-frame feature extraction; off by default to keep the metadata
+    path allocation-light)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV stream")
     pos, fmt, body = 12, None, None
@@ -132,13 +135,16 @@ def decode_wav(data: bytes) -> dict:
         raise ValueError(f"unsupported WAV variant (fmt={audio_format}, bits={bits})")
     n = len(body) // 2
     samples = struct.unpack(f"<{n}h", body[: n * 2])
-    return {
+    out = {
         "format": "wav",
         "channels": channels,
         "sample_rate": sample_rate,
         "n_samples": n // channels,
         "sum_abs": sum(abs(s) for s in samples),
     }
+    if with_samples:
+        out["samples"] = list(samples)
+    return out
 
 
 def decode_media(data: bytes) -> dict:

@@ -87,6 +87,9 @@ DRIVER_PRIORITY = [
     "bpe_encode_corpus", "semdedup_cluster_cosine",
     "embedding_matryoshka_rerank", "docs_quality_ntile_bins",
     "sink_json_roundtrip", "join_dpp_partitioned",
+    "agg_decimal_exact", "sql_grouping_sets_explicit",
+    "events_sliding_distinct_users", "embedding_pq_codebook",
+    "docs_vocab_drift_logratio", "multimodal_audio_energy_windows",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",
