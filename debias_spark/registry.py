@@ -90,6 +90,9 @@ DRIVER_PRIORITY = [
     "agg_decimal_exact", "sql_grouping_sets_explicit",
     "events_sliding_distinct_users", "embedding_pq_codebook",
     "docs_vocab_drift_logratio", "multimodal_audio_energy_windows",
+    "sql_union_by_name_evolution", "sql_identifier_dynamic_table",
+    "incremental_join_maintenance", "embedding_bitpack_hamming_topk",
+    "text_zipf_slope",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",
