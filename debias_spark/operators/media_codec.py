@@ -46,10 +46,13 @@ def encode_bmp(width: int, height: int, pixel) -> bytes:
     return header + info + pixels
 
 
-def decode_bmp(data: bytes) -> dict:
+def decode_bmp(data: bytes, with_red_rows: bool = False) -> dict:
     """Decode an uncompressed 24-bit BMP: returns width, height, and the
     per-channel pixel sums (order-independent, so bottom-up storage and
-    row padding must be handled but cannot hide an error)."""
+    row padding must be handled but cannot hide an error).
+    ``with_red_rows`` additionally returns the red channel as a
+    TOP-DOWN row-major list of rows (for feature extraction; off by
+    default to keep the metadata path allocation-light)."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP stream")
     offset = struct.unpack_from("<I", data, 10)[0]
@@ -68,13 +71,16 @@ def decode_bmp(data: bytes) -> dict:
     if offset + row_stride * height > len(data):
         raise ValueError("truncated BMP pixel array")
     sum_r = sum_g = sum_b = 0
+    red_rows: list[list[int]] = []
     for row_i in range(height):
         base = offset + row_i * row_stride
         row = data[base : base + width * 3]
         sum_b += sum(row[0::3])
         sum_g += sum(row[1::3])
         sum_r += sum(row[2::3])
-    return {
+        if with_red_rows:
+            red_rows.append(list(row[2::3]))
+    out = {
         "format": "bmp",
         "width": width,
         "height": height,
@@ -83,6 +89,11 @@ def decode_bmp(data: bytes) -> dict:
         "sum_g": sum_g,
         "sum_b": sum_b,
     }
+    if with_red_rows:
+        # storage order is bottom-up unless the height was negative:
+        # normalize so callers always receive top-down rows
+        out["red_rows"] = red_rows if top_down else red_rows[::-1]
+    return out
 
 
 # --- WAV (RIFF/WAVE, PCM16) ---------------------------------------------------

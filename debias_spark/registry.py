@@ -93,6 +93,8 @@ DRIVER_PRIORITY = [
     "sql_union_by_name_evolution", "sql_identifier_dynamic_table",
     "incremental_join_maintenance", "embedding_bitpack_hamming_topk",
     "text_zipf_slope",
+    "agg_bitmap_distinct", "sql_timestamp_arith_pack",
+    "multimodal_image_avghash_buckets",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",
