@@ -203,17 +203,24 @@ def test_kmeans_assign_and_update_consistent(spark, sf_dir):
     for vid, (cid, _) in expect_assign.items():
         members.setdefault(cid, []).append(vecs[vid])
     got_upd = {
-        r.cent_id: (r.n_members, r.m0, r.m1, r.m2)
+        r.cent_id: (r.n_members, r.m0_e4, r.m1_e4, r.m2_e4)
         for r in SPECS["embedding_kmeans_update"].fn(spark, sf_dir).collect()
     }
     assert sum(n for n, *_ in got_upd.values()) == len(vecs)
+
+    def e4(x: float) -> int:
+        # the round-6 floor-eps emission (llm_ops12): floor(x*1e4+0.5+eps)
+        import math
+
+        return int(math.floor(x * 10000 + 0.5 + 1e-9))
+
     for cid, ms in members.items():
         m = np.mean(ms, axis=0)
         assert got_upd[cid] == (
             len(ms),
-            round(float(m[0]), 4),
-            round(float(m[1]), 4),
-            round(float(m[2]), 4),
+            e4(float(m[0])),
+            e4(float(m[1])),
+            e4(float(m[2])),
         )
 
 
