@@ -95,6 +95,8 @@ DRIVER_PRIORITY = [
     "text_zipf_slope",
     "agg_bitmap_distinct", "sql_timestamp_arith_pack",
     "multimodal_image_avghash_buckets",
+    "abtest_ks_statistic", "orders_mannwhitney_u",
+    "text_naive_bayes_lang", "text_pmi_cooccurrence",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",
