@@ -134,3 +134,72 @@ def source_csv_permissive_badrecords(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("_bad").alias("n_corrupt"),
         F.sum(F.when(F.col("_bad").isNull(), F.col("cents"))).alias("cents_good"),
     )
+
+
+@register(
+    "sink_xml_roundtrip",
+    "Z37",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum({_CENTS}) AS BIGINT) AS rev_cents,
+           min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/source roundtrip over Spark 4's NATIVE xml data source
+    (one <row> element per record, parallel one-file-per-partition write):
+    orders project to typed columns, serialize to XML, re-read with an
+    EXPLICIT schema (inference on a text format is a correctness trap —
+    a partition of all-null strings would re-type the column), and
+    aggregate per priority.  The oracle aggregates the source parquet
+    directly, so a hash match proves the XML writer/parser round-trips
+    every value — including the '&'/'<' entity escaping in priority
+    strings and ISO date formatting — losslessly.
+
+    Only integers and strings cross the XML boundary (cents, not a
+    double price; pre-formatted date string): text formats re-parse
+    floats through decimal repr, which is exactly the engine-divergence
+    class the repo's integer-emission rule exists to avoid.
+
+    Scale shape: write = one task per input partition (no coalesce(1));
+    read-back = splittable per-file parallel parse; the aggregate is an
+    ordinary partial+final hash aggregate.  XML is the interchange
+    surface here, not the analytics store — the key proves the bridge is
+    lossless, the docstring's advice remains 'land it in parquet'."""
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+    out = _sink_dir(spark, sf_dir, "xml_orders")
+    (
+        src.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(out)
+    )
+    back = spark.read.format("xml").option("rowTag", "order").schema(
+        StructType(
+            [
+                StructField("o_orderkey", LongType()),
+                StructField("o_orderpriority", StringType()),
+                StructField("cents", LongType()),
+                StructField("order_day", StringType()),
+            ]
+        )
+    ).load(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+            F.min("order_day").alias("first_day"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -216,3 +216,75 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _PMI_TAIL_SQL.format(dt_cte="", dt="_y46_dt", docs="_y46_docs")
     )
+
+
+_TOKENS_DUCK = (
+    "CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+@register(
+    "docs_shard_token_balance",
+    "Y47",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) AS shard,
+               CAST({_TOKENS_DUCK} AS BIGINT) AS n_tokens
+        FROM documents
+    ), shards AS (
+        SELECT shard, count(*) AS n_docs, sum(n_tokens) AS tok
+        FROM per_doc GROUP BY shard
+    )
+    SELECT shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(tok AS BIGINT) AS n_tokens,
+           CAST(floor(tok * 1000.0 / sum(tok) OVER ()) AS BIGINT)
+               AS tokens_permille
+    FROM shards
+    ORDER BY shard
+    """,
+)
+def docs_shard_token_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard audit: documents hash into 16 shards by the
+    last hex digit of md5(doc_id) — the content-independent, seed-free
+    assignment a training pipeline uses to split a corpus into epoch
+    files — and the key reports per-shard doc counts, token totals, and
+    each shard's per-mille share of the corpus token budget.  A skewed
+    share column is the early warning that one trainer rank will starve.
+
+    Hash sharding (vs greedy sequential packing) is the 100 TB answer:
+    assignment is a pure per-row projection — no global order, no
+    cumulative window, nothing to coordinate — and the law of large
+    numbers does the balancing (per-mille shares concentrate around
+    1000/16 = 62 as docs-per-shard grows).  The audit itself is a
+    16-group aggregate; the share window runs over 16 rows.
+
+    Integer discipline: token counts are integers, and the share is
+    emitted as floor(tok*1000/total) — int*int -> int/int IEEE division,
+    deterministic on both engines.
+
+    Plan shape: scan -> project (md5 + tokenize-count) -> 16-key hash
+    aggregate with map-side partials -> 16-row window."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_y47_docs")
+    return spark.sql(
+        """
+        WITH per_doc AS (
+            SELECT substr(md5(CAST(doc_id AS STRING)), 32, 1) AS shard,
+                   CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+                        size(split(trim(text), '\\\\s+')) END AS BIGINT)
+                       AS n_tokens
+            FROM _y47_docs
+        ), shards AS (
+            SELECT shard, count(*) AS n_docs, sum(n_tokens) AS tok
+            FROM per_doc GROUP BY shard
+        )
+        SELECT shard,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(tok AS BIGINT) AS n_tokens,
+               CAST(floor(tok * 1000.0 / sum(tok) OVER ()) AS BIGINT)
+                   AS tokens_permille
+        FROM shards
+        ORDER BY shard
+        """
+    )

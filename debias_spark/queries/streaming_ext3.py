@@ -202,3 +202,73 @@ def stream_session_window_oracled(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return run_available_now(agg, spark, output_mode="complete")
+
+
+@register(
+    "stream_chained_windows",
+    "Z38",
+    oracle="""
+    WITH hourly AS MATERIALIZED (
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS h,
+               event_type, count(*) AS n
+        FROM events GROUP BY h, event_type
+    ), wm AS (
+        SELECT epoch(max(ts)) - 1.0 AS w FROM events
+    )
+    SELECT strftime(make_timestamp(CAST(floor(h / 21600) * 21600 AS BIGINT)
+                                   * 1000000), '%Y-%m-%d %H:%M:%S') AS w6_start,
+           event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS peak_hour_n
+    FROM hourly, wm
+    WHERE floor(h / 21600) * 21600 + 21600 <= wm.w
+    GROUP BY floor(h / 21600), event_type
+    """,
+    bench=False,
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming window aggregation (Spark 3.5+ surface): hourly
+    event counts re-aggregated into 6-hour windows (total + peak hourly
+    rate) in a single streaming query — two stateful operators back to
+    back, stitched with window_time().  This is the streaming rollup
+    pyramid every metrics pipeline wants (fine windows for alerting, 
+    coarse for dashboards) without a second job re-reading the fine sink.
+
+    Drains with availableNow in append mode under a 1-second watermark
+    (chained streaming aggregates REQUIRE watermark + append; complete
+    mode is a single-stateful-operator privilege).  Append emits only
+    FINALIZED windows: after the trailing empty micro-batch commits the
+    final watermark wm = max(ts) - 1s, every 6-hour window with end <= wm
+    has flushed and the trailing in-progress window is withheld — so the
+    DuckDB oracle computes the same two stacked GROUP BYs on aligned
+    epoch buckets and applies the identical end <= wm cut.  (Spark
+    windows align to the epoch origin, so floor(epoch/3600) and
+    window('1 hour') bucket identically; window_time = end - 1us stays
+    inside its hour, so the 6-hour re-bucketing agrees too.)  Emitted
+    rows are exact, not partial: a level-2 window finalizes only after
+    every level-1 hour inside it finalized and arrived.
+
+    Scale shape: state is per (window, event_type) at both levels —
+    bounded by time-range x type cardinality, not event volume; level-2
+    receives only level-1's finalized rows (watermark-gated), so the
+    second state store is 1/3600th the traffic of the first."""
+    from debias_spark.streaming import run_available_now, stream_events
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 second")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    six = (
+        hourly.groupBy(
+            F.window(F.window_time("w1"), "6 hours").alias("w6"), "event_type"
+        )
+        .agg(F.sum("n").alias("n_events"), F.max("n").alias("peak_hour_n"))
+        .select(
+            F.date_format("w6.start", "yyyy-MM-dd HH:mm:ss").alias("w6_start"),
+            "event_type",
+            "n_events",
+            "peak_hour_n",
+        )
+    )
+    return run_available_now(six, spark, output_mode="append")

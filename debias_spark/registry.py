@@ -97,6 +97,8 @@ DRIVER_PRIORITY = [
     "multimodal_image_avghash_buckets",
     "abtest_ks_statistic", "orders_mannwhitney_u",
     "text_naive_bayes_lang", "text_pmi_cooccurrence",
+    "sink_xml_roundtrip", "stream_chained_windows",
+    "docs_shard_token_balance",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",
