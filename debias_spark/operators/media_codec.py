@@ -46,13 +46,17 @@ def encode_bmp(width: int, height: int, pixel) -> bytes:
     return header + info + pixels
 
 
-def decode_bmp(data: bytes, with_red_rows: bool = False) -> dict:
+def decode_bmp(
+    data: bytes, with_red_rows: bool = False, with_pixel_rows: bool = False
+) -> dict:
     """Decode an uncompressed 24-bit BMP: returns width, height, and the
     per-channel pixel sums (order-independent, so bottom-up storage and
     row padding must be handled but cannot hide an error).
     ``with_red_rows`` additionally returns the red channel as a
     TOP-DOWN row-major list of rows (for feature extraction; off by
-    default to keep the metadata path allocation-light)."""
+    default to keep the metadata path allocation-light).
+    ``with_pixel_rows`` returns full (r, g, b) tuples in the same
+    top-down row-major layout (palette/quantization features)."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP stream")
     offset = struct.unpack_from("<I", data, 10)[0]
@@ -72,6 +76,7 @@ def decode_bmp(data: bytes, with_red_rows: bool = False) -> dict:
         raise ValueError("truncated BMP pixel array")
     sum_r = sum_g = sum_b = 0
     red_rows: list[list[int]] = []
+    pixel_rows: list[list[tuple[int, int, int]]] = []
     for row_i in range(height):
         base = offset + row_i * row_stride
         row = data[base : base + width * 3]
@@ -80,6 +85,10 @@ def decode_bmp(data: bytes, with_red_rows: bool = False) -> dict:
         sum_r += sum(row[2::3])
         if with_red_rows:
             red_rows.append(list(row[2::3]))
+        if with_pixel_rows:
+            pixel_rows.append(
+                [(row[i + 2], row[i + 1], row[i]) for i in range(0, width * 3, 3)]
+            )
     out = {
         "format": "bmp",
         "width": width,
@@ -93,6 +102,8 @@ def decode_bmp(data: bytes, with_red_rows: bool = False) -> dict:
         # storage order is bottom-up unless the height was negative:
         # normalize so callers always receive top-down rows
         out["red_rows"] = red_rows if top_down else red_rows[::-1]
+    if with_pixel_rows:
+        out["pixel_rows"] = pixel_rows if top_down else pixel_rows[::-1]
     return out
 
 

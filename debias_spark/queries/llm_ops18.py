@@ -128,3 +128,103 @@ multimodal_image_avghash_buckets.__doc__ = (
     .replace("{_HW}", str(_HW))
     .replace("{_HH}", str(_HH))
 )
+
+
+@register(
+    "multimodal_palette_histogram",
+    "MM6",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS w,
+               3 + doc_id % 11 AS h
+        FROM documents
+    ), px AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(flatten(list_transform(range(0, w), x ->
+                   list_transform(range(0, h), y ->
+                       (CASE WHEN (3 * x + 5 * y) % 251 >= 128 THEN 4 ELSE 0 END)
+                     + (CASE WHEN (x * y) % 251 >= 128 THEN 2 ELSE 0 END)
+                     + (CASE WHEN (x + 7 * y) % 251 >= 128 THEN 1 ELSE 0 END)
+                   )))) AS bucket
+        FROM dims
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_images
+    FROM px GROUP BY bucket ORDER BY bucket
+    """,
+    bench=False,
+)
+def multimodal_palette_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level color-palette histogram through REAL pixel decode:
+    synthesize the Y30 BMP per document, decode the full (r, g, b) pixel
+    array (with_pixel_rows — BGR order, padding, bottom-up all on the
+    line), quantize each pixel to a 3-bit RGB octant (r>=128 | g>=128 |
+    b>=128), and report per-octant pixel and image counts — the palette
+    profile an image-corpus curation pipeline uses to spot monochrome
+    screenshots, blank frames, and channel-swap decode bugs in one scan.
+
+    The oracle replays the generation formulas per (doc, x, y) in SQL, so
+    a single swapped channel or mis-padded row flips octant counts and
+    breaks the hash.
+
+    Scale shape: decode + quantize + LOCAL 8-bin histogram all happen
+    inside one mapInPandas pass (each Arrow batch emits at most
+    8 rows x batch docs, not one row per pixel — the million-to-one
+    reduction happens before any shuffle); the final aggregate shuffles
+    only (bucket, partial count, doc set size) rows.  count(DISTINCT
+    doc_id) stays exact because a doc's pixels never split across
+    batches."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from debias_spark.operators.media_codec import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 13, 3 + d % 11
+                payloads.append(
+                    encode_bmp(
+                        w, h,
+                        lambda x, y: ((3 * x + 5 * y) % 251, (x * y) % 251, (x + 7 * y) % 251),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from debias_spark.operators.media_codec import decode_bmp
+
+        for pdf in batches:
+            ids, buckets, counts = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_bmp(bytes(payload), with_pixel_rows=True)
+                local = [0] * 8
+                for row in m["pixel_rows"]:
+                    for r, g, b in row:
+                        local[(4 if r >= 128 else 0)
+                              + (2 if g >= 128 else 0)
+                              + (1 if b >= 128 else 0)] += 1
+                for bkt, n in enumerate(local):
+                    if n:
+                        ids.append(int(doc_id))
+                        buckets.append(bkt)
+                        counts.append(n)
+            yield pd.DataFrame(
+                {"doc_id": ids, "bucket": buckets, "n": counts}
+            )
+
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+    per_doc = payloads.mapInPandas(
+        hist_batches, schema="doc_id long, bucket int, n long"
+    )
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_pixels"),
+            F.countDistinct("doc_id").alias("n_images"),
+        )
+        .orderBy("bucket")
+    )

@@ -168,3 +168,79 @@ def orders_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM agg
         """
     )
+
+
+# Monthly revenue is consumed twice by the pair self-join: the oracle
+# materializes it; the Spark side localCheckpoints the tiny (about 80-row)
+# frame so the orders scan+aggregate runs once.
+_THEILSEN_MONTHLY_SQL = """
+SELECT ({year} - 1995) * 12 + {month} - 1 AS m,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+FROM {orders}
+GROUP BY m
+"""
+
+_THEILSEN_TAIL_SQL = """
+WITH {monthly_cte}pairs AS (
+    SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.m - a.m) AS slope
+    FROM {monthly} a JOIN {monthly} b ON b.m > a.m
+), ranked AS (
+    SELECT slope,
+           row_number() OVER (ORDER BY slope) AS rn,
+           count(*) OVER () AS n
+    FROM pairs
+)
+SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+       CAST(floor(max(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                           THEN slope END) * 100 + 0.5 + 1e-9) AS BIGINT)
+           AS theilsen_slope_centi
+FROM ranked
+"""
+
+
+@register(
+    "orders_theilsen_trend",
+    "X127",
+    oracle=_THEILSEN_TAIL_SQL.format(
+        monthly_cte=(
+            "monthly AS MATERIALIZED ("
+            + _THEILSEN_MONTHLY_SQL.format(
+                year="date_part('year', o_orderdate)",
+                month="date_part('month', o_orderdate)",
+                orders="orders",
+            )
+            + "), "
+        ),
+        monthly="monthly",
+    ),
+)
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over monthly revenue: the median
+    of all pairwise slopes (cents/month) across the ~80-month order
+    history — the outlier-immune complement to the OLS fit (X82
+    regr_price_vs_quantity) and the EWMA forecast (Z28); one promotional
+    spike month barely moves it where it would drag a least-squares line.
+
+    Determinism: every slope is an int-difference / int-difference IEEE
+    division (bit-identical on both engines), and the median is an exact
+    order statistic (rank floor((n+1)/2) via row_number — the lower
+    middle for even n), not an average of two doubles.  Emitted in
+    integer centi-units per the repo floor rule.
+
+    Scale: the pair join is over MONTHS, not orders — the raw scan
+    reduces via an ordinary partial-aggregating groupBy to a domain-
+    bounded ~80-row frame (localCheckpointed once, self-joined
+    broadcast-style), so 100x more orders changes only the scan, never
+    the O(months^2) = ~3.2k-row pair stage."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_x127_orders")
+    monthly = spark.sql(
+        _THEILSEN_MONTHLY_SQL.format(
+            year="year(o_orderdate)",
+            month="month(o_orderdate)",
+            orders="_x127_orders",
+        )
+    ).localCheckpoint(eager=True)
+    monthly.createOrReplaceTempView("_x127_monthly")
+    return spark.sql(
+        _THEILSEN_TAIL_SQL.format(monthly_cte="", monthly="_x127_monthly")
+    )

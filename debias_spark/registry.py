@@ -99,6 +99,7 @@ DRIVER_PRIORITY = [
     "text_naive_bayes_lang", "text_pmi_cooccurrence",
     "sink_xml_roundtrip", "stream_chained_windows",
     "docs_shard_token_balance",
+    "multimodal_palette_histogram", "orders_theilsen_trend",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",

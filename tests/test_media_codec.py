@@ -126,3 +126,17 @@ def test_decode_media_sniffs():
     assert decode_media(encode_wav(8000, [5]))["format"] == "wav"
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG\r\n")
+
+
+def test_bmp_pixel_rows_topdown_rgb_order():
+    # pixel_rows must come back TOP-DOWN as (r, g, b) tuples regardless of
+    # the on-disk bottom-up BGR layout — value depends on (x, y) so a
+    # flipped row order or swapped channel both fail
+    pixel = lambda x, y: (x + 10 * y, 100 + x, 200 - y)
+    m = decode_bmp(encode_bmp(3, 2, pixel), with_pixel_rows=True)
+    assert m["pixel_rows"] == [
+        [pixel(x, y) for x in range(3)] for y in range(2)
+    ]
+    # and the red_rows view stays consistent with the full-pixel view
+    m2 = decode_bmp(encode_bmp(3, 2, pixel), with_red_rows=True)
+    assert [[p[0] for p in row] for row in m["pixel_rows"]] == m2["red_rows"]
