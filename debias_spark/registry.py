@@ -54,9 +54,11 @@ def load_all_queries() -> dict[str, QuerySpec]:
     return QUERIES
 
 
-# ROUND-6 REBUILD NOTE: after CORRECTNESS_r05 lands, repeat the drill —
+# ROUND-7 REBUILD NOTE: after CORRECTNESS_r06 lands, repeat the drill —
 # drain its green keys into block 3, front-load any failures plus whatever
-# of block 1/2's tail missed the window, then new round-6 keys behind them.
+# of block 1/2's tail missed the 50-key window (blocks 1+2 hold exactly 50
+# keys this round, so anything red or unchecked stays up front), then new
+# round-7 keys behind them.
 #
 # The driver iterates queries() in dict order and rounds 1-4 showed it
 # stops after exactly the first 50 keys.  Whatever the mechanism — count
