@@ -534,3 +534,30 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
     subquery), so fact I/O scales with dim selectivity at 100 TB."""
     plan = executed_plan(q("join_dpp_partitioned", spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_pmi_self_join_reads_checkpoint_not_corpus(spark, sf_dir):
+    """The PMI pair stage must consume the localCheckpointed doc-token
+    frame: the only corpus scan left in the tail plan is the n_docs
+    count(*) — column-pruned to zero fields — while both self-join legs
+    read the checkpoint (a regression would re-tokenize the corpus twice
+    through the self-join)."""
+    df = q("text_pmi_cooccurrence", spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("Scan ExistingRDD") >= 2, plan[:500]
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert len(scans) == 1 and "ReadSchema: struct<>" in scans[0], scans
+
+
+def test_ks_window_input_is_checkpointed_bins(spark, sf_dir):
+    df = q("abtest_ks_statistic", spark, sf_dir)
+    plan = executed_plan(df)
+    # orders are aggregated once upstream; the tail sees only the bins
+    assert "Scan parquet" not in plan and "FileScan" not in plan, plan[:500]
+
+
+def test_shard_balance_single_aggregate_shuffle(spark, sf_dir):
+    # projection -> 16-key aggregate -> 16-row window: nothing else may
+    # shuffle row-proportional data
+    df = q("docs_shard_token_balance", spark, sf_dir)
+    assert_max_exchanges(df, 3)  # partial->final agg, window, sort
