@@ -60,6 +60,12 @@ REPRESENTATIVE = [
     ("sql_cube_grouping_id", "CUBE: one Expand (4 grouping sets) + one map-side-combined aggregate"),
     ("join_salted_hotkey", "salted fact-dim join: (key, salt) equi-join, dim replicated x8"),
     ("multimodal_decode_dims", "two chained Arrow stages (encode, decode): zero shuffles, embarrassingly parallel"),
+    # round-6 wave
+    ("abtest_ks_statistic", "domain-bounded ECDF: checkpointed currency bins feed the one-task window + broadcast total"),
+    ("text_pmi_cooccurrence", "top-df vocab broadcast prune; checkpointed doc-token frame self-joined (both legs read ExistingRDD)"),
+    ("text_naive_bayes_lang", "NB scoring: (lang,token) count model hash-joined onto held-out tokens; priors/vocab broadcast; WindowGroupLimit argmax"),
+    ("docs_shard_token_balance", "md5 shard projection -> 16-key aggregate -> 16-row share window: nothing row-proportional shuffles"),
+    ("orders_theilsen_trend", "month-domain pair join over a checkpointed ~80-row frame; median as exact order statistic"),
 ]
 
 
