@@ -83,6 +83,16 @@ KEYS = [
     "docs_winnowing_fingerprint",
     "graph_shortest_hops",
     "stream_stream_join_attrib",
+    # round-6 wave: the domain-bounded ECDF statistics (bins constant as
+    # rows grow), the vocab-bounded PMI self-join (the pair keyspace must
+    # NOT grow with the corpus), NB scoring (model state = vocab, not
+    # corpus), and the md5 shard audit (pure projection + 16-key agg)
+    "abtest_ks_statistic",
+    "orders_mannwhitney_u",
+    "text_pmi_cooccurrence",
+    "text_naive_bayes_lang",
+    "docs_shard_token_balance",
+    "orders_theilsen_trend",
 ]
 
 OFFSETS = {
