@@ -107,3 +107,26 @@ def test_no_oracle_exceeds_runtime_ceiling():
             if dt > 5.0:
                 slow.append((name, round(dt, 2)))
     assert not slow, f"oracles over the 5s ceiling at sf0.01 (after retry): {slow}"
+
+
+def test_floor_eps_oracles_keep_boundary_margin():
+    """The Y33 rounding-tie regression gate, generalized: no oracle that
+    emits integers via floor(x*scale + 0.5 + 1e-9) may have a
+    TRANSCENDENTAL-math value within 2e-9 of a floor boundary on the
+    current testdata (Java Math.log and C libm can disagree in the last
+    ulp, so a near-boundary log-derived value could floor differently
+    per engine).  Rational near-boundary hits are the benign exact-tie
+    class — both engines evaluate them bit-identically and the eps
+    breaks the tie consistently — and are reported, not failed, by
+    tools/float_margin_audit.py."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.float_margin_audit import audit
+
+    fragile, _ties = audit("/root/testdata/sf0.001")
+    assert not fragile, (
+        f"transcendental floor-eps oracles within 2e-9 of a boundary: "
+        f"{fragile} — widen the emission scale or restate the formula "
+        f"over integers (see tools/float_margin_audit.py)"
+    )
