@@ -92,7 +92,20 @@ def main() -> int:
     print(f"{len(specs) - len(fails)}/{len(specs)} keys green on drifted schema")
     for n, m in fails:
         print(f"FAIL {n}: {m}")
-    return 1 if fails else 0
+
+    # the floor-boundary margin audit is data-dependent, so every fresh
+    # data draw is new evidence — run it against the drifted copy too
+    # (round-6 tool; see tools/float_margin_audit.py for the risk class)
+    from tools.float_margin_audit import audit
+
+    fragile, ties = audit(dst)
+    for k in ties:
+        print(f"margin audit tie-class (benign): {k}")
+    if fragile:
+        print(f"margin audit BOUNDARY-FRAGILE on drifted data: {fragile}")
+    else:
+        print("margin audit: no transcendental oracle near a floor boundary")
+    return 1 if (fails or fragile) else 0
 
 
 if __name__ == "__main__":
