@@ -35,8 +35,11 @@ import debias_spark.queries.relational_ext23  # noqa: F401  X120-X122 union-by-n
 import debias_spark.queries.llm_ops17  # noqa: F401  Y43-Y44 bitpack hamming / Zipf slope (round 6)
 import debias_spark.queries.relational_ext24  # noqa: F401  X123-X124 bitmap distinct / timestamp arith (round 6)
 import debias_spark.queries.llm_ops18  # noqa: F401  MM5 image average-hash buckets (round 6)
-import debias_spark.queries.relational_ext25  # noqa: F401  X125-X126 KS / Mann-Whitney (round 6)
-import debias_spark.queries.llm_ops19  # noqa: F401  Y45-Y46 naive-Bayes lang / PMI co-occurrence (round 6)
+import debias_spark.queries.relational_ext25  # noqa: F401  X125-X127 KS / Mann-Whitney / Theil-Sen (round 6)
+import debias_spark.queries.llm_ops19  # noqa: F401  Y45-Y47 naive-Bayes lang / PMI / shard balance (round 6)
+import debias_spark.queries.relational_ext26  # noqa: F401  X128-X130 pivot multi-agg / SQL UDF / observe (round-7 block)
+import debias_spark.queries.llm_ops20  # noqa: F401  Y48 MMR rerank (round-7 block)
+import debias_spark.queries.io_roundtrip3  # noqa: F401  Z39-Z40 permissive JSON / managed table (round-7 block)
 import debias_spark.queries.relational_ext20  # noqa: F401  X108 grid-bucketed spatial radius join (round 5)
 import debias_spark.queries.streaming_ext3  # noqa: F401  Z31 value-oracled stream-stream join (round 5)
 import debias_spark.queries.llm_ops8  # noqa: F401  Y18/Z23/Z24 bigram LM, URL dedup, containment (round 4)

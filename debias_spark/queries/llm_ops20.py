@@ -1,0 +1,153 @@
+"""Round-7 block, LLM wave (Y48): MMR (maximal marginal relevance)
+diversity re-ranking over the cosine-retrieval candidates — the standard
+RAG/retrieval post-processor that trades pure relevance for coverage so
+the selected passages aren't five near-copies of the same chunk.
+
+No reference citation: the reference (SirHooke/debias-batch-processor)
+has no retrieval surface; north-star extension per SURVEY §2.H (H8
+family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.operators import similarity
+from debias_spark.registry import register
+
+_K_CAND = 10  # relevance candidates fed to MMR
+_LAMBDA = "0.7"  # relevance weight; (1 - lambda) penalizes redundancy
+
+# Greedy MMR unrolled to 3 selections.  rel/pair sims are 4-dp-rounded
+# doubles computed identically on both engines (the H8 discipline), so
+# every argmax comparison is over bit-identical values; ties break on
+# cand_id.  The same tail text runs on Spark (over checkpointed views)
+# and DuckDB (over MATERIALIZED CTEs).
+_MMR_TAIL_SQL = """
+WITH {cte}sel1 AS (
+    SELECT cand_id, sim AS rel FROM {rel}
+    ORDER BY sim DESC, cand_id LIMIT 1
+), sc2 AS (
+    SELECT r.cand_id, r.sim AS rel, max(p.sim) AS ms
+    FROM {rel} r
+    JOIN {pairs} p ON p.a = r.cand_id
+    WHERE p.b IN (SELECT cand_id FROM sel1)
+      AND r.cand_id NOT IN (SELECT cand_id FROM sel1)
+    GROUP BY r.cand_id, r.sim
+), sel2 AS (
+    SELECT cand_id, rel FROM sc2
+    ORDER BY {lam} * rel - (1 - {lam}) * ms DESC, cand_id LIMIT 1
+), sc3 AS (
+    SELECT r.cand_id, r.sim AS rel, max(p.sim) AS ms
+    FROM {rel} r
+    JOIN {pairs} p ON p.a = r.cand_id
+    WHERE p.b IN (SELECT cand_id FROM sel1 UNION ALL
+                  SELECT cand_id FROM sel2)
+      AND r.cand_id NOT IN (SELECT cand_id FROM sel1 UNION ALL
+                            SELECT cand_id FROM sel2)
+    GROUP BY r.cand_id, r.sim
+), sel3 AS (
+    SELECT cand_id, rel FROM sc3
+    ORDER BY {lam} * rel - (1 - {lam}) * ms DESC, cand_id LIMIT 1
+)
+SELECT rank, cand_id,
+       CAST(floor(rel * 10000 + 0.5 + 1e-9) AS BIGINT) AS rel_e4
+FROM (
+    SELECT 1 AS rank, cand_id, rel FROM sel1
+    UNION ALL SELECT 2, cand_id, rel FROM sel2
+    UNION ALL SELECT 3, cand_id, rel FROM sel3
+)
+ORDER BY rank
+"""
+
+_MMR_ORACLE_CTES = f"""e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), rel AS MATERIALIZED (
+    SELECT cand_id, sim FROM (
+        SELECT c.vec_id AS cand_id,
+               round(list_cosine_similarity(q.v, c.v), 4) AS sim,
+               row_number() OVER (
+                   ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+                            c.vec_id) AS rn
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = 0
+    ) WHERE rn <= {_K_CAND}
+), pairs AS MATERIALIZED (
+    SELECT a.cand_id AS a, b.cand_id AS b,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+    FROM rel a JOIN rel b ON a.cand_id <> b.cand_id
+    JOIN e ea ON ea.vec_id = a.cand_id
+    JOIN e eb ON eb.vec_id = b.cand_id
+), """
+
+
+@register(
+    "embedding_mmr_rerank",
+    "Y48",
+    oracle=_MMR_TAIL_SQL.format(
+        cte=_MMR_ORACLE_CTES, rel="rel", pairs="pairs", lam=_LAMBDA
+    ),
+)
+def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking: retrieve the top-10 cosine candidates
+    for probe vector 0 (the H8 exact-retrieval path), then greedily pick
+    3 by maximal marginal relevance — each step takes
+    argmax(0.7*relevance - 0.3*max-similarity-to-already-selected), so a
+    candidate nearly identical to an earlier pick is displaced by a less
+    redundant one.  The greedy argmax chain is unrolled to three
+    SQL-stated selections (LIMIT 1 with cand_id tie-break), and the
+    DuckDB oracle replays candidates, pairwise sims, and all three
+    selections value-for-value.
+
+    Determinism: every similarity is 4-dp rounded before any comparison
+    (the H8 discipline — both engines fold the arrays in index order, so
+    the doubles are bit-identical); the MMR scores are arithmetic on
+    those shared doubles.
+
+    Scale shape: retrieval is the H8 broadcast-probe scan (or the H8b
+    LSH-bucketed variant at corpus scale); everything after operates on
+    the K-candidate frame — K^2 pairs and three K-row argmaxes, constants
+    independent of corpus size.  The candidate+pair frames are
+    localCheckpointed once (10 + 90 rows) so the unrolled chain replans
+    nothing upstream."""
+    emb = table(spark, sf_dir, "embeddings")
+    rel = similarity.cosine_topk(
+        emb, F.col("vec_id") == 0, k=_K_CAND
+    ).select("cand_id", "sim").localCheckpoint(eager=True)
+    rel.createOrReplaceTempView("_y48_rel")
+
+    vecs = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("v")
+    )
+    cand_vecs = rel.select("cand_id").join(vecs, "cand_id")
+    a = cand_vecs.select(
+        F.col("cand_id").alias("a"), F.col("v").alias("va")
+    )
+    b = cand_vecs.select(
+        F.col("cand_id").alias("b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                similarity.dot(F.col("va"), F.col("vb"))
+                / (
+                    similarity.l2_norm(F.col("va"))
+                    * similarity.l2_norm(F.col("vb"))
+                ),
+                4,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs.createOrReplaceTempView("_y48_pairs")
+    return spark.sql(
+        _MMR_TAIL_SQL.format(
+            cte="", rel="_y48_rel", pairs="_y48_pairs", lam=_LAMBDA
+        )
+    )

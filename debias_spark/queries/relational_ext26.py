@@ -1,0 +1,153 @@
+"""Round-7 block, relational wave (X128-X130): multi-aggregate PIVOT,
+SQL-defined scalar functions (CREATE FUNCTION ... RETURN — the Spark 4
+catalog-function surface), and the Observation API (streaming-safe
+accumulator metrics collected off the SAME pass that produces the data).
+
+No reference citation: the reference (SirHooke/debias-batch-processor)
+has no SQL layer; north-star extensions per SURVEY §2.H / §8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.registry import register
+
+
+@register(
+    "sql_pivot_multi_agg",
+    "X128",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS a_qty,
+           CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS a_n,
+           CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS n_qty,
+           CAST(count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS BIGINT) AS n_n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS r_qty,
+           CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS r_n
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def sql_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per cell (sum + count for each
+    return flag) — the one-pass wide report the single-agg pivot key
+    (X43 pivot_status_by_flag) can't express without a self-join.  The
+    oracle states the same grid as conditional aggregates, proving
+    Spark's pivot column naming (<label>_<agg alias>) carries exactly
+    the conditional-aggregation semantics.
+
+    Plan shape: PIVOT compiles to ONE hash aggregate whose expressions
+    are the flag-conditional pairs — single shuffle on l_linestatus, no
+    join, no second pass; at 100 TB this is the same partial+final
+    aggregate as any groupBy."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_x128_lineitem")
+    return spark.sql(
+        """
+        SELECT l_linestatus, a_qty, a_n, n_qty, n_n, r_qty, r_n
+        FROM (
+            SELECT l_linestatus, l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS q
+            FROM _x128_lineitem
+        )
+        PIVOT (
+            sum(q) AS qty, count(q) AS n
+            FOR l_returnflag IN ('A' AS a, 'N' AS n, 'R' AS r)
+        )
+        ORDER BY l_linestatus
+        """
+    )
+
+
+@register(
+    "sql_scalar_udf_create",
+    "X129",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CAST(round(o_totalprice * (1 - 0.04) * 100) AS BIGINT))
+                AS BIGINT) AS disc_cents,
+           count(*) AS n
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_scalar_udf_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 `CREATE FUNCTION ... RETURN
+    <expr>`): a discount-to-cents helper declared ONCE in the catalog and
+    reused by name — the governed-semantics surface a warehouse uses so
+    every report computes "discounted cents" identically.  The body is a
+    pure SQL expression, so unlike a Python UDF it inlines into the plan
+    at analysis time: full codegen, pushdown-transparent, zero
+    serialization boundary.  The oracle inlines the same expression by
+    hand — a hash match proves declaration-by-name changed nothing.
+
+    Plan shape: identical to writing the expression inline — one scan
+    with the status filter pushed, one partial+final aggregate."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_cents_x129(p DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(p * (1 - 0.04) * 100) AS BIGINT)
+        """
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_x129_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(sum(disc_cents_x129(o_totalprice)) AS BIGINT) AS disc_cents,
+               count(*) AS n
+        FROM _x129_orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "diag_observe_metrics",
+    "X130",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_fulfilled
+    FROM orders
+    """,
+)
+def diag_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API as a first-class diagnostic operator: metrics
+    (row count, integer-cents revenue, fulfilled count) accumulate on the
+    SAME pass that scans the data — df.observe() rides the existing job
+    as accumulators instead of scheduling a second aggregate scan, which
+    is how a production pipeline audits every batch for free (and the
+    only metrics mechanism that also works mid-stream in Structured
+    Streaming).  The observed values are re-emitted as a 1-row DataFrame
+    and hash-checked against a plain SQL aggregate of the source.
+
+    Integer discipline: the observed sum is over pre-rounded BIGINT
+    cents — accumulator merge order never touches a float.
+
+    Plan shape: one scan + CollectMetrics node (no extra shuffle); the
+    1-row re-emit is driver-side by definition of the API."""
+    orders = table(spark, sf_dir, "orders")
+    obs = Observation("x130")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_fulfilled"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["total_cents"]), int(m["n_fulfilled"]))],
+        "n_rows bigint, total_cents bigint, n_fulfilled bigint",
+    )

@@ -222,3 +222,120 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
     pt = table(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
     return li.exceptAll(pt).groupBy("k").agg(F.count("*").alias("n"))
+
+
+@register(
+    "udf_arrow_scalar_pack",
+    "T7",
+    oracle="""
+    SELECT lang,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END) AS BIGINT) AS total_tokens,
+           CAST(max(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END) AS BIGINT) AS max_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def udf_arrow_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (Spark 3.5+ `useArrow=True`): a
+    row-signature Python function whose batches nevertheless cross the
+    JVM boundary as Arrow buffers — the migration path for legacy
+    `@udf` code that can't be rewritten to a vectorized pandas_udf
+    (T5/T6 cover that surface).  Tokenization uses the explicit ASCII
+    whitespace class (the Y36 lesson: bare str.split() splits on
+    Unicode whitespace, RE2/Java '\\s+' do not), so the count matches
+    the engine-side convention token for token.
+
+    The UDF remains the slow path (per-row Python call inside the Arrow
+    batch); the point of the key is that results are value-identical to
+    the built-in split — proven by the same SQL oracle the JVM-side
+    token keys use.
+
+    Plan shape: ArrowEvalPython stage inline in the scan projection, then
+    an ordinary partial+final aggregate — no extra shuffle."""
+    import re
+
+    from pyspark.sql.functions import udf
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    @udf("long", useArrow=True)
+    def tok_n(s: str) -> int:
+        s = (s or "").strip()
+        return len([t for t in ws.split(s) if t]) if s else 0
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tok_n("text").alias("tn"))
+        .groupBy("lang")
+        .agg(
+            F.sum("tn").alias("total_tokens"),
+            F.max("tn").alias("max_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "grouped_stats_applyinarrow",
+    "T8",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def grouped_stats_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over RAW ARROW TABLES (Spark 4 `applyInArrow`): the
+    zero-copy sibling of applyInPandas (T6) — each language group arrives
+    as a pyarrow.Table and the UDF answers with pyarrow.compute kernels,
+    skipping the pandas conversion entirely (no index materialization,
+    no NaN coercion of nullable ints — the two classic pandas-boundary
+    surprises).  This is the surface for C-speed per-group logic that
+    needs no pandas semantics.
+
+    The oracle states the same per-group stats in SQL: a hash match
+    proves the Arrow group boundary delivered every row exactly once.
+
+    Plan shape: one shuffle on the group key, then per-group Arrow
+    compute — identical exchange profile to applyInPandas; at 100 TB the
+    usual grouped-map caveat applies (a group must fit an executor),
+    fine for bounded group counts like languages."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        chars = t.column("n_chars")
+        return pa.table(
+            {
+                "lang": [t.column("lang")[0].as_py()],
+                "n_docs": [t.num_rows],
+                "min_chars": [pc.min(chars).as_py()],
+                "max_chars": [pc.max(chars).as_py()],
+                "total_chars": [pc.sum(chars).as_py()],
+            }
+        )
+
+    docs = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return (
+        docs.groupBy("lang")
+        .applyInArrow(
+            stats,
+            schema=(
+                "lang string, n_docs bigint, min_chars bigint, "
+                "max_chars bigint, total_chars bigint"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -102,6 +102,15 @@ DRIVER_PRIORITY = [
     "sink_xml_roundtrip", "stream_chained_windows",
     "docs_shard_token_balance",
     "multimodal_palette_histogram", "orders_theilsen_trend",
+    # --- round-7 block: built+locally-verified late in round 6, AFTER the
+    # 50-key window filled — deliberately queued here so the r7 rebuild
+    # promotes them to the front (they are the only keys without driver
+    # evidence; everything above has r6-window evidence, everything below
+    # r1-r5 evidence) ---
+    "sql_pivot_multi_agg", "sql_scalar_udf_create", "diag_observe_metrics",
+    "udf_arrow_scalar_pack", "grouped_stats_applyinarrow",
+    "embedding_mmr_rerank",
+    "source_json_permissive_badrecords", "sink_managed_table_insert",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",
