@@ -1,0 +1,133 @@
+"""Round-7 block keys (X128-X130, T7-T8, Y48, Z39-Z40): semantic
+properties the DuckDB oracles can't express — MMR's greedy invariants,
+observe-vs-aggregate equivalence, the Arrow boundary delivering groups
+intact, and catalog-table idempotence across reruns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.operators import similarity
+from debias_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+
+def test_mmr_first_pick_is_top_relevance_and_all_distinct(spark, sf_dir):
+    rows = SPECS["embedding_mmr_rerank"].fn(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert len({r.cand_id for r in rows}) == 3
+    emb = table(spark, sf_dir, "embeddings")
+    top = similarity.cosine_topk(emb, F.col("vec_id") == 0, k=10).collect()
+    # rank 1 is pure relevance by definition of greedy MMR
+    assert rows[0].cand_id == top[0].cand_id
+    # every selection came from the candidate pool
+    pool = {r.cand_id for r in top}
+    assert {r.cand_id for r in rows} <= pool
+    # relevance never increases down the MMR ranks beyond the pool order:
+    # rel_e4 of rank 1 is the pool max
+    assert rows[0].rel_e4 == max(r.rel_e4 for r in rows)
+
+
+def test_mmr_diverges_from_pure_topk_on_redundant_pool(spark):
+    """On a pool where the two most relevant candidates are near-copies,
+    MMR must skip the redundant one where pure top-k would not."""
+    import math
+
+    # query q = e0; c1 == c2 (exact duplicates, highest rel, mutual
+    # sim 1.0 -> maximal redundancy penalty); c3 less relevant but
+    # negatively correlated off-axis -> low sim to the duplicates
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.5, 0.0]),
+        (2, [1.0, 0.5, 0.0]),
+        (3, [0.75, -0.66, 0.0]),
+        (4, [0.1, 0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    rel = {
+        r.cand_id: r.sim
+        for r in similarity.cosine_topk(df, F.col("vec_id") == 0, k=4).collect()
+    }
+    # pure top-2 = the two near-copies
+    top2 = sorted(rel, key=lambda c: (-rel[c], c))[:2]
+    assert set(top2) == {1, 2}
+    # greedy MMR (lambda=0.7) replayed in python over the same sims
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    vecs = dict(rows)
+    sel = [min(top2, key=lambda c: (-rel[c], c))]
+    remaining = [c for c in rel if c not in sel]
+    scored = {
+        c: 0.7 * rel[c] - 0.3 * max(cos(vecs[c], vecs[s]) for s in sel)
+        for c in remaining
+    }
+    second = min(scored, key=lambda c: (-scored[c], c))
+    assert second not in top2  # the near-copy was displaced
+
+
+def test_observe_metrics_equal_second_pass_aggregate(spark, sf_dir):
+    row = SPECS["diag_observe_metrics"].fn(spark, sf_dir).collect()[0]
+    src = table(spark, sf_dir, "orders")
+    agg = src.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("f"),
+    ).collect()[0]
+    assert (row.n_rows, row.total_cents, row.n_fulfilled) == (agg.n, agg.c, agg.f)
+
+
+def test_applyinarrow_covers_every_group_once(spark, sf_dir):
+    rows = SPECS["grouped_stats_applyinarrow"].fn(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert {r.lang for r in rows} == langs
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.min_chars <= r.max_chars
+        assert r.min_chars * r.n_docs <= r.total_chars <= r.max_chars * r.n_docs
+
+
+def test_sql_udf_matches_inline_expression(spark, sf_dir):
+    rows = SPECS["sql_scalar_udf_create"].fn(spark, sf_dir).collect()
+    inline = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * (1 - 0.04) * 100).cast("long")
+            ).alias("disc_cents"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in inline]
+
+
+def test_managed_table_insert_is_rerun_idempotent(spark, sf_dir):
+    a = SPECS["sink_managed_table_insert"].fn(spark, sf_dir).collect()
+    b = SPECS["sink_managed_table_insert"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r.o_orderstatus for r in a} == {"F", "O"}
+
+
+def test_permissive_json_quarantines_exact_bad_set(spark, sf_dir):
+    row = SPECS["source_json_permissive_badrecords"].fn(spark, sf_dir).collect()[0]
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    bad = docs.where(F.col("doc_id") % 10 == 3).count()
+    assert (row.n_lines, row.n_corrupt) == (n, bad)
+    good_chars = (
+        docs.where(F.col("doc_id") % 10 != 3)
+        .agg(F.sum("n_chars"))
+        .collect()[0][0]
+    )
+    assert row.chars_good == good_chars
