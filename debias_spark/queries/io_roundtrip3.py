@@ -155,3 +155,99 @@ def sink_managed_table_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "source_binaryfile_ingest",
+    "Z41",
+    oracle="""
+    WITH sel AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS w,
+               3 + doc_id % 11 AS h
+        FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT count(*) AS n_files,
+           CAST(sum(w) AS BIGINT) AS width_sum,
+           CAST(sum(h) AS BIGINT) AS height_sum,
+           CAST(sum(CAST(list_sum(flatten(list_transform(range(0, w), x ->
+                list_transform(range(0, h), y -> (3 * x + 5 * y) % 251)
+           ))) AS BIGINT)) AS BIGINT) AS red_sum
+    FROM sel
+    """,
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source: the ingest path for a REAL media corpus — one
+    BMP file per sampled document is written from the executors (the
+    Y30 synthesis formulas, real encoded bytes on disk), then the
+    directory is re-read through `spark.read.format("binaryFile")`
+    (path/length/content rows, glob-filtered), decoded through the
+    stdlib codec, and audited.  The oracle recomputes the expected
+    dims and red-channel sum closed-form — a hash match proves the
+    file write -> directory scan -> content decode chain is lossless
+    byte for byte.
+
+    This closes the multimodal ingestion story: MM1-MM6 prove binary
+    COLUMNS; this key proves binary FILES, which is how image corpora
+    actually arrive (one object per image + a manifest).
+
+    Scale shape: writes are executor-local (one task per partition,
+    each writing its own docs' files — no driver funnel); binaryFile
+    scan parallelizes per file with content loaded lazily per row; at
+    100 TB the same plan reads an object store, and the small-file
+    count is the thing you'd manage with the Z27 compaction-plan key."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    out = _sink_dir(spark, sf_dir, "bmp_files")
+    os.makedirs(out, exist_ok=True)
+
+    def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from debias_spark.operators.media_codec import encode_bmp
+
+        for pdf in batches:
+            ids = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 13, 3 + d % 11
+                data = encode_bmp(
+                    w, h,
+                    lambda x, y: ((3 * x + 5 * y) % 251, (x * y) % 251, (x + 7 * y) % 251),
+                )
+                with open(os.path.join(out, f"doc_{d}.bmp"), "wb") as fh:
+                    fh.write(data)
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids})
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    docs.select("doc_id").mapInPandas(
+        write_files, schema="doc_id long"
+    ).write.format("noop").mode("overwrite").save()  # force the writes
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(out)
+        .select("content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from debias_spark.operators.media_codec import decode_bmp
+
+        for pdf in batches:
+            ws, hs, rs = [], [], []
+            for content in pdf["content"]:
+                m = decode_bmp(bytes(content))
+                ws.append(m["width"])
+                hs.append(m["height"])
+                rs.append(m["sum_r"])
+            yield pd.DataFrame({"w": ws, "h": hs, "r": rs})
+
+    decoded = back.mapInPandas(decode, schema="w long, h long, r long")
+    return decoded.agg(
+        F.count("*").alias("n_files"),
+        F.sum("w").alias("width_sum"),
+        F.sum("h").alias("height_sum"),
+        F.sum("r").alias("red_sum"),
+    )

@@ -151,3 +151,53 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             cte="", rel="_y48_rel", pairs="_y48_pairs", lam=_LAMBDA
         )
     )
+
+
+# Per-language equal-count downsample by deterministic md5 order — the
+# same SQL text runs on both engines (md5 is the repo's portable hash).
+_BALANCED_SQL = """
+WITH ranked AS (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS {strty})), doc_id) AS rn
+    FROM {docs}
+), k AS (
+    SELECT min(cnt) AS k FROM (
+        SELECT count(*) AS cnt FROM {docs} GROUP BY lang
+    )
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ranked, k
+WHERE rn <= k.k
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "docs_lang_balanced_sample",
+    "Y49",
+    oracle=_BALANCED_SQL.format(strty="VARCHAR", docs="documents"),
+)
+def docs_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsampling: every language keeps exactly
+    K = min(per-language count) documents, chosen by deterministic
+    md5(doc_id) order — the standard rebalancing step before training on
+    a skewed multilingual corpus (no RNG, no seed file: the same corpus
+    always yields the same sample on any cluster).  id_sum pins the
+    EXACT selected set, not just its size.
+
+    Scale: the rank is one window per language partition (each language
+    sorts independently — parallel across langs, and at 100 TB you'd
+    additionally pre-filter with a per-lang count-based md5-prefix
+    threshold so the sort only sees ~K rows per lang); K is a 5-row
+    aggregate broadcast back.  No global order anywhere.
+
+    Plan shape: scan -> lang-partitioned window -> broadcast 1-row K ->
+    filter -> 5-group aggregate."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_y49_docs")
+    return spark.sql(_BALANCED_SQL.format(strty="STRING", docs="_y49_docs"))

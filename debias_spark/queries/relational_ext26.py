@@ -151,3 +151,146 @@ def diag_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["total_cents"]), int(m["n_fulfilled"]))],
         "n_rows bigint, total_cents bigint, n_fulfilled bigint",
     )
+
+
+@register(
+    "window_interval_range_frame",
+    "X131",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS cents_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    QUALIFY event_id % 20 = 0
+    ORDER BY event_id
+    """,
+)
+def window_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-INTERVAL range frame: per-user trailing-24-hour event count
+    and centi-value sum, computed by the engine's RANGE frame over the
+    event-time ORDER BY — the rolling-window rate limiter / velocity
+    feature spelled as one window instead of a self-join (the numeric
+    RANGE sibling is X44; this is the temporal one).  Peers at the same
+    timestamp aggregate together on both engines by RANGE semantics.
+
+    Output samples every 20th event so the checked frame stays bounded
+    while every user's full history still feeds the frames.
+
+    Plan shape: ONE shuffle on user_id + per-partition sort — the frame
+    is a sliding pointer over the sorted run, no replication, no
+    self-join; at 100 TB this is the canonical "velocity feature"
+    plan."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("_x131_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, n_24h, cents_24h
+        FROM (
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_24h,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS cents_24h
+            FROM _x131_events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                               AND CURRENT ROW)
+        )
+        WHERE event_id % 20 = 0
+        ORDER BY event_id
+        """
+    )
+
+
+@register(
+    "sql_lateral_column_alias",
+    "X132",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+               - CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS whole,
+           (CAST(round(o_totalprice * 100) AS BIGINT)
+               - CAST(round(o_totalprice * 100) AS BIGINT) % 100) // 100
+               AS dollars
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT item referencing an
+    alias defined EARLIER in the same SELECT list (cents -> whole ->
+    dollars), which ANSI SQL forbids and warehouses emulate with nested
+    subqueries — the readability surface that keeps derived-column
+    chains flat.  The oracle expands each alias by hand (DuckDB resolves
+    lateral aliases too, but the expansion proves the CHAIN semantics:
+    each reference sees the alias's full expression, not a stale
+    column).
+
+    Plan shape: pure single-stage projection — alias resolution happens
+    at analysis time, the physical plan is identical to the expanded
+    spelling (one codegen stage over the pushed sampling filter)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_x132_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               cents - cents % 100 AS whole,
+               whole div 100 AS dollars
+        FROM _x132_orders
+        WHERE o_orderkey % 50 = 0
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "sql_multicol_in_subquery",
+    "X133",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders
+    WHERE o_orderstatus = 'O' AND EXISTS (
+        SELECT 1 FROM customer
+        WHERE c_custkey = o_custkey AND c_acctbal > 5000
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_multicol_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column IN subquery — `(a, b) IN (SELECT x, y ...)` — the
+    row-value-constructor membership test: open orders of high-balance
+    customers, stated as a tuple IN instead of the equivalent semi-join.
+    Spark plans it AS a left-semi join on the tuple, which is the point:
+    the surface is declarative membership, the physical strategy is the
+    engine's (broadcast semi-join here, the dim being small).  DuckDB
+    has no multi-column IN, so the oracle states the equivalent
+    correlated EXISTS (identical semantics here — neither column is
+    nullable).
+
+    Plan shape: broadcast left-semi join on (custkey, status) -> one
+    partial+final aggregate; the NULL-tuple subtleties of IN (vs EXISTS)
+    are engine-handled identically because neither join column is
+    nullable in this data."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_x133_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_x133_customer")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM _x133_orders
+        WHERE (o_custkey, o_orderstatus) IN (
+            SELECT c_custkey, 'O' FROM _x133_customer WHERE c_acctbal > 5000
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

@@ -83,3 +83,99 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).alias("token_sum"),
         F.sum(F.length("text")).alias("char_sum"),
     )
+
+
+_S_BATCHES = 4
+_S_ROWS = 150
+_S_SEED = 11
+
+
+def _stream_oracle() -> str:
+    words_sql = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    langs_sql = "[" + ", ".join(f"'{la}'" for la in _LANGS) + "]"
+    return f"""
+    WITH g AS (
+        SELECT b.range AS batch, r.range AS r
+        FROM range({_S_BATCHES}) b, range({_S_ROWS}) r
+    ), hashed AS (
+        SELECT batch, batch * {_S_ROWS} + r AS doc_id,
+               (({_S_SEED} * 1000003 + batch * 7919 + r * 2654435761)
+                & 2147483647) AS h
+        FROM g
+    )
+    SELECT CAST(batch AS BIGINT) AS batch,
+           {langs_sql}[(h % {len(_LANGS)}) + 1] AS lang,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(5 + (h % 8)) AS BIGINT) AS token_sum
+    FROM hashed
+    GROUP BY batch, lang
+    ORDER BY batch, lang
+    """
+
+
+@register(
+    "source_python_datasource_stream",
+    "Z42",
+    oracle=_stream_oracle(),
+    bench=False,
+)
+def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python DataSource (Spark 4
+    SimpleDataSourceStreamReader): the synthetic-corpus generator exposed
+    as a micro-batched stream — offsets are completed batch counts,
+    read(start) emits one deterministic shard per micro-batch, and
+    readBetweenOffsets replays any window for recovery (the contract a
+    restart exercises).  The drain runs the query with
+    processAllAvailable(), which advances offsets until the reader
+    reports no new data — availableNow would capture only the FIRST
+    offset window of a simple reader (measured), so this is the honest
+    drain for this source type.
+
+    The DuckDB oracle regenerates every batch from the same
+    multiplicative-hash recipe over range() — the hash match proves
+    offset planning, per-batch generation, and the append sink lost and
+    duplicated nothing across micro-batch boundaries.
+
+    Scale shape: one micro-batch per offset window with generation
+    parallelism inside the batch; the aggregate below is bounded
+    (batches x langs).  sf_dir is intentionally unused (non-file
+    surface)."""
+    import uuid
+
+    from debias_spark.sources.synthetic import register_stream
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("synthetic_corpus_stream")
+        .option("batches", str(_S_BATCHES))
+        .option("rowsperbatch", str(_S_ROWS))
+        .option("seed", str(_S_SEED))
+        .load()
+    )
+    name = f"z42_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .groupBy("batch", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.size(F.split("text", " "))).alias("token_sum"),
+        )
+        .orderBy("batch", "lang")
+    )

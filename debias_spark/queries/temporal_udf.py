@@ -339,3 +339,85 @@ def grouped_stats_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "udtf_dynamic_schema_ngrams",
+    "T9",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t != '') AS ts
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           ts[1] AS g1,
+           CASE WHEN len(ts) >= 2 THEN ts[1] || ' ' || ts[2] END AS g2,
+           CASE WHEN len(ts) >= 3 THEN ts[1] || ' ' || ts[2] || ' ' || ts[3]
+           END AS g3
+    FROM toks WHERE len(ts) > 0
+    ORDER BY doc_id
+    """,
+)
+def udtf_dynamic_schema_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC UDTF (Spark 4 `analyze()` static method): the output
+    schema — one column per requested n-gram order — is computed at
+    ANALYSIS time from the literal `max_n` argument, so `prefix_ngrams(
+    text, 3)` and `prefix_ngrams(text, 5)` are different relations from
+    one registration.  This is the table-function surface T2's
+    fixed-schema UDTF can't express: schema-as-a-function-of-arguments.
+
+    Emits each doc's leading 1..max_n-gram (joined with spaces) plus the
+    token count; the oracle restates the prefix n-grams with list
+    indexing.  Same ASCII-whitespace discipline as T7.
+
+    Plan shape: one generator stage (Arrow-batched Python UDTF) over the
+    pushed sampling filter — no shuffle until the final ORDER BY."""
+    import re
+
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    @udtf
+    class PrefixNgrams:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, max_n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            fields = [StructField("n_tokens", LongType())]
+            fields += [
+                StructField(f"g{i}", StringType())
+                for i in range(1, max_n.value + 1)
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text: str, max_n: int):
+            toks = [t for t in ws.split((text or "").strip()) if t]
+            if not toks:
+                return
+            grams = tuple(
+                " ".join(toks[:i]) if len(toks) >= i else None
+                for i in range(1, max_n + 1)
+            )
+            yield (len(toks),) + grams
+
+    spark.udtf.register("prefix_ngrams_t9", PrefixNgrams)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_t9_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.n_tokens, g.g1, g.g2, g.g3
+        FROM _t9_docs d,
+             LATERAL prefix_ngrams_t9(lower(d.text), 3) g
+        WHERE d.doc_id % 20 = 0
+        ORDER BY d.doc_id
+        """
+    )

@@ -111,6 +111,10 @@ DRIVER_PRIORITY = [
     "udf_arrow_scalar_pack", "grouped_stats_applyinarrow",
     "embedding_mmr_rerank",
     "source_json_permissive_badrecords", "sink_managed_table_insert",
+    "window_interval_range_frame", "sql_lateral_column_alias",
+    "sql_multicol_in_subquery", "docs_lang_balanced_sample",
+    "udtf_dynamic_schema_ngrams", "source_binaryfile_ingest",
+    "source_python_datasource_stream",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",

@@ -11,7 +11,12 @@ corpora at 100 TB without staging files.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _WORDS = (
@@ -66,3 +71,59 @@ class SyntheticCorpusDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticCorpusDataSource)
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader over the same generator: offset =
+    completed micro-batch count; each micro-batch emits one shard's rows
+    (pure function of (seed, batch, row) — identical recipe to the batch
+    reader, so replays and the SQL oracle agree byte for byte)."""
+
+    def __init__(self, options):
+        self.n_batches = int(options.get("batches", "4"))
+        self.rows_per_batch = int(options.get("rowsperbatch", "100"))
+        self.seed = int(options.get("seed", "42"))
+
+    def initialOffset(self):
+        return {"batch": 0}
+
+    def _rows(self, batch: int):
+        base = self.seed * 1_000_003 + batch * 7919
+        for r in range(self.rows_per_batch):
+            doc_id = batch * self.rows_per_batch + r
+            h = (base + r * 2_654_435_761) & 0x7FFFFFFF
+            n_words = 5 + h % 8
+            words = [
+                _WORDS[(h // (i + 1)) % len(_WORDS)] for i in range(n_words)
+            ]
+            yield (doc_id, " ".join(words), _LANGS[h % len(_LANGS)], batch)
+
+    def read(self, start):
+        # the engine's prefetch cache copy.copy()s the returned iterator:
+        # it must be a list-backed iterator, never a generator
+        b = start["batch"]
+        if b >= self.n_batches:
+            return (iter([]), {"batch": b})
+        return (iter(list(self._rows(b))), {"batch": b + 1})
+
+    def readBetweenOffsets(self, start, end):
+        rows = []
+        for b in range(start["batch"], end["batch"]):
+            rows.extend(self._rows(b))
+        return iter(rows)
+
+
+class SyntheticCorpusStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_corpus_stream"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL + ", batch bigint"
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SyntheticCorpusStreamSource)
