@@ -201,3 +201,95 @@ def docs_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter -> 5-group aggregate."""
     table(spark, sf_dir, "documents").createOrReplaceTempView("_y49_docs")
     return spark.sql(_BALANCED_SQL.format(strty="STRING", docs="_y49_docs"))
+
+
+@register(
+    "multimodal_audio_rms_by_rate",
+    "MM7",
+    oracle="""
+    WITH clips AS (
+        SELECT doc_id,
+               8000 + (doc_id % 3) * 4000 AS rate,
+               20 + doc_id % 17 AS n
+        FROM documents
+    ), stats AS MATERIALIZED (
+        SELECT rate, n,
+               CAST(list_sum(list_transform(range(0, n), i ->
+                    CAST(((doc_id * 31 + i * 17) % 65536) - 32768 AS BIGINT)
+                    * CAST(((doc_id * 31 + i * 17) % 65536) - 32768 AS BIGINT)
+               )) AS BIGINT) AS sum_sq
+        FROM clips
+    )
+    SELECT CAST(rate AS INTEGER) AS sample_rate,
+           count(*) AS n_clips,
+           CAST(sum(n) AS BIGINT) AS total_samples,
+           CAST(sum(sum_sq) AS BIGINT) AS energy_sum_sq
+    FROM stats
+    GROUP BY rate
+    ORDER BY rate
+    """,
+    bench=False,
+)
+def multimodal_audio_rms_by_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy audit through REAL sample decode: synthesize the Y31
+    PCM16 WAV per document, decode the raw samples (RIFF chunk walk,
+    little-endian int16), and aggregate per sample-rate cohort — clip
+    count, total samples, and the exact integer sum of squared samples
+    (the RMS numerator; RMS itself would be a sqrt, so the key emits the
+    exact integer and leaves the root to the reader).  Silence/clipping
+    screens in audio-corpus curation are exactly this aggregate.
+
+    Exactness: int16 squares are <= 2^30 and counts are bounded, so the
+    whole chain is BIGINT arithmetic — the oracle replays the sawtooth
+    generation formula and the hash must match bit for bit; a chunk-walk
+    or endianness bug flips it.
+
+    Scale shape: decode + square-sum happens inside one mapInPandas pass
+    (3 small rows per doc cross the boundary); the final aggregate
+    shuffles 3 rate groups."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from debias_spark.operators.media_codec import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = 8000 + (d % 3) * 4000
+                n = 20 + d % 17
+                samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+                payloads.append(encode_wav(rate, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from debias_spark.operators.media_codec import decode_wav
+
+        for pdf in batches:
+            rates, ns, sqs = [], [], []
+            for payload in pdf["payload"]:
+                m = decode_wav(bytes(payload), with_samples=True)
+                rates.append(m["sample_rate"])
+                ns.append(m["n_samples"])
+                sqs.append(sum(s * s for s in m["samples"]))
+            yield pd.DataFrame({"rate": rates, "n": ns, "sq": sqs})
+
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id").mapInPandas(gen, schema=schema)
+    decoded = payloads.mapInPandas(stats, schema="rate int, n long, sq long")
+    return (
+        decoded.groupBy(F.col("rate").alias("sample_rate"))
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n").alias("total_samples"),
+            F.sum("sq").alias("energy_sum_sq"),
+        )
+        .orderBy("sample_rate")
+    )

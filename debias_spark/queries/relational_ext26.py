@@ -294,3 +294,92 @@ def sql_multicol_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql_xpath_extract_pack",
+    "X134",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS prio,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(1 AS BIGINT) AS n_items
+    FROM orders WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def sql_xpath_extract_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction functions (xpath_string / xpath_long /
+    xpath(...) node counting) over in-row XML payloads — the surface for
+    mining XML columns WITHOUT a full xml-source roundtrip (Z37 covers
+    that): each order is serialized to an XML fragment with
+    format_string, then every field is recovered via xpath and the
+    oracle states the expected values straight from the source columns —
+    a hash match proves the extraction path (parser + XPath evaluator)
+    inverts the serialization exactly.
+
+    Plan shape: single codegen projection stage over the pushed sampling
+    filter — xpath functions evaluate per row JVM-side, no shuffle
+    before the final ORDER BY."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_x134_orders")
+    return spark.sql(
+        """
+        WITH xml AS (
+            SELECT o_orderkey,
+                   format_string(
+                       '<order key="%d"><prio>%s</prio><cents>%d</cents><item/></order>',
+                       o_orderkey, o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT)) AS doc
+            FROM _x134_orders WHERE o_orderkey % 100 = 0
+        )
+        SELECT o_orderkey,
+               xpath_string(doc, '/order/prio') AS prio,
+               xpath_long(doc, '/order/cents') AS cents,
+               CAST(size(xpath(doc, '/order/item/text() | /order/item'))
+                    AS BIGINT) AS n_items
+        FROM xml
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "sql_url_parse_pack",
+    "X135",
+    oracle="""
+    SELECT o_orderkey,
+           'shop.example.com' AS host,
+           '/' || lower(o_orderstatus) || '/checkout' AS path,
+           CAST(o_custkey AS VARCHAR) AS cust_param
+    FROM orders WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def sql_url_parse_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing functions (parse_url HOST / PATH / QUERY-with-key)
+    over constructed clickstream-style URLs — the log-sessionization
+    surface that splits a landing URL into join keys without regexes.
+    Each order builds a URL from its own fields; the oracle restates the
+    expected host/path/param straight from those fields, so the hash
+    proves parse_url inverts the construction for every row.
+
+    Plan shape: one codegen projection over the pushed sampling filter;
+    parse_url is JVM-side (java.net.URI), no Python boundary."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_x135_orders")
+    return spark.sql(
+        """
+        WITH u AS (
+            SELECT o_orderkey,
+                   format_string(
+                       'https://shop.example.com/%s/checkout?cust=%d&state=x',
+                       lower(o_orderstatus), o_custkey) AS url
+            FROM _x135_orders WHERE o_orderkey % 100 = 0
+        )
+        SELECT o_orderkey,
+               parse_url(url, 'HOST') AS host,
+               parse_url(url, 'PATH') AS path,
+               parse_url(url, 'QUERY', 'cust') AS cust_param
+        FROM u
+        ORDER BY o_orderkey
+        """
+    )

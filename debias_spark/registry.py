@@ -115,6 +115,8 @@ DRIVER_PRIORITY = [
     "sql_multicol_in_subquery", "docs_lang_balanced_sample",
     "udtf_dynamic_schema_ngrams", "source_binaryfile_ingest",
     "source_python_datasource_stream",
+    "multimodal_audio_rms_by_rate", "sql_xpath_extract_pack",
+    "sql_url_parse_pack",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",
