@@ -131,3 +131,93 @@ def test_permissive_json_quarantines_exact_bad_set(spark, sf_dir):
         .collect()[0][0]
     )
     assert row.chars_good == good_chars
+
+
+def test_interval_frame_matches_python_replay(spark, sf_dir):
+    """Replay the trailing-24h frame for a handful of sampled events in
+    pure Python from the raw rows."""
+    import datetime
+
+    rows = SPECS["window_interval_range_frame"].fn(spark, sf_dir).collect()
+    sample = {r.event_id: r for r in rows[:12]}
+    uids = {r.user_id for r in sample.values()}
+    ev = [
+        (r.event_id, r.user_id, r.ts, int(r.cents) if r.cents is not None else None)
+        for r in table(spark, sf_dir, "events")
+        .where(F.col("user_id").isin(*uids))
+        .select(
+            "event_id", "user_id", "ts",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    ]
+    day = datetime.timedelta(hours=24)
+    for eid, r in sample.items():
+        me = next(e for e in ev if e[0] == eid)
+        frame = [
+            e for e in ev
+            if e[1] == me[1] and me[2] - day <= e[2] <= me[2]
+        ]
+        assert r.n_24h == len(frame), eid
+        assert r.cents_24h == sum(e[3] for e in frame if e[3] is not None), eid
+
+
+def test_balanced_sample_equalizes_lang_counts(spark, sf_dir):
+    rows = SPECS["docs_lang_balanced_sample"].fn(spark, sf_dir).collect()
+    counts = {r.lang: r.n_docs for r in rows}
+    assert len(set(counts.values())) == 1  # every lang keeps exactly K
+    per_lang = {
+        r.lang: r.n
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts.values()) == {min(per_lang.values())}
+    # deterministic: rerun picks the identical doc sets (id_sum pins them)
+    again = SPECS["docs_lang_balanced_sample"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_udtf_dynamic_schema_changes_with_argument(spark, sf_dir):
+    """The analyze() contract: a different literal max_n yields a
+    different relation schema from the same registration."""
+    SPECS["udtf_dynamic_schema_ngrams"].fn(spark, sf_dir)  # registers the UDTF
+    two = spark.sql("SELECT * FROM prefix_ngrams_t9('a b c', 2)")
+    four = spark.sql("SELECT * FROM prefix_ngrams_t9('a b c', 4)")
+    assert [f.name for f in two.schema.fields] == ["n_tokens", "g1", "g2"]
+    assert [f.name for f in four.schema.fields] == [
+        "n_tokens", "g1", "g2", "g3", "g4",
+    ]
+    r = four.collect()[0]
+    assert (r.n_tokens, r.g1, r.g2, r.g3, r.g4) == (3, "a", "a b", "a b c", None)
+
+
+def test_stream_python_source_replay_window_matches_read(spark):
+    """readBetweenOffsets (the recovery path) must reproduce exactly the
+    rows the incremental read() path emitted for the same offset span."""
+    from debias_spark.sources.synthetic import _SyntheticStreamReader
+
+    r = _SyntheticStreamReader({"batches": "3", "rowsperbatch": "7", "seed": "5"})
+    incremental = []
+    off = r.initialOffset()
+    for _ in range(3):
+        it, off = r.read(off)
+        incremental.extend(it)
+    replay = list(r.readBetweenOffsets({"batch": 0}, {"batch": 3}))
+    assert incremental == replay
+    assert len(incremental) == 21
+    # past the end: empty, offset unchanged
+    it, end = r.read(off)
+    assert list(it) == [] and end == off
+
+
+def test_audio_rms_totals_match_formula(spark, sf_dir):
+    rows = SPECS["multimodal_audio_rms_by_rate"].fn(spark, sf_dir).collect()
+    docs = [r.doc_id for r in table(spark, sf_dir, "documents").select("doc_id").collect()]
+    assert sum(r.n_clips for r in rows) == len(docs)
+    expected_sq = {}
+    for d in docs:
+        rate = 8000 + (d % 3) * 4000
+        n = 20 + d % 17
+        sq = sum((((d * 31 + i * 17) % 65536) - 32768) ** 2 for i in range(n))
+        expected_sq[rate] = expected_sq.get(rate, 0) + sq
+    assert {r.sample_rate: r.energy_sum_sq for r in rows} == expected_sq
