@@ -66,6 +66,11 @@ REPRESENTATIVE = [
     ("text_naive_bayes_lang", "NB scoring: (lang,token) count model hash-joined onto held-out tokens; priors/vocab broadcast; WindowGroupLimit argmax"),
     ("docs_shard_token_balance", "md5 shard projection -> 16-key aggregate -> 16-row share window: nothing row-proportional shuffles"),
     ("orders_theilsen_trend", "month-domain pair join over a checkpointed ~80-row frame; median as exact order statistic"),
+    # round-7 block
+    ("sql_pivot_multi_agg", "multi-aggregate PIVOT: ONE hash aggregate over all pivot columns, no per-aggregate self-join"),
+    ("window_interval_range_frame", "RANGE BETWEEN INTERVAL 24 HOURS frame: one user_id exchange + one ts sort feed every trailing feature"),
+    ("embedding_mmr_rerank", "MMR rerank: retrieval rides the broadcast top-K path; the K^2 greedy unroll is corpus-size-independent"),
+    ("docs_lang_balanced_sample", "balanced downsample: per-lang md5-rank window + broadcast global min-count, one exchange"),
 ]
 
 
