@@ -40,6 +40,8 @@ import debias_spark.queries.llm_ops19  # noqa: F401  Y45-Y47 naive-Bayes lang / 
 import debias_spark.queries.relational_ext26  # noqa: F401  X128-X130 pivot multi-agg / SQL UDF / observe (round-7 block)
 import debias_spark.queries.llm_ops20  # noqa: F401  Y48 MMR rerank (round-7 block)
 import debias_spark.queries.io_roundtrip3  # noqa: F401  Z39-Z40 permissive JSON / managed table (round-7 block)
+import debias_spark.queries.relational_ext27  # noqa: F401  X136-X138 SQL scripting / transpose / approx_top_k (round-7 block wave 4)
+import debias_spark.queries.streaming_ext4  # noqa: F401  Z43 state store reader (round-7 block wave 4)
 import debias_spark.queries.relational_ext20  # noqa: F401  X108 grid-bucketed spatial radius join (round 5)
 import debias_spark.queries.streaming_ext3  # noqa: F401  Z31 value-oracled stream-stream join (round 5)
 import debias_spark.queries.llm_ops8  # noqa: F401  Y18/Z23/Z24 bigram LM, URL dedup, containment (round 4)

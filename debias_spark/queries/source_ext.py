@@ -179,3 +179,56 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("batch", "lang")
     )
+
+
+@register(
+    "source_metadata_columns",
+    "Z44",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'nation.parquet' AS file_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS min_ri,
+               CAST(count(*) - 1 AS BIGINT) AS max_ri,
+               CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS sum_ri
+        FROM nation
+        UNION ALL
+        SELECT 'region.parquet',
+               count(*), 0, count(*) - 1, count(*) * (count(*) - 1) // 2
+        FROM region
+    ) ORDER BY file_name
+    """,
+)
+def source_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden _metadata file-source column (file_name / row_index):
+    per-file lineage without any path parsing — the provenance primitive
+    a 100 TB lake uses to trace a bad row back to its parquet file and
+    physical position.  Aggregates per file: row count, min/max/sum of
+    row_index.  sum_ri == n(n-1)/2 proves row_index is the dense 0-based
+    physical sequence (not just bounded); the oracle states the closed
+    forms, which only match if Spark's per-row indices are exactly
+    0..n-1 once each.
+
+    Plan shape: _metadata is generated AT the scan from the file split
+    being read — constant-folded per split, no join, no extra pass; the
+    per-file aggregate is map-side combined on a key that is constant
+    within each task's split.  Scales as a plain scan."""
+    from pyspark.sql.functions import col
+
+    def per_file(tbl: str) -> DataFrame:
+        return (
+            spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+            .select(
+                col("_metadata.file_name").alias("file_name"),
+                col("_metadata.row_index").alias("ri"),
+            )
+            .groupBy("file_name")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("ri").alias("min_ri"),
+                F.max("ri").alias("max_ri"),
+                F.sum("ri").alias("sum_ri"),
+            )
+        )
+
+    return per_file("nation").unionByName(per_file("region")).orderBy("file_name")

@@ -421,3 +421,74 @@ def udtf_dynamic_schema_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id
         """
     )
+
+
+@register(
+    "udtf_table_argument_stats",
+    "T10",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) FILTER (WHERE n_chars = mx) AS BIGINT)
+               AS longest_doc
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               max(n_chars) OVER (PARTITION BY lang) AS mx
+        FROM documents
+    )
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def udtf_table_argument_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE argument + PARTITION BY (Spark 4): the engine
+    routes each lang's rows to ONE UDTF instance, which accumulates
+    across eval() calls and emits its summary from terminate() — the
+    per-group streaming-accumulator contract that applyInPandas
+    expresses with whole-group buffers, here expressed row-at-a-time
+    with O(1) state per group.  Emits per lang: doc count, total chars,
+    and the longest doc's id (ties -> smallest id, enforced by the
+    (n_chars, -doc_id) max key so NO input ordering is relied on).  The
+    oracle restates the argmax with a window max + FILTER min.
+
+    Plan shape: PARTITION BY lang is one hash exchange into the
+    Arrow-batched UDTF stage; state per instance is 4 scalars, output
+    is one row per group — the same shuffle an ordinary groupBy would
+    plan, with no sort required (the UDTF is order-insensitive by
+    construction)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "lang string, n_docs bigint, total_chars bigint, "
+            "longest_doc bigint"
+        )
+    )
+    class LangStats:
+        def __init__(self):
+            self.lang = None
+            self.n = 0
+            self.chars = 0
+            self.best = None  # (n_chars, -doc_id): max => longest, tie->min id
+
+        def eval(self, row):
+            self.lang = row["lang"]
+            self.n += 1
+            self.chars += row["n_chars"]
+            key = (row["n_chars"], -row["doc_id"])
+            if self.best is None or key > self.best:
+                self.best = key
+
+        def terminate(self):
+            if self.lang is not None:
+                yield (self.lang, self.n, self.chars, -self.best[1])
+
+    spark.udtf.register("lang_stats_t10", LangStats)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_t10_docs")
+    return spark.sql(
+        """
+        SELECT * FROM lang_stats_t10(TABLE(_t10_docs) PARTITION BY lang)
+        ORDER BY lang
+        """
+    )

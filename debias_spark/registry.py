@@ -117,6 +117,10 @@ DRIVER_PRIORITY = [
     "source_python_datasource_stream",
     "multimodal_audio_rms_by_rate", "sql_xpath_extract_pack",
     "sql_url_parse_pack",
+    # wave 4: Spark-4 procedural/inspection surfaces
+    "sql_scripting_budget_loop", "sql_transpose_metrics",
+    "agg_approx_topk_events", "source_metadata_columns",
+    "udtf_table_argument_stats", "stream_state_store_reader",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",

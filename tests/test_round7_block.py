@@ -221,3 +221,97 @@ def test_audio_rms_totals_match_formula(spark, sf_dir):
         sq = sum((((d * 31 + i * 17) % 65536) - 32768) ** 2 for i in range(n))
         expected_sq[rate] = expected_sq.get(rate, 0) + sq
     assert {r.sample_rate: r.energy_sum_sq for r in rows} == expected_sq
+
+
+def test_scripting_trajectory_matches_python_fold(spark, sf_dir):
+    """Replay the sequential compounding fold in pure Python from the
+    monthly counts — order dependence is the point of the key."""
+    rows = SPECS["sql_scripting_budget_loop"].fn(spark, sf_dir).collect()
+    monthly = {
+        r.m: r.c
+        for r in table(spark, sf_dir, "orders")
+        .where(F.expr("year(o_orderdate) = 1997"))
+        .groupBy(F.expr("month(o_orderdate)").alias("m"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    bal = 1_000_000
+    expect = []
+    for m in range(1, 13):
+        bal = bal + bal * monthly.get(m, 0) // 1_000_000
+        expect.append((m, bal))
+    assert [(r.month, r.bal) for r in rows] == expect
+
+
+def test_transpose_cells_match_groupby(spark, sf_dir):
+    rows = {r.key: (r.F, r.O) for r in SPECS["sql_transpose_metrics"].fn(spark, sf_dir).collect()}
+    agg = {
+        r.l_linestatus: r
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .collect()
+    }
+    assert rows["n_rows"] == (agg["F"].n_rows, agg["O"].n_rows)
+    assert rows["sum_qty"] == (agg["F"].sum_qty, agg["O"].sum_qty)
+    assert rows["n_parts"] == (agg["F"].n_parts, agg["O"].n_parts)
+
+
+def test_approx_topk_exact_on_bounded_domain(spark, sf_dir):
+    """maxItemsTracked >= |domain| makes the sketch provably exact."""
+    rows = SPECS["agg_approx_topk_events"].fn(spark, sf_dir).collect()
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .collect()
+    )
+    assert [(r.event_type, r.cnt) for r in rows] == [
+        (r.event_type, r.cnt) for r in exact[:4]
+    ]
+
+
+def test_metadata_row_index_is_dense_zero_based(spark, sf_dir):
+    rows = {r.file_name: r for r in SPECS["source_metadata_columns"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"nation.parquet", "region.parquet"}
+    for r in rows.values():
+        n = r.n_rows
+        assert (r.min_ri, r.max_ri, r.sum_ri) == (0, n - 1, n * (n - 1) // 2)
+
+
+def test_udtf_table_arg_one_row_per_lang_tie_break(spark, sf_dir):
+    rows = SPECS["udtf_table_argument_stats"].fn(spark, sf_dir).collect()
+    langs = [r.lang for r in rows]
+    assert langs == sorted(set(langs))  # exactly one row per lang
+    docs = table(spark, sf_dir, "documents").collect()
+    for r in rows:
+        mine = [d for d in docs if d.lang == r.lang]
+        assert r.n_docs == len(mine)
+        assert r.total_chars == sum(d.n_chars for d in mine)
+        mx = max(d.n_chars for d in mine)
+        assert r.longest_doc == min(d.doc_id for d in mine if d.n_chars == mx)
+
+
+def test_state_store_reader_metadata_names_the_operator(spark, sf_dir):
+    """The state-metadata companion format must name the aggregation
+    operator whose state the key reads."""
+    import os
+
+    from debias_spark.queries.streaming_ext4 import _WAREHOUSE, state_metadata
+
+    SPECS["stream_state_store_reader"].fn(spark, sf_dir).collect()
+    tag = (
+        (os.path.basename(sf_dir.rstrip("/")) or "sf")
+        + "_"
+        + spark.sparkContext.applicationId
+    )
+    ckpt = os.path.join(_WAREHOUSE, f"z43_ckpt_{tag}")
+    meta = state_metadata(spark, ckpt).collect()
+    assert len(meta) == 1
+    assert meta[0].operatorName == "stateStoreSave"
+    assert meta[0].minBatchId == 0
