@@ -121,6 +121,10 @@ DRIVER_PRIORITY = [
     "sql_scripting_budget_loop", "sql_transpose_metrics",
     "agg_approx_topk_events", "source_metadata_columns",
     "udtf_table_argument_stats", "stream_state_store_reader",
+    # wave 5: Spark-4 declarative surfaces + corpus statistics
+    "text_kl_divergence_lang", "text_trigram_diversity",
+    "stats_spearman_corr", "sql_pipe_syntax_chain",
+    "sql_recursive_cte_reach", "sql_table_function_lateral",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",

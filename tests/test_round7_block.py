@@ -315,3 +315,160 @@ def test_state_store_reader_metadata_names_the_operator(spark, sf_dir):
     assert len(meta) == 1
     assert meta[0].operatorName == "stateStoreSave"
     assert meta[0].minBatchId == 0
+
+
+def test_spearman_matches_python_replay(spark, sf_dir):
+    """Exact replay: integer half-unit average ranks + exact moments in
+    unbounded Python ints, identical final float pipeline."""
+    import math
+
+    row = SPECS["stats_spearman_corr"].fn(spark, sf_dir).collect()[0]
+    parts = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("x"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("y"),
+        )
+        .collect()
+    )
+
+    def ranks2(vals):
+        order = sorted(vals)
+        first = {}
+        cnt = {}
+        for i, v in enumerate(order, start=1):
+            first.setdefault(v, i)
+            cnt[v] = cnt.get(v, 0) + 1
+        return [2 * first[v] + cnt[v] - 1 for v in vals]
+
+    rx = ranks2([r.x for r in parts])
+    ry = ranks2([r.y for r in parts])
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    r = float(n * sxy - sx * sy) / (
+        math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+    )
+    assert row.n_parts == n
+    assert row.spearman_e6 == math.floor(r * 1000000 + 0.5 + 1e-9)
+    assert -1000000 <= row.spearman_e6 <= 1000000
+
+
+def test_pipe_chain_equals_classic_spelling(spark, sf_dir):
+    rows = SPECS["sql_pipe_syntax_chain"].fn(spark, sf_dir).collect()
+    classic = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_cents"
+            ),
+        )
+        .where(F.col("n_items") > 10)
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in classic]
+
+
+def test_recursive_reach_matches_python_bfs(spark, sf_dir):
+    rows = SPECS["sql_recursive_cte_reach"].fn(spark, sf_dir).collect()
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 2500)
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj = {}
+    for ps in by_order.values():
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    seed = min(p for ps in by_order.values() for p in ps)
+    hops = {seed: 0}
+    frontier = {seed}
+    for h in (1, 2):
+        nxt = set()
+        for node in frontier:
+            for nb in adj.get(node, ()):
+                if nb not in hops:
+                    hops[nb] = h
+                    nxt.add(nb)
+        frontier = nxt
+    expect = {}
+    for node, h in hops.items():
+        lvl = expect.setdefault(h, [])
+        lvl.append(node)
+    got = {r.hop: (r.n_nodes, r.min_node, r.max_node, r.sum_nodes) for r in rows}
+    assert got == {
+        h: (len(ns), min(ns), max(ns), sum(ns)) for h, ns in expect.items()
+    }
+
+
+def test_table_function_lateral_equals_group_by(spark, sf_dir):
+    rows = SPECS["sql_table_function_lateral"].fn(spark, sf_dir).collect()
+    classic = (
+        table(spark, sf_dir, "orders")
+        .where(F.expr("year(o_orderdate) IN (1996, 1997, 1998)"))
+        .groupBy(
+            F.expr("CAST(year(o_orderdate) AS INT)").alias("yr"),
+            F.expr("CAST(month(o_orderdate) AS INT)").alias("mth"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            ),
+        )
+        .orderBy("yr", "mth")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in classic]
+
+
+def test_kl_divergence_nonnegative_and_totals(spark, sf_dir):
+    """Gibbs: KL(p_lang || p_corpus) >= 0; lang token totals partition
+    the corpus total."""
+    rows = SPECS["text_kl_divergence_lang"].fn(spark, sf_dir).collect()
+    assert all(r.kl_e6 >= 0 for r in rows)
+    total = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.size(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_tokens for r in rows) == total
+
+
+def test_trigram_diversity_matches_python_replay(spark, sf_dir):
+    import math
+    import re
+
+    rows = SPECS["text_trigram_diversity"].fn(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents").select("lang", "text").collect()
+    per_lang = {}
+    for d in docs:
+        toks = [t for t in re.split(r"\s+", d.text.lower()) if t]
+        tris = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        tot, dist = per_lang.setdefault(d.lang, [0, set()])
+        per_lang[d.lang][0] += len(tris)
+        per_lang[d.lang][1].update(tris)
+    for r in rows:
+        tot, dist = per_lang[r.lang]
+        assert (r.n_trigrams, r.n_distinct) == (tot, len(dist))
+        assert r.diversity_e6 == math.floor(
+            len(dist) * 1000000 / tot + 0.5 + 1e-9
+        )
