@@ -1,0 +1,93 @@
+"""Round-7 block wave 6 (Z45): multiline/quoted CSV roundtrip — the
+adversarial-content ingestion case (embedded newlines, quotes, and
+separators inside fields).
+
+Reference parity: the reference (SirHooke/debias-batch-processor) reads
+newline-delimited text and JSON only; CSV hardening is a north-star
+ingestion extension per SURVEY §2.A.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.queries.io_roundtrip import _sink_dir
+from debias_spark.registry import register
+
+# tricky = first 20 chars + newline + quoted lang + comma + next 20 chars:
+# one field containing all three CSV hazards (record separator, quote
+# char, field separator)
+_TRICKY_SQL = (
+    "substr(coalesce(text, ''), 1, 20) || chr(10) || '\"' || lang || '\",' "
+    "|| substr(coalesce(text, ''), 21, 20)"
+)
+
+
+@register(
+    "source_csv_multiline_quotes",
+    "Z45",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, {_TRICKY_SQL} AS tricky FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(tricky)) AS BIGINT) AS sum_len,
+           CAST(sum(('0x' || substr(md5(tricky), 1, 8))::BIGINT) AS BIGINT)
+               AS checksum
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def source_csv_multiline_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source roundtrip with adversarial field content: build a
+    column that embeds a NEWLINE, a DOUBLE QUOTE and a COMMA in every
+    value, write it as quoted CSV, read it back with multiLine=true, and
+    aggregate per lang: count, total chars, and a 32-bit-md5 checksum of
+    every restored string.  The oracle computes the same aggregate from
+    the SOURCE construction — it matches only if every byte survived the
+    quote-escape-newline round trip (a lost escape or a row split at the
+    embedded newline changes the md5 sum).  Write and read pin the SAME
+    escape character explicitly: Spark's writer backslash-escapes
+    embedded quotes rather than doubling them, and a reader configured
+    differently would silently mis-parse.  Second writer trap pinned
+    here: ignoreLeading/TrailingWhiteSpace default to TRUE on WRITE, so
+    fields whose content happens to start or end with a space are
+    silently trimmed unless both options are disabled (measured: ~13
+    chars lost per 70 docs before the fix — the checksum caught it).
+
+    Scale shape: multiLine=true is the one CSV option with a real scale
+    cost — files cannot be split at arbitrary newlines, so parallelism
+    is per-FILE, not per-block; the write keeps the source partitioning
+    (many files) precisely so the multiline read-back still fans out.
+    The checksum aggregates map-side; no shuffle carries raw text."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_TRICKY_SQL).alias("tricky")
+    )
+    path = _sink_dir(spark, sf_dir, "z45_csv")
+    (
+        docs.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", "\\")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("doc_id long, lang string, tricky string")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", "\\")
+        .csv(path)
+    )
+    h32 = F.conv(F.substring(F.md5("tricky"), 1, 8), 16, 10).cast("long")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("tricky")).alias("sum_len"),
+            F.sum(h32).alias("checksum"),
+        )
+        .orderBy("lang")
+    )

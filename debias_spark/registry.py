@@ -125,6 +125,9 @@ DRIVER_PRIORITY = [
     "text_kl_divergence_lang", "text_trigram_diversity",
     "stats_spearman_corr", "sql_pipe_syntax_chain",
     "sql_recursive_cte_reach", "sql_table_function_lateral",
+    # wave 6: media tiling, embedding drift, adversarial CSV ingest
+    "multimodal_image_tile_stats", "embedding_centroid_drift",
+    "source_csv_multiline_quotes",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",

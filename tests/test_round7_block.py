@@ -472,3 +472,86 @@ def test_trigram_diversity_matches_python_replay(spark, sf_dir):
         assert r.diversity_e6 == math.floor(
             len(dist) * 1000000 / tot + 0.5 + 1e-9
         )
+
+
+def test_image_tiles_partition_the_y30_totals(spark, sf_dir):
+    """Quadrant sums/counts must partition the whole-image decode totals,
+    and the top/bottom split must match the TOP-DOWN formula replay
+    (direction bugs move mass between tiles)."""
+    rows = SPECS["multimodal_image_tile_stats"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.quadrant] = (r.n_px, r.sum_r)
+    whole = {
+        r.doc_id: (r.width, r.height, r.sum_r)
+        for r in SPECS["multimodal_decode_dims"].fn(spark, sf_dir).collect()
+    }
+    assert set(by_doc) == set(whole)
+    for d, tiles in by_doc.items():
+        w, h, total = whole[d]
+        assert sorted(tiles) == [0, 1, 2, 3]
+        assert sum(t[0] for t in tiles.values()) == w * h
+        assert sum(t[1] for t in tiles.values()) == total
+        # python replay of quadrant 0 (top-left, top-down y)
+        w2, h2 = w // 2, h // 2
+        q0 = sum((3 * x + 5 * y) % 251 for x in range(w2) for y in range(h2))
+        assert tiles[0] == (w2 * h2, q0)
+
+
+def test_centroid_drift_matches_python_replay(spark, sf_dir):
+    import math
+
+    rows = SPECS["embedding_centroid_drift"].fn(spark, sf_dir).collect()
+    emb = table(spark, sf_dir, "embeddings").collect()
+    sums = {}
+    for r in emb:
+        s = sums.setdefault(r.label, [0.0] * len(r.embedding))
+        for i, v in enumerate(r.embedding):
+            s[i] += float(v)
+    gs = [sum(s[i] for s in sums.values()) for i in range(64)]
+    for r in rows:
+        s = sums[r.label]
+        cos = sum(a * b for a, b in zip(s, gs)) / (
+            math.sqrt(sum(a * a for a in s)) * math.sqrt(sum(b * b for b in gs))
+        )
+        # python's summation order differs from both engines; the replay
+        # pins the value to within a couple e6 units
+        assert abs(r.cos_e6 - math.floor(cos * 1000000 + 0.5 + 1e-9)) <= 2
+        assert r.n_vecs == sum(1 for e in emb if e.label == r.label)
+        assert -1000000 <= r.cos_e6 <= 1000000
+
+
+def test_csv_multiline_roundtrip_restores_exact_strings(spark, sf_dir):
+    """Byte-for-byte: the set of restored tricky strings equals the set
+    of source strings (newline, quote and comma all embedded)."""
+    import os
+
+    from debias_spark.queries.io_roundtrip import _WAREHOUSE
+
+    SPECS["source_csv_multiline_quotes"].fn(spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(_WAREHOUSE, f"z45_csv_{tag}_{app}")
+    back = (
+        spark.read.schema("doc_id long, lang string, tricky string")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", "\\")
+        .csv(path)
+        .collect()
+    )
+    src = {
+        (r.doc_id, r.tricky)
+        for r in table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(
+                "substr(coalesce(text, ''), 1, 20) || chr(10) || '\"' || lang "
+                "|| '\",' || substr(coalesce(text, ''), 21, 20)"
+            ).alias("tricky"),
+        )
+        .collect()
+    }
+    got = {(r.doc_id, r.tricky) for r in back}
+    assert got == src
+    assert all("\n" in t and '"' in t and "," in t for _, t in got)
