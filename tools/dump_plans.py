@@ -71,6 +71,12 @@ REPRESENTATIVE = [
     ("window_interval_range_frame", "RANGE BETWEEN INTERVAL 24 HOURS frame: one user_id exchange + one ts sort feed every trailing feature"),
     ("embedding_mmr_rerank", "MMR rerank: retrieval rides the broadcast top-K path; the K^2 greedy unroll is corpus-size-independent"),
     ("docs_lang_balanced_sample", "balanced downsample: per-lang md5-rank window + broadcast global min-count, one exchange"),
+    # round-7 block waves 4-6
+    ("stats_spearman_corr", "spearman: fact collapses to the part dim first; integer half-rank windows over the dim; one-row exact-decimal moments"),
+    ("sql_recursive_cte_reach", "native recursive CTE: checkpointed edge list (loop-invariant), UnionLoop joins frontier per step"),
+    ("text_kl_divergence_lang", "KL: one token explode -> map-side (lang,token) aggregate; lang/token/grand totals all broadcast back"),
+    ("embedding_centroid_drift", "centroid drift: posexplode collapses to |labels|x|dims| partials; global vector derived, never a second pass"),
+    ("udtf_table_argument_stats", "UDTF TABLE arg PARTITION BY: one hash exchange into the Arrow UDTF stage, no sort"),
 ]
 
 

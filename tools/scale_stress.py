@@ -93,6 +93,22 @@ KEYS = [
     "text_naive_bayes_lang",
     "docs_shard_token_balance",
     "orders_theilsen_trend",
+    # round-7 block: the scripting loop must stay O(aggregate) as the
+    # base table grows; approx_top_k is the bounded-sketch shape; the
+    # spearman ranks run over the single-copy part dim (window size
+    # constant, scan grows Kx); the recursive CTE's node set is bounded
+    # by the probe range (edge multiplicity grows, DISTINCT holds);
+    # KL/trigram vocab is pool-bounded; centroid drift's shuffle is
+    # |labels| x |dims| partials regardless of corpus size; the UDTF
+    # table-arg key is one Arrow exchange with O(1) state per group
+    "sql_scripting_budget_loop",
+    "agg_approx_topk_events",
+    "stats_spearman_corr",
+    "sql_recursive_cte_reach",
+    "text_kl_divergence_lang",
+    "text_trigram_diversity",
+    "embedding_centroid_drift",
+    "udtf_table_argument_stats",
 ]
 
 OFFSETS = {
