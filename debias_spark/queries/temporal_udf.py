@@ -12,6 +12,8 @@ results, only execution.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -491,4 +493,157 @@ def udtf_table_argument_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM lang_stats_t10(TABLE(_t10_docs) PARTITION BY lang)
         ORDER BY lang
         """
+    )
+
+
+@register(
+    "pandas_udf_iter_bucketize",
+    "T11",
+    oracle="""
+    SELECT ((CAST(round(o_totalprice * 100) AS BIGINT) * 2654435761)
+            % 2147483648) % 97 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def pandas_udf_iter_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form scalar pandas UDF (Iterator[pd.Series] ->
+    Iterator[pd.Series]): the API whose point is ONE-TIME SETUP PER TASK
+    — the expensive state (a model, a tokenizer, a lookup table) loads
+    before the batch loop and is reused across every Arrow batch the
+    task feeds the UDF, where the plain SCALAR form would have no place
+    to amortize it.  The 'model' here is a deterministic Fibonacci-hash
+    bucketizer (all int64 arithmetic, exact in SQL), so the oracle
+    replays the bucket assignment value-for-value while the key pins
+    the protocol: type-hinted iterator in, per-batch yields out, one
+    setup per task.
+
+    Scale shape: narrow map stage over Arrow batches feeding a
+    map-side-combined 97-group aggregate — no shuffle carries raw rows;
+    the setup amortization is exactly why per-task cost stays flat as
+    batches-per-task grows at 100 TB."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: the Iterator hint must resolve in MODULE globals — with
+    # PEP-563 string annotations, pyspark evaluates the signature there,
+    # so a function-local alias raises UNSUPPORTED_SIGNATURE (measured)
+    @pandas_udf("long")
+    def bucket97(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-task setup happens HERE, before the batch loop —
+        # stand-in for a model/tokenizer load
+        mult, mod = 2654435761, 2**31
+        for cents in batches:
+            yield ((cents * mult) % mod) % 97
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return (
+        orders.withColumn("bucket", bucket97("cents"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "cogroup_asof_attribution",
+    "T12",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS MATERIALIZED (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), ranked AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               c.event_id AS click_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT purchase_id, user_id,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM ranked WHERE rn = 1
+    ORDER BY purchase_id
+    """,
+)
+def cogroup_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map Pandas API (groupBy().cogroup().applyInPandas):
+    purchases and clicks arrive as TWO aligned pandas frames per group,
+    and each group runs ONE vectorized pandas.merge_asof(by='user_id') —
+    last click at-or-before each purchase (ties on ts resolve to the
+    larger event_id via the sort order merge_asof scans).  This is the
+    surface for per-key algorithms that need BOTH sides materialized
+    together (local as-of merges, per-user reconciliation) — the window
+    spelling of T1 covers the global case; cogroup covers the
+    bring-both-sides-to-python case.  The oracle restates the match as
+    a left join + row_number argmax with the identical (ts, event_id)
+    tie order; gaps are exact integer microseconds.
+
+    Scale shape: the cogroup key is a 64-way user BUCKET, not the raw
+    user_id — per-user groups pay ~15ms of pandas fixed cost each
+    (measured 23.8s at sf0.1 with ~1.5k user groups vs 1.0s bucketed),
+    so the Arrow boundary sees 64 groups and merge_asof's by= argument
+    does the per-user matching vectorized inside each.  ONE hash
+    exchange per side; per-group memory is a bucket's worth of events
+    (tune bucket count to executor memory at 100 TB)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type",
+        (F.col("user_id") % 64).alias("bucket"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+
+    def asof(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof requires both sides sorted by the on-key; the
+        # secondary event_id sort makes the within-tie scan order (and
+        # therefore the picked row: max event_id) deterministic per user
+        p = p.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        c = c.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                "purchase_id": p["event_id"],
+                "user_id": p["user_id"],
+            }
+        )
+        if len(c) and len(p):
+            cc = c[["ts", "user_id", "event_id"]].rename(
+                columns={"event_id": "click_id"}
+            )
+            cc["cts"] = cc["ts"]
+            m = pd.merge_asof(
+                p[["ts", "user_id"]], cc, on="ts", by="user_id",
+                direction="backward", allow_exact_matches=True,
+            )
+            # normalize to ns regardless of the Arrow-delivered unit
+            # (timestamp_ntz may arrive as datetime64[us])
+            p_ns = p["ts"].astype("datetime64[ns]").astype("int64")
+            c_ns = m["cts"].astype("datetime64[ns]").astype("int64")
+            out["click_id"] = m["click_id"].astype("Int64")
+            out["gap_us"] = pd.array((p_ns - c_ns) // 1000, dtype="Int64")
+            miss = m["cts"].isna().values
+            out.loc[miss, "click_id"] = None
+            out.loc[miss, "gap_us"] = None
+        else:
+            out["click_id"] = pd.array([None] * len(p), dtype="Int64")
+            out["gap_us"] = pd.array([None] * len(p), dtype="Int64")
+        return out
+
+    return (
+        purchases.groupBy("bucket")
+        .cogroup(clicks.groupBy("bucket"))
+        .applyInPandas(
+            asof,
+            schema="purchase_id long, user_id long, click_id long, gap_us long",
+        )
+        .orderBy("purchase_id")
     )

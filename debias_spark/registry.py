@@ -130,6 +130,8 @@ DRIVER_PRIORITY = [
     # wave 6: media tiling, embedding drift, adversarial CSV ingest
     "multimodal_image_tile_stats", "embedding_centroid_drift",
     "source_csv_multiline_quotes",
+    # wave 7: iterator pandas UDF protocol + cogrouped-map as-of merge
+    "pandas_udf_iter_bucketize", "cogroup_asof_attribution",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",

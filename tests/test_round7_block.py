@@ -555,3 +555,45 @@ def test_csv_multiline_roundtrip_restores_exact_strings(spark, sf_dir):
     got = {(r.doc_id, r.tricky) for r in back}
     assert got == src
     assert all("\n" in t and '"' in t and "," in t for _, t in got)
+
+
+def test_iter_pandas_udf_matches_jvm_expression(spark, sf_dir):
+    """The Arrow iterator boundary must not change the bucket math."""
+    rows = SPECS["pandas_udf_iter_bucketize"].fn(spark, sf_dir).collect()
+    jvm = (
+        table(spark, sf_dir, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .withColumn(
+            "bucket",
+            (F.col("cents") * F.lit(2654435761)) % F.lit(2**31) % F.lit(97),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("sum_cents"))
+        .orderBy("bucket")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in jvm]
+    assert all(0 <= r.bucket < 97 for r in rows)
+
+
+def test_cogroup_asof_matches_python_replay(spark, sf_dir):
+    rows = SPECS["cogroup_asof_attribution"].fn(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events").collect()
+    clicks = {}
+    for e in ev:
+        if e.event_type == "click":
+            clicks.setdefault(e.user_id, []).append((e.ts, e.event_id))
+    purchases = [e for e in ev if e.event_type == "purchase"]
+    assert len(rows) == len(purchases)
+    by_id = {r.purchase_id: r for r in rows}
+    for p in purchases:
+        r = by_id[p.event_id]
+        assert r.user_id == p.user_id
+        cands = [c for c in clicks.get(p.user_id, []) if c[0] <= p.ts]
+        if not cands:
+            assert r.click_id is None and r.gap_us is None
+        else:
+            best = max(cands)  # (ts, event_id): latest ts, tie -> max id
+            assert r.click_id == best[1]
+            gap = p.ts - best[0]
+            assert r.gap_us == gap.days * 86_400_000_000 + gap.seconds * 1_000_000 + gap.microseconds
