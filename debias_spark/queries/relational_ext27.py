@@ -60,7 +60,6 @@ def sql_scripting_budget_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         BEGIN
           DECLARE m INT DEFAULT 1;
           DECLARE bal BIGINT DEFAULT 1000000;
-          DECLARE cnt BIGINT DEFAULT 0;
           DECLARE acc STRING DEFAULT '';
           CREATE OR REPLACE TEMPORARY VIEW _x136_monthly AS
             SELECT month(o_orderdate) AS mth, count(*) AS c
@@ -70,9 +69,14 @@ def sql_scripting_budget_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
           -- 12-row aggregate after the first materialization
           CACHE TABLE _x136_monthly;
           WHILE m <= 12 DO
-            SET cnt = (SELECT coalesce(any_value(c), 0)
-                       FROM _x136_monthly WHERE mth = m);
-            SET bal = bal + bal * cnt DIV 1000000;
+            -- the month-count lookup folds into the bal update (no
+            -- separate cnt variable): 12 fewer statements, though the
+            -- interleaved A/B shows only ~5% (3.52 -> 3.36s min-of-4):
+            -- the floor is the 12 scalar-subquery jobs + per-statement
+            -- scripting overhead, not the variable bookkeeping
+            SET bal = bal + bal * (SELECT coalesce(any_value(c), 0)
+                                   FROM _x136_monthly WHERE mth = m)
+                            DIV 1000000;
             SET acc = acc || m || ':' || bal || ',';
             SET m = m + 1;
           END WHILE;
