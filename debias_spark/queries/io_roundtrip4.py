@@ -91,3 +91,64 @@ def source_csv_multiline_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "sink_python_datasource",
+    "Z46",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(month(o_orderdate) AS INT) AS mth,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITE path (Spark 4): the
+    (priority, month) order report written through the jsonl_sink
+    source — write(iterator) runs per partition on executors, staging
+    to .tmp and publishing task-atomically; commit(messages) runs on
+    the driver and manifests every task file — then read back with the
+    ordinary JSON reader and returned.  The oracle computes the same
+    report straight from orders: a hash match proves the custom sink
+    lost/duplicated nothing across its two-phase commit.  Completes the
+    Python DataSource surface: Z30 batch read, Z42 streaming read, Z46
+    write.
+
+    Scale shape: write parallelism is the frame's partitioning (one
+    task file per partition, repartition(4) here keeps multi-task
+    commit on the test box); the driver touches only commit MESSAGES
+    (file name + row count), never rows — the committer contract that
+    keeps job commit O(tasks) at 100 TB."""
+    import shutil
+
+    from debias_spark.sources import jsonl_sink
+
+    jsonl_sink.register(spark)
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.expr("CAST(month(o_orderdate) AS INT)").alias("mth"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            ),
+        )
+    )
+    path = _sink_dir(spark, sf_dir, "z46_pyds")
+    shutil.rmtree(path, ignore_errors=True)
+    agg.repartition(4).write.format("jsonl_sink").mode("overwrite").save(path)
+    return (
+        spark.read.schema(
+            "o_orderpriority string, mth int, n_orders long, rev_cents long"
+        )
+        .json(path, pathGlobFilter="part-*.jsonl")
+        .orderBy("o_orderpriority", "mth")
+    )

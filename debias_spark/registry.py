@@ -132,6 +132,7 @@ DRIVER_PRIORITY = [
     "source_csv_multiline_quotes",
     # wave 7: iterator pandas UDF protocol + cogrouped-map as-of merge
     "pandas_udf_iter_bucketize", "cogroup_asof_attribution",
+    "sink_python_datasource",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",

@@ -1,0 +1,88 @@
+"""Custom Python DataSource WRITER (Spark 4 DataSource API): a
+JSON-lines sink with a two-phase commit.
+
+The write side of the API mirrors the reader's partition contract:
+``write(iterator)`` runs once per input partition ON THE EXECUTORS and
+returns a WriterCommitMessage; ``commit(messages)`` runs ON THE DRIVER
+only after every task succeeded, publishing a manifest — the same
+task-attempt / job-commit split every production sink (file committers,
+object stores) is built on.  Tasks stage to a ``.tmp`` name and
+os.replace into place, so a retried task can never leave a torn file.
+
+Paired with debias_spark/sources/synthetic.py (the read side); together
+they cover both directions of the Python DataSource surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class JsonlCommitMessage(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> JsonlCommitMessage:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(fname + ".tmp", "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        os.replace(fname + ".tmp", fname)  # task-atomic publish
+        return JsonlCommitMessage(fname, n)
+
+    def commit(self, messages) -> None:
+        # driver-side job commit: the manifest names every task file and
+        # its row count — readers that trust only manifested files get
+        # exactly-once visibility even if stray task files survive
+        files = [
+            {"file": os.path.basename(m.filename), "rows": m.n_rows}
+            for m in messages
+            if m is not None
+        ]
+        manifest = {
+            "files": sorted(files, key=lambda d: d["file"]),
+            "total_rows": sum(d["rows"] for d in files),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.filename)
+                except OSError:
+                    pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

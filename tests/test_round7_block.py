@@ -597,3 +597,25 @@ def test_cogroup_asof_matches_python_replay(spark, sf_dir):
             assert r.click_id == best[1]
             gap = p.ts - best[0]
             assert r.gap_us == gap.days * 86_400_000_000 + gap.seconds * 1_000_000 + gap.microseconds
+
+
+def test_python_datasource_sink_manifest_contract(spark, sf_dir):
+    """Two-phase commit evidence: the driver-side manifest must name
+    every task file with its exact row count, and no .tmp stragglers
+    may survive a successful job."""
+    import json
+    import os
+
+    from debias_spark.queries.io_roundtrip import _WAREHOUSE
+
+    rows = SPECS["sink_python_datasource"].fn(spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(_WAREHOUSE, f"z46_pyds_{tag}_{app}")
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest["total_rows"] == len(rows)
+    assert not [f for f in os.listdir(path) if f.endswith(".tmp")]
+    for entry in manifest["files"]:
+        with open(os.path.join(path, entry["file"])) as f:
+            assert sum(1 for _ in f) == entry["rows"]
+    assert sum(e["rows"] for e in manifest["files"]) == len(rows)
