@@ -304,3 +304,103 @@ def sql_table_function_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY y.yr, f.mth
         """
     )
+
+
+@register(
+    "orders_holt_linear_forecast",
+    "X143",
+    oracle="""
+    -- NOT list_reduce: DuckDB v1.0's list_reduce with a STRUCT-valued
+    -- lambda corrupts the accumulator across iterations (measured: a
+    -- single step from acc=(11,0.5) gives b=1.375; the identical step
+    -- inside a 3-element fold gives b=0.8125).  The recurrence is
+    -- stated as WITH RECURSIVE instead, with every float op spelled in
+    -- the same order as the Spark fold so the doubles are bit-identical.
+    WITH RECURSIVE ordered AS MATERIALIZED (
+        SELECT CAST(c AS DOUBLE) AS y,
+               row_number() OVER (ORDER BY idx) AS rn
+        FROM (
+            SELECT year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+                   count(*) AS c
+            FROM orders GROUP BY 1
+        )
+    ),
+    rec AS (
+        SELECT 1 AS rn, y AS l, CAST(0 AS DOUBLE) AS b
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        -- JOIN the helper CTE, never correlate into it (X136 doctrine)
+        SELECT r.rn + 1,
+               0.5 * o.y + 0.5 * (r.l + r.b),
+               0.5 * ((0.5 * o.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        FROM rec r JOIN ordered o ON o.rn = r.rn + 1
+    )
+    SELECT CAST(rec.rn AS BIGINT) AS n_months,
+           CAST(floor(l * 10000 + 0.5 + 1e-9) AS BIGINT) AS level_e4,
+           CAST(floor(b * 10000 + 0.5 + 1e-9) AS BIGINT) AS trend_e4,
+           CAST(floor((l + b) * 10000 + 0.5 + 1e-9) AS BIGINT) AS fc1_e4,
+           CAST(floor((l + 3 * b) * 10000 + 0.5 + 1e-9) AS BIGINT)
+               AS fc3_e4
+    FROM rec JOIN (SELECT count(*) AS n FROM ordered) cnt ON rec.rn = cnt.n
+    """,
+)
+def orders_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing (double exponential, alpha=beta=0.5)
+    over the monthly order-count series, with 1- and 3-step forecasts —
+    the trend-aware sibling of the EWMA key.  A coupled two-state
+    recurrence (level feeds trend feeds level) that no window frame
+    expresses; here it runs as a HOF fold (F.aggregate) over the
+    ORDERED month array: both engines run the identical step left to
+    right, every step is IEEE mul/add on the same doubles in the same
+    textual order, so the trajectory — and the floor-eps e4 emission —
+    is bit-identical.  The DuckDB replay is a WITH RECURSIVE chain over
+    the row-numbered series, NOT list_reduce: v1.0's list_reduce
+    corrupts struct-valued accumulators across iterations (measured —
+    see the oracle comment), the second engine-level DuckDB bug these
+    oracles have surfaced after the recursive-CTE correlated-subquery
+    nondeterminism (X136).
+
+    Scale shape: the fact table collapses to the ~80-row month
+    aggregate (one map-side-combined shuffle); the fold is a single
+    codegen expression over one in-row array — the sequential
+    recurrence costs O(months) on ONE row, never a per-step job
+    (compare X136's scripting loop: 12 statements = 12 tiny jobs; this
+    pattern does 80 steps for free).  Seasonal Holt-Winters would add a
+    third state field to the same fold."""
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    m = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("idx", "c"))).alias("sc"),
+        F.count("*").alias("n_months"),
+    )
+    ys = F.transform(F.col("sc"), lambda s: s["c"].cast("double"))
+    structs = F.transform(
+        ys, lambda y: F.struct(y.alias("l"), F.lit(0.0).alias("b"))
+    )
+
+    def step(acc, x):
+        new_l = F.lit(0.5) * x["l"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        new_b = F.lit(0.5) * (new_l - acc["l"]) + F.lit(0.5) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = F.aggregate(
+        F.slice(structs, 2, F.size(structs) - 1),
+        F.element_at(structs, 1),
+        step,
+    )
+
+    def e4(x):
+        return F.floor(x * 10000 + F.lit(0.5 + 1e-9)).cast("long")
+
+    return m.select(
+        F.col("n_months").cast("long").alias("n_months"),
+        e4(folded["l"]).alias("level_e4"),
+        e4(folded["b"]).alias("trend_e4"),
+        e4(folded["l"] + folded["b"]).alias("fc1_e4"),
+        e4(folded["l"] + F.lit(3) * folded["b"]).alias("fc3_e4"),
+    )

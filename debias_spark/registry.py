@@ -58,7 +58,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # drain its green keys into block 3, front-load any failures plus whatever
 # of block 1/2's tail missed the 50-key window (blocks 1+2 hold exactly 50
 # keys this round, so anything red or unchecked stays up front), then
-# promote the 33-key round-7 block (waves 1-6, all locally verified twice
+# promote the 37-key round-7 block (waves 1-9, all locally verified twice
 # per key at sf0.001+sf0.01 under a plain session) to the front of the
 # window; any genuinely-new round-7 keys slot behind the block.
 #
@@ -133,6 +133,7 @@ DRIVER_PRIORITY = [
     # wave 7: iterator pandas UDF protocol + cogrouped-map as-of merge
     "pandas_udf_iter_bucketize", "cogroup_asof_attribution",
     "sink_python_datasource",
+    "orders_holt_linear_forecast",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
     "stream_foreachbatch_upsert", "sink_csv_roundtrip",

@@ -619,3 +619,31 @@ def test_python_datasource_sink_manifest_contract(spark, sf_dir):
         with open(os.path.join(path, entry["file"])) as f:
             assert sum(1 for _ in f) == entry["rows"]
     assert sum(e["rows"] for e in manifest["files"]) == len(rows)
+
+
+def test_holt_forecast_matches_exact_python_fold(spark, sf_dir):
+    """The fold is pure IEEE arithmetic in a fixed order — the Python
+    replay must match BIT-exactly (same ops, same order, same doubles)."""
+    import math
+
+    row = SPECS["orders_holt_linear_forecast"].fn(spark, sf_dir).collect()[0]
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.expr("year(o_orderdate) * 12 + month(o_orderdate)").alias("idx"))
+        .agg(F.count("*").alias("c"))
+        .orderBy("idx")
+        .collect()
+    )
+    ys = [float(r.c) for r in monthly]
+    l, b = ys[0], 0.0
+    for y in ys[1:]:
+        nl = 0.5 * y + 0.5 * (l + b)
+        nb = 0.5 * (nl - l) + 0.5 * b
+        l, b = nl, nb
+
+    def e4(x):
+        return math.floor(x * 10000 + 0.5 + 1e-9)
+
+    assert row.n_months == len(ys)
+    assert (row.level_e4, row.trend_e4) == (e4(l), e4(b))
+    assert (row.fc1_e4, row.fc3_e4) == (e4(l + b), e4(l + 3 * b))
