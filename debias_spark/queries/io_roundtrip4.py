@@ -124,8 +124,6 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit on the test box); the driver touches only commit MESSAGES
     (file name + row count), never rows — the committer contract that
     keeps job commit O(tasks) at 100 TB."""
-    import shutil
-
     from debias_spark.sources import jsonl_sink
 
     jsonl_sink.register(spark)
@@ -143,7 +141,8 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     path = _sink_dir(spark, sf_dir, "z46_pyds")
-    shutil.rmtree(path, ignore_errors=True)
+    # mode("overwrite") reaches the source's writer() hook, which clears
+    # the target driver-side before any task runs (no manual rmtree)
     agg.repartition(4).write.format("jsonl_sink").mode("overwrite").save(path)
     return (
         spark.read.schema(

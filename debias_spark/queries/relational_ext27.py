@@ -53,9 +53,11 @@ def sql_scripting_budget_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the procedural layer iterates over aggregate state, not
     data.  The loop's string accumulator is driver-side scripting
     state, exploded back to rows only at the final SELECT."""
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
     table(spark, sf_dir, "orders").createOrReplaceTempView("_x136_orders")
-    return spark.sql(
+    try:
+        return spark.sql(
         """
         BEGIN
           DECLARE m INT DEFAULT 1;
@@ -87,7 +89,14 @@ def sql_scripting_budget_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY month;
         END
         """
-    )
+        )
+    finally:
+        # the script executes eagerly inside spark.sql(); restore the
+        # session default so later keys run under driver-plain confs
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
 @register(

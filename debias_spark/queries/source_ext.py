@@ -213,14 +213,14 @@ def source_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     being read — constant-folded per split, no join, no extra pass; the
     per-file aggregate is map-side combined on a key that is constant
     within each task's split.  Scales as a plain scan."""
-    from pyspark.sql.functions import col
+    from debias_spark.catalog import table
 
     def per_file(tbl: str) -> DataFrame:
         return (
-            spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+            table(spark, sf_dir, tbl)
             .select(
-                col("_metadata.file_name").alias("file_name"),
-                col("_metadata.row_index").alias("ri"),
+                F.col("_metadata.file_name").alias("file_name"),
+                F.col("_metadata.row_index").alias("ri"),
             )
             .groupBy("file_name")
             .agg(

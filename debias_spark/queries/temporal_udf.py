@@ -487,7 +487,13 @@ def udtf_table_argument_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (self.lang, self.n, self.chars, -self.best[1])
 
     spark.udtf.register("lang_stats_t10", LangStats)
-    table(spark, sf_dir, "documents").createOrReplaceTempView("_t10_docs")
+    # project BEFORE the TABLE argument: column pruning cannot reach
+    # through a Python UDTF's table arg, so an unprojected view would
+    # ship the full document text through the hash exchange and Arrow
+    # encode it per row for nothing
+    table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    ).createOrReplaceTempView("_t10_docs")
     return spark.sql(
         """
         SELECT * FROM lang_stats_t10(TABLE(_t10_docs) PARTITION BY lang)

@@ -132,7 +132,9 @@ DRIVER_PRIORITY = [
     "source_csv_multiline_quotes",
     # wave 7: iterator pandas UDF protocol + cogrouped-map as-of merge
     "pandas_udf_iter_bucketize", "cogroup_asof_attribution",
+    # wave 8: Python DataSource write path (two-phase commit)
     "sink_python_datasource",
+    # wave 9: Holt linear-trend forecast (codegen fold over month series)
     "orders_holt_linear_forecast",
     # --- block 3: r1-r5 driver-evidenced greens (re-proving is a bonus) ---
     "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",

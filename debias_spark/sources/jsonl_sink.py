@@ -39,15 +39,21 @@ class JsonlSinkWriter(DataSourceWriter):
     def write(self, iterator) -> JsonlCommitMessage:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
         fname = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        # stage under a task-ATTEMPT-unique name: a speculative or zombie
+        # attempt racing its retry must never truncate/interleave the
+        # other attempt's staging file — only the atomic rename races,
+        # and either winner is a complete file with the same rows
+        tmp = f"{fname}.{ctx.taskAttemptId()}.tmp"
         n = 0
-        with open(fname + ".tmp", "w") as f:
+        with open(tmp, "w") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
                 n += 1
-        os.replace(fname + ".tmp", fname)  # task-atomic publish
+        os.replace(tmp, fname)  # task-atomic publish
         return JsonlCommitMessage(fname, n)
 
     def commit(self, messages) -> None:
@@ -81,6 +87,20 @@ class JsonlSinkDataSource(DataSource):
         return "jsonl_sink"
 
     def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        # driver-side, before any task runs: overwrite clears the target
+        # so a narrower re-write can't leave stale part files that a
+        # part-* glob would double-count against the fresh manifest;
+        # append is rejected (per-partition file names would REPLACE,
+        # not append — silently wrong, so fail loudly)
+        if not overwrite:
+            raise NotImplementedError(
+                "jsonl_sink supports mode('overwrite') only: task files "
+                "are named by partition id, so append would replace them"
+            )
+        import shutil
+
+        path = self.options["path"]
+        shutil.rmtree(path, ignore_errors=True)
         return JsonlSinkWriter(self.options, overwrite)
 
 
