@@ -176,3 +176,29 @@ def decode_media(data: bytes) -> dict:
     if data[:4] == b"RIFF":
         return decode_wav(data)
     raise ValueError(f"unrecognized media magic {data[:4]!r}")
+
+
+# --- deterministic test-payload synthesis ------------------------------------
+# THE generation formulas for the synthetic media corpus, defined once:
+# every key's Python generator calls these, and every DuckDB oracle
+# restates the same closed forms textually.  A change here must be
+# mirrored in the oracles — which is exactly why there is one copy.
+
+
+def synth_bmp_payload(doc_id: int) -> bytes:
+    """Y30-family BMP: width/height are small functions of doc_id, pixel
+    (x, y) gray-coded per channel (origin top-left)."""
+    w, h = 4 + doc_id % 13, 3 + doc_id % 11
+    return encode_bmp(
+        w, h,
+        lambda x, y: ((3 * x + 5 * y) % 251, (x * y) % 251, (x + 7 * y) % 251),
+    )
+
+
+def synth_wav_payload(doc_id: int) -> bytes:
+    """Y31-family WAV: sample rate and count are functions of doc_id,
+    samples a deterministic sawtooth over the full PCM16 range."""
+    rate = 8000 + (doc_id % 3) * 4000
+    n = 20 + doc_id % 17
+    samples = [((doc_id * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+    return encode_wav(rate, samples)

@@ -204,19 +204,14 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(out, exist_ok=True)
 
     def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from debias_spark.operators.media_codec import encode_bmp
+        from debias_spark.operators.media_codec import synth_bmp_payload
 
         for pdf in batches:
             ids = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                w, h = 4 + d % 13, 3 + d % 11
-                data = encode_bmp(
-                    w, h,
-                    lambda x, y: ((3 * x + 5 * y) % 251, (x * y) % 251, (x + 7 * y) % 251),
-                )
                 with open(os.path.join(out, f"doc_{d}.bmp"), "wb") as fh:
-                    fh.write(data)
+                    fh.write(synth_bmp_payload(d))
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids})
 

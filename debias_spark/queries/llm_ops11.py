@@ -43,19 +43,10 @@ def _synth_bmp_frame(docs: DataFrame) -> DataFrame:
     decoder downstream sees only the payload column."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from debias_spark.operators.media_codec import encode_bmp
+        from debias_spark.operators.media_codec import synth_bmp_payload
 
         for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h = 4 + d % 13, 3 + d % 11
-                payloads.append(
-                    encode_bmp(
-                        w, h,
-                        lambda x, y: ((3 * x + 5 * y) % 251, (x * y) % 251, (x + 7 * y) % 251),
-                    )
-                )
+            payloads = [synth_bmp_payload(int(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
@@ -117,16 +108,10 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same embarrassingly-parallel mapInPandas pair as Y30."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from debias_spark.operators.media_codec import encode_wav
+        from debias_spark.operators.media_codec import synth_wav_payload
 
         for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                rate = 8000 + (d % 3) * 4000
-                n = 20 + d % 17
-                samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(n)]
-                payloads.append(encode_wav(rate, samples))
+            payloads = [synth_wav_payload(int(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     docs = table(spark, sf_dir, "documents")

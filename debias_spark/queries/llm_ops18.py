@@ -80,19 +80,10 @@ def multimodal_image_avghash_buckets(spark: SparkSession, sf_dir: str) -> DataFr
     within-bucket verify join."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from debias_spark.operators.media_codec import encode_bmp
+        from debias_spark.operators.media_codec import synth_bmp_payload
 
         for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h = 4 + d % 13, 3 + d % 11
-                payloads.append(
-                    encode_bmp(
-                        w, h,
-                        lambda x, y: ((3 * x + 5 * y) % 251, (x * y) % 251, (x + 7 * y) % 251),
-                    )
-                )
+            payloads = [synth_bmp_payload(int(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -178,19 +169,10 @@ def multimodal_palette_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from debias_spark.operators.media_codec import encode_bmp
+        from debias_spark.operators.media_codec import synth_bmp_payload
 
         for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h = 4 + d % 13, 3 + d % 11
-                payloads.append(
-                    encode_bmp(
-                        w, h,
-                        lambda x, y: ((3 * x + 5 * y) % 251, (x * y) % 251, (x + 7 * y) % 251),
-                    )
-                )
+            payloads = [synth_bmp_payload(int(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -257,16 +257,10 @@ def multimodal_audio_rms_by_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from debias_spark.operators.media_codec import encode_wav
+        from debias_spark.operators.media_codec import synth_wav_payload
 
         for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                rate = 8000 + (d % 3) * 4000
-                n = 20 + d % 17
-                samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(n)]
-                payloads.append(encode_wav(rate, samples))
+            payloads = [synth_wav_payload(int(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

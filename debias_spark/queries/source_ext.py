@@ -141,8 +141,6 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
     parallelism inside the batch; the aggregate below is bounded
     (batches x langs).  sf_dir is intentionally unused (non-file
     surface)."""
-    import uuid
-
     from debias_spark.sources.synthetic import register_stream
 
     register_stream(spark)
@@ -153,9 +151,12 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
         .option("seed", str(_S_SEED))
         .load()
     )
-    name = f"z42_{uuid.uuid4().hex[:12]}"
+    # fixed sink name: each run's memory query replaces the view instead
+    # of accumulating one leaked uuid-named table per invocation
+    name = "z42_stream_sink"
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = None
     try:
         q = (
             stream.writeStream.format("memory")
@@ -164,11 +165,20 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
             .start()
         )
         q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
     finally:
+        # stop INSIDE the finally so an interrupted drain can't leak a
+        # live background stream into the shared session
+        if q is not None:
+            q.stop()
+            q.awaitTermination()
+        # ALWAYS restore: on a plain session conf.get(key, None) is None
+        # (nothing was ever set), and skipping the restore would pin the
+        # whole session — every later key in the driver window — to 4
+        # shuffle partitions.  unset() returns the session to defaults.
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
     return (
         spark.table(name)
         .groupBy("batch", "lang")

@@ -378,7 +378,7 @@ def udtf_dynamic_schema_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed sampling filter — no shuffle until the final ORDER BY."""
     import re
 
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
     from pyspark.sql.types import (
         LongType,
         StringType,

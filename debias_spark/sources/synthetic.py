@@ -33,6 +33,20 @@ class _Shard(InputPartition):
         self.shard = shard
 
 
+def _gen_rows(seed: int, shard: int, n_rows: int):
+    """THE generator recipe: pure function of (seed, shard, row) — a
+    multiplicative hash drives word/language selection, no RNG state,
+    reproducible anywhere.  Single definition shared by the batch reader
+    and the stream reader so batch/stream/oracle can never drift apart."""
+    base = seed * 1_000_003 + shard * 7919
+    for r in range(n_rows):
+        doc_id = shard * n_rows + r
+        h = (base + r * 2_654_435_761) & 0x7FFFFFFF
+        n_words = 5 + h % 8
+        words = [_WORDS[(h // (i + 1)) % len(_WORDS)] for i in range(n_words)]
+        yield (doc_id, " ".join(words), _LANGS[h % len(_LANGS)])
+
+
 class SyntheticCorpusReader(DataSourceReader):
     def __init__(self, options):
         self.n_shards = int(options.get("shards", "4"))
@@ -43,18 +57,7 @@ class SyntheticCorpusReader(DataSourceReader):
         return [_Shard(i) for i in range(self.n_shards)]
 
     def read(self, partition: _Shard):
-        # deterministic per (seed, shard, row): a multiplicative hash drives
-        # word/language selection — no RNG state, reproducible anywhere
-        base = self.seed * 1_000_003 + partition.shard * 7919
-        for r in range(self.rows_per_shard):
-            doc_id = partition.shard * self.rows_per_shard + r
-            h = (base + r * 2_654_435_761) & 0x7FFFFFFF
-            n_words = 5 + h % 8
-            words = [
-                _WORDS[(h // (i + 1)) % len(_WORDS)] for i in range(n_words)
-            ]
-            lang = _LANGS[h % len(_LANGS)]
-            yield (doc_id, " ".join(words), lang)
+        yield from _gen_rows(self.seed, partition.shard, self.rows_per_shard)
 
 
 class SyntheticCorpusDataSource(DataSource):
@@ -88,15 +91,9 @@ class _SyntheticStreamReader(SimpleDataSourceStreamReader):
         return {"batch": 0}
 
     def _rows(self, batch: int):
-        base = self.seed * 1_000_003 + batch * 7919
-        for r in range(self.rows_per_batch):
-            doc_id = batch * self.rows_per_batch + r
-            h = (base + r * 2_654_435_761) & 0x7FFFFFFF
-            n_words = 5 + h % 8
-            words = [
-                _WORDS[(h // (i + 1)) % len(_WORDS)] for i in range(n_words)
-            ]
-            yield (doc_id, " ".join(words), _LANGS[h % len(_LANGS)], batch)
+        # same _gen_rows recipe as the batch reader, plus the batch column
+        for doc_id, text, lang in _gen_rows(self.seed, batch, self.rows_per_batch):
+            yield (doc_id, text, lang, batch)
 
     def read(self, start):
         # the engine's prefetch cache copy.copy()s the returned iterator:
