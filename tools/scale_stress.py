@@ -109,6 +109,15 @@ KEYS = [
     "text_trigram_diversity",
     "embedding_centroid_drift",
     "udtf_table_argument_stats",
+    # round-7 block waves 7-9: the bucketed cogroup (64 Arrow groups
+    # regardless of user count — per-bucket pandas grows linearly), the
+    # iterator UDF (per-task setup amortized over more batches), the
+    # Python sink's O(tasks) commit, and the Holt fold (fixed ~80-month
+    # series: scan grows, fold does not)
+    "cogroup_asof_attribution",
+    "pandas_udf_iter_bucketize",
+    "sink_python_datasource",
+    "orders_holt_linear_forecast",
 ]
 
 OFFSETS = {
