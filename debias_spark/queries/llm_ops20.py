@@ -62,7 +62,7 @@ FROM (
 ORDER BY rank
 """
 
-_MMR_ORACLE_CTES = f"""e AS (
+_MMR_ORACLE_CTES = f"""e AS MATERIALIZED (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), rel AS MATERIALIZED (
     SELECT cand_id, sim FROM (

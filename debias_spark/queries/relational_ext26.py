@@ -38,7 +38,10 @@ def sql_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (X43 pivot_status_by_flag) can't express without a self-join.  The
     oracle states the same grid as conditional aggregates, proving
     Spark's pivot column naming (<label>_<agg alias>) carries exactly
-    the conditional-aggregation semantics.
+    the conditional-aggregation semantics.  Counts are coalesced to 0:
+    PIVOT emits NULL for an empty (status, flag) cell while count(CASE)
+    emits 0 — real TPC-H data has exactly such cells ('O' implies 'N'),
+    this generator merely happens to populate all six.
 
     Plan shape: PIVOT compiles to ONE hash aggregate whose expressions
     are the flag-conditional pairs — single shuffle on l_linestatus, no
@@ -47,7 +50,10 @@ def sql_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("_x128_lineitem")
     return spark.sql(
         """
-        SELECT l_linestatus, a_qty, a_n, n_qty, n_n, r_qty, r_n
+        SELECT l_linestatus, a_qty,
+               coalesce(a_n, 0) AS a_n, n_qty,
+               coalesce(n_n, 0) AS n_n, r_qty,
+               coalesce(r_n, 0) AS r_n
         FROM (
             SELECT l_linestatus, l_returnflag,
                    CAST(l_quantity AS BIGINT) AS q

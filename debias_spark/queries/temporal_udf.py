@@ -231,12 +231,12 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "T7",
     oracle="""
     SELECT lang,
-           CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(string_split_regex(trim(text), '\\s+'))
-                    END) AS BIGINT) AS total_tokens,
-           CAST(max(CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(string_split_regex(trim(text), '\\s+'))
-                    END) AS BIGINT) AS max_tokens,
+           CAST(sum(len(list_filter(
+               string_split_regex(coalesce(text, ''), '[ \\t\\n\\r\\f\\v]+'),
+               t -> t <> ''))) AS BIGINT) AS total_tokens,
+           CAST(max(len(list_filter(
+               string_split_regex(coalesce(text, ''), '[ \\t\\n\\r\\f\\v]+'),
+               t -> t <> ''))) AS BIGINT) AS max_tokens,
            count(*) AS n_docs
     FROM documents
     GROUP BY lang
@@ -268,8 +268,10 @@ def udf_arrow_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf("long", useArrow=True)
     def tok_n(s: str) -> int:
-        s = (s or "").strip()
-        return len([t for t in ws.split(s) if t]) if s else 0
+        # no .strip(): Python's strip is UNICODE-aware and would diverge
+        # from the ASCII-class oracle on NBSP-edged text; the nonempty
+        # filter already absorbs leading/trailing ASCII whitespace
+        return len([t for t in ws.split(s or "") if t])
 
     docs = table(spark, sf_dir, "documents")
     return (

@@ -647,3 +647,72 @@ def test_holt_forecast_matches_exact_python_fold(spark, sf_dir):
     assert row.n_months == len(ys)
     assert (row.level_e4, row.trend_e4) == (e4(l), e4(b))
     assert (row.fc1_e4, row.fc3_e4) == (e4(l + b), e4(l + 3 * b))
+
+
+def test_quantity_integrality_assumption(spark, sf_dir):
+    """CAST(l_quantity AS BIGINT) appears in several oracle pairs and is
+    only cross-engine-safe while quantities are integral (Spark's
+    double->bigint cast truncates, DuckDB's rounds).  Pin the data
+    assumption so a testdata-shape change fails HERE, loudly, instead of
+    as a silent oracle divergence."""
+    bad = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") != F.floor("l_quantity"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_mmr_registered_sql_matches_python_greedy_replay(spark, sf_dir):
+    """Independently verify the SHIPPED MMR SQL (not a reimplementation
+    of the oracle): replay the greedy argmax chain in Python from the
+    embeddings table and require the full ranked sequence to match."""
+    import math
+
+    from debias_spark.queries.llm_ops20 import _K_CAND, _LAMBDA
+
+    lam = float(_LAMBDA)  # the key embeds it as SQL literal text
+
+    rows = SPECS["embedding_mmr_rerank"].fn(spark, sf_dir).collect()
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in table(spark, sf_dir, "embeddings").collect()}
+
+    def r4(x):
+        # Spark round(): HALF_UP away from zero
+        return (math.floor(x * 10000 + 0.5) / 10000
+                if x >= 0 else -math.floor(-x * 10000 + 0.5) / 10000)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a))
+                      * math.sqrt(sum(y * y for y in b)))
+
+    q = emb[0]
+    sims = sorted(
+        ((r4(cos(q, v)), vid) for vid, v in emb.items() if vid != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:_K_CAND]
+    rel = {vid: s for s, vid in sims}
+    pair = {
+        (a, b): r4(cos(emb[a], emb[b]))
+        for _, a in sims
+        for _, b in sims
+        if a != b
+    }
+    selected = []
+    for _ in range(3):
+        cands = [vid for vid in rel if vid not in selected]
+        if not selected:
+            pick = min(cands, key=lambda v: (-rel[v], v))
+        else:
+            def score(v):
+                ms = max(pair[(v, s)] for s in selected)
+                return lam * rel[v] - (1 - lam) * ms
+            pick = min(cands, key=lambda v: (-score(v), v))
+        selected.append(pick)
+    got = [(r.rank, r.cand_id, r.rel_e4) for r in rows]
+    want = [
+        (i + 1, vid, math.floor(rel[vid] * 10000 + 0.5 + 1e-9))
+        for i, vid in enumerate(selected)
+    ]
+    assert got == want
