@@ -72,8 +72,18 @@ def bucketed_cumsum(
     bsums = withb.groupBy("_b").agg(F.sum(value_col).alias("_bsum"))
     # per-bucket prefix offsets: a window over <= n_buckets rows — the
     # single-partition window is applied only to this tiny frame.
-    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+    # The single partition here is INTENTIONAL (<= n_buckets rows), but a
+    # literal partition key gets constant-folded out of the window spec,
+    # which re-triggers WindowExec's "No Partition Defined" degradation
+    # warning in every caller's bench tail.  _b * 0 is a non-foldable
+    # constant: same one-partition semantics, no warning.
+    _const = F.col("_b") * 0
+    wo = (
+        Window.partitionBy(_const)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(_const).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = bsums.select(
@@ -128,8 +138,18 @@ def bucketed_cumsum_with_rank(
     bsums = withb.groupBy("_b").agg(
         F.sum(value_col).alias("_bsum"), F.count("*").alias("_bcnt")
     )
-    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+    # The single partition here is INTENTIONAL (<= n_buckets rows), but a
+    # literal partition key gets constant-folded out of the window spec,
+    # which re-triggers WindowExec's "No Partition Defined" degradation
+    # warning in every caller's bench tail.  _b * 0 is a non-foldable
+    # constant: same one-partition semantics, no warning.
+    _const = F.col("_b") * 0
+    wo = (
+        Window.partitionBy(_const)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(_const).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = bsums.select(

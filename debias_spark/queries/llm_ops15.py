@@ -87,10 +87,10 @@ _SEM_ASSIGN_CTE = f"""
     ), a AS MATERIALIZED (
         SELECT vec_id, cent_id FROM (
             SELECT e.vec_id, c.cent_id,
-                   round(list_cosine_similarity(e.v, c.cv), 4) AS sim,
                    row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 4)
+                       ORDER BY floor(list_cosine_similarity(e.v, c.cv)
+                                      * 10000 + 0.5 + 1e-9)
                                     DESC, c.cent_id) AS rn
             FROM e CROSS JOIN c
         ) WHERE rn = 1
@@ -140,16 +140,23 @@ def semdedup_cluster_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("v"),
         l2_norm(F.col("embedding")).alias("nrm"),
     )
+    # assignment argmax orders on the floor-eps e4 INTEGER, not round():
+    # Spark round() (HALF_UP on shortest-decimal repr) and DuckDB round()
+    # (binary double) can flip an exact .xxxx5 tie, and here the value sits
+    # in rank position where a flip changes cluster membership (r6 advice).
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",
         "v",
         "nrm",
-        F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 4).alias(
-            "sim"
-        ),
+        F.floor(
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")) * 10000
+            + F.lit(_EPS)
+        )
+        .cast("long")
+        .alias("sim_e4"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_e4"), F.asc("cent_id"))
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

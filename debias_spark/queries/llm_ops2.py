@@ -432,7 +432,16 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     can never miss them regardless of which hash family MLlib's seeded
     RNG draws; the emitted set is therefore deterministic and replayable
     as "docs whose distinct lowercased token sets are equal" without
-    reimplementing Scala's RNG in SQL.  The probabilistic near-dup tail
+    reimplementing Scala's RNG in SQL.  One caveat closed in round 7:
+    distance 0 on HashingTF vectors means equal BUCKET sets, and with
+    2^16 buckets two different token sets can collide into identical
+    vectors (no such pair exists in this corpus, but an adversarial or
+    much larger vocabulary could produce one, and the DuckDB oracle
+    compares true token sets) — so the distance-0 pairs are post-filtered
+    by exact token-signature equality before emission, making the key's
+    contract collision-free at any vocabulary size for the cost of one
+    broadcast-sized signature join on an already-tiny pair set.
+    The probabilistic near-dup tail
     (0 < dist <= 0.3) stays draw-dependent by nature — its portable,
     fully-oracled treatment is the h60 pipeline (dedup_minhash_lsh) —
     and the recall relationship between the two pipelines is asserted in
@@ -456,15 +465,29 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     ).fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    zero = pairs.filter(
+        (F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        & (F.col("jaccard_dist") == 0.0)
+    ).select(
+        F.col("datasetA.doc_id").alias("id_a"),
+        F.col("datasetB.doc_id").alias("id_b"),
+    )
+    # collision guard: equal TF vectors != equal token sets (2^16 buckets);
+    # keep only pairs whose exact distinct-token signatures match, mirroring
+    # the oracle's sig equality.  The zero-distance pair set is tiny, so the
+    # two signature joins broadcast.
+    sig = F.array_join(
+        F.array_sort(
+            F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != ""))
+        ),
+        "\x1f",
+    )
+    sigs = docs.select("doc_id", sig.alias("sig"))
     return (
-        pairs.filter(
-            (F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-            & (F.col("jaccard_dist") == 0.0)
-        )
-        .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-        )
+        zero.join(sigs.withColumnsRenamed({"doc_id": "id_a", "sig": "sig_a"}), "id_a")
+        .join(sigs.withColumnsRenamed({"doc_id": "id_b", "sig": "sig_b"}), "id_b")
+        .filter(F.col("sig_a") == F.col("sig_b"))
+        .select("id_a", "id_b")
     )
 
 

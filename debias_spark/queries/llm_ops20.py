@@ -20,9 +20,13 @@ from debias_spark.registry import register
 _K_CAND = 10  # relevance candidates fed to MMR
 _LAMBDA = "0.7"  # relevance weight; (1 - lambda) penalizes redundancy
 
-# Greedy MMR unrolled to 3 selections.  rel/pair sims are 4-dp-rounded
-# doubles computed identically on both engines (the H8 discipline), so
-# every argmax comparison is over bit-identical values; ties break on
+# Greedy MMR unrolled to 3 selections.  rel/pair sims enter as floor-eps
+# e4 INTEGERS (floor(sim*1e4 + 0.5 + 1e-9)) — not round(sim, 4): Spark
+# rounds the shortest-decimal repr HALF_UP while DuckDB rounds the binary
+# double, so an exact .xxxx5 tie could flip an argmax (r6 advice); the
+# floor of the identical double is bit-stable on both engines.  The MMR
+# score 0.7*rel - 0.3*ms is then arithmetic on the same small integers,
+# so every comparison is over bit-identical doubles; ties break on
 # cand_id.  The same tail text runs on Spark (over checkpointed views)
 # and DuckDB (over MATERIALIZED CTEs).
 _MMR_TAIL_SQL = """
@@ -52,8 +56,7 @@ WITH {cte}sel1 AS (
     SELECT cand_id, rel FROM sc3
     ORDER BY {lam} * rel - (1 - {lam}) * ms DESC, cand_id LIMIT 1
 )
-SELECT rank, cand_id,
-       CAST(floor(rel * 10000 + 0.5 + 1e-9) AS BIGINT) AS rel_e4
+SELECT rank, cand_id, CAST(rel AS BIGINT) AS rel_e4
 FROM (
     SELECT 1 AS rank, cand_id, rel FROM sel1
     UNION ALL SELECT 2, cand_id, rel FROM sel2
@@ -67,16 +70,19 @@ _MMR_ORACLE_CTES = f"""e AS MATERIALIZED (
 ), rel AS MATERIALIZED (
     SELECT cand_id, sim FROM (
         SELECT c.vec_id AS cand_id,
-               round(list_cosine_similarity(q.v, c.v), 4) AS sim,
+               CAST(floor(list_cosine_similarity(q.v, c.v) * 10000
+                          + 0.5 + 1e-9) AS BIGINT) AS sim,
                row_number() OVER (
-                   ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+                   ORDER BY floor(list_cosine_similarity(q.v, c.v) * 10000
+                                  + 0.5 + 1e-9) DESC,
                             c.vec_id) AS rn
         FROM e q JOIN e c ON c.vec_id <> q.vec_id
         WHERE q.vec_id = 0
     ) WHERE rn <= {_K_CAND}
 ), pairs AS MATERIALIZED (
     SELECT a.cand_id AS a, b.cand_id AS b,
-           round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+           CAST(floor(list_cosine_similarity(ea.v, eb.v) * 10000
+                      + 0.5 + 1e-9) AS BIGINT) AS sim
     FROM rel a JOIN rel b ON a.cand_id <> b.cand_id
     JOIN e ea ON ea.vec_id = a.cand_id
     JOIN e eb ON eb.vec_id = b.cand_id
@@ -101,10 +107,12 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays candidates, pairwise sims, and all three
     selections value-for-value.
 
-    Determinism: every similarity is 4-dp rounded before any comparison
-    (the H8 discipline — both engines fold the arrays in index order, so
-    the doubles are bit-identical); the MMR scores are arithmetic on
-    those shared doubles.
+    Determinism: every similarity enters as a floor-eps e4 integer
+    (floor(sim*1e4 + 0.5 + 1e-9)) before any comparison — the round-6
+    doctrine for values in RANK position, where a Spark-vs-DuckDB
+    round() disagreement on an exact .xxxx5 tie would change which
+    candidate gets selected; the MMR scores are arithmetic on those
+    shared integers.
 
     Scale shape: retrieval is the H8 broadcast-probe scan (or the H8b
     LSH-bucketed variant at corpus scale); everything after operates on
@@ -112,10 +120,42 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size.  The candidate+pair frames are
     localCheckpointed once (10 + 90 rows) so the unrolled chain replans
     nothing upstream."""
+    _eps = 0.5 + 1e-9
     emb = table(spark, sf_dir, "embeddings")
-    rel = similarity.cosine_topk(
-        emb, F.col("vec_id") == 0, k=_K_CAND
-    ).select("cand_id", "sim").localCheckpoint(eager=True)
+    base = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("v"),
+        similarity.l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"),
+        similarity.l2_norm(F.col("embedding")).alias("qn"),
+    )
+    scored = (
+        F.broadcast(probe)
+        .crossJoin(base)
+        .filter(F.col("cand_id") != 0)
+        .select(
+            "cand_id",
+            F.floor(
+                similarity.dot(F.col("q"), F.col("v"))
+                / (F.col("qn") * F.col("nrm"))
+                * 10000
+                + F.lit(_eps)
+            )
+            .cast("long")
+            .alias("sim"),
+        )
+    )
+    # top-K via orderBy+limit = TakeOrderedAndProject (per-partition heap
+    # + driver merge of K rows), never a single-task global window over
+    # the corpus-sized scored frame.
+    rel = (
+        scored.orderBy(F.desc("sim"), F.asc("cand_id"))
+        .limit(_K_CAND)
+        .select("cand_id", "sim")
+        .localCheckpoint(eager=True)
+    )
     rel.createOrReplaceTempView("_y48_rel")
 
     vecs = emb.select(
@@ -134,14 +174,17 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a",
             "b",
-            F.round(
+            F.floor(
                 similarity.dot(F.col("va"), F.col("vb"))
                 / (
                     similarity.l2_norm(F.col("va"))
                     * similarity.l2_norm(F.col("vb"))
-                ),
-                4,
-            ).alias("sim"),
+                )
+                * 10000
+                + F.lit(_eps)
+            )
+            .cast("long")
+            .alias("sim"),
         )
         .localCheckpoint(eager=True)
     )

@@ -110,7 +110,8 @@ def multimodal_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
         FROM embeddings, dims
     ), ls AS MATERIALIZED (
-        SELECT label, i, sum(v) AS s, count(*) AS cnt FROM e GROUP BY 1, 2
+        SELECT label, i, sum(v) AS s, count(v) AS cnt
+        FROM e WHERE v IS NOT NULL GROUP BY 1, 2
     ), g AS (
         SELECT i, sum(s) AS gs FROM ls GROUP BY 1
     )

@@ -27,7 +27,7 @@ VOCAB_TOP = 1000  # unigram-LM vocabulary cap (bounded broadcast at any corpus s
 
 @register(
     "text_unigram_logprob",
-    "Z10",
+    "Z47",
     oracle=rf"""
     WITH toks AS (
         SELECT doc_id,
@@ -96,7 +96,7 @@ text_unigram_logprob.__doc__ = text_unigram_logprob.__doc__.replace("{V}", str(V
 
 @register(
     "dedup_near_editdistance",
-    "Z12",
+    "Z49",
     oracle="""
     WITH t AS (
         SELECT doc_id, text, n_chars, n_chars // 50 AS lb,
@@ -205,7 +205,7 @@ def _projection_oracle() -> str:
     return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
 
 
-@register("embedding_random_projection", "Z11", oracle=_projection_oracle())
+@register("embedding_random_projection", "Z48", oracle=_projection_oracle())
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded random projection (Johnson-Lindenstrauss) 64 -> 8 dims: the
     standard cheap dimensionality-reduction step before LSH/IVF indexing.

@@ -23,7 +23,7 @@ from debias_spark.registry import register
 
 @register(
     "tpch_q4_order_priority",
-    "X20",
+    "X34",
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders o
@@ -61,7 +61,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q12_priority_class",
-    "X21",
+    "X35",
     oracle="""
     SELECT l_returnflag,
            count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
@@ -98,7 +98,7 @@ def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q14_promo_revenue",
-    "X22",
+    "X36",
     oracle="""
     SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
                              THEN CAST(floor(l_extendedprice * (1 - l_discount)

@@ -79,6 +79,17 @@ class JsonlSinkWriter(DataSourceWriter):
                     os.remove(m.filename)
                 except OSError:
                     pass
+        # failed/zombie task attempts leave attempt-unique *.tmp staging
+        # files that no commit message names — sweep them too, or the sink
+        # dir accumulates orphans forever (readers glob-filter them out,
+        # but disk does not)
+        import glob
+
+        for tmp in glob.glob(os.path.join(self.path, "part-*.tmp")):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 class JsonlSinkDataSource(DataSource):

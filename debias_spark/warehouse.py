@@ -22,10 +22,18 @@ import time
 
 
 def prune_stale_siblings(
-    base: str, prefix: str, keep: str, max_age_s: float = 600.0
+    base: str, prefix: str, keep: str, max_age_s: float = 6 * 3600.0
 ) -> None:
     """Best-effort removal of ``base/{prefix}*`` dirs other than ``keep``
-    that have been idle longer than ``max_age_s`` seconds.  Never raises."""
+    that have been idle longer than ``max_age_s`` seconds.  Never raises.
+
+    The default age is deliberately LONG (hours, not minutes): a live
+    concurrent session may return a lazily-evaluated plan over its sink
+    (e.g. a catalog table whose DataFrame the caller reads much later),
+    and a short idle window would let this prune delete it mid-read —
+    a confusing FileNotFound instead of a stale-dir cleanup.  Six hours
+    outlives any single session here while still bounding growth across
+    rounds."""
     try:
         now = time.time()
         for d in os.listdir(base):

@@ -1,0 +1,89 @@
+"""Availability probes for the four container-blocked surfaces.
+
+SURVEY §7 documents four capabilities as unavailable in this container
+rather than stubbed (r6 verdict item 2):
+
+  1. avro format            — spark-avro jar absent
+  2. transformWithStateInPandas — google.protobuf absent (the streaming
+     Python runner crashes at init; stateful surface ships on
+     applyInPandasWithState instead, see streaming_ext4.py)
+  3. bloom_filter_agg / might_contain — not in the public function registry
+  4. GROUPS window frames   — unsupported by Spark SQL
+
+Each probe SKIPS with the documented reason while the dependency is
+missing, and FAILS LOUDLY the moment a future container gains it — the
+failure text names the implementation that then becomes required, so the
+gap can never silently persist once it is closeable (r6 verdict item 5).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+
+def test_avro_format_probe(spark):
+    try:
+        spark.createDataFrame([(1, "a")], "id int, v string").write.format(
+            "avro"
+        ).mode("overwrite").save("/tmp/_probe_avro")
+    except Exception as exc:
+        msg = str(exc)
+        assert "avro" in msg.lower(), msg  # the documented jar-absent failure
+        pytest.skip("spark-avro jar absent in this container (documented in SURVEY §7)")
+    pytest.fail(
+        "avro format is now available: add source_avro_roundtrip / "
+        "sink_avro_roundtrip keys mirroring sink_orc_roundtrip (io_roundtrip.py)"
+    )
+
+
+def test_protobuf_transform_with_state_probe():
+    try:
+        # find_spec raises ModuleNotFoundError when the parent "google"
+        # namespace package itself is absent — same meaning as None here
+        spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:
+        spec = None
+    if spec is None:
+        pytest.skip(
+            "google.protobuf absent: transformWithStateInPandas driver runner "
+            "crashes at init (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, "
+            "documented in streaming_ext4.py); stateful surface ships on "
+            "applyInPandasWithState"
+        )
+    pytest.fail(
+        "google.protobuf is now importable: port the stateful-processor key "
+        "(stream_stateful_user_counts twin) to transformWithStateInPandas and "
+        "register it alongside the applyInPandasWithState implementation"
+    )
+
+
+def test_bloom_filter_agg_probe(spark):
+    fns = {r.function for r in spark.sql("SHOW FUNCTIONS").collect()}
+    if "bloom_filter_agg" not in fns and "might_contain" not in fns:
+        pytest.skip(
+            "bloom_filter_agg/might_contain not in the public function "
+            "registry of this Spark build (documented in SURVEY §7)"
+        )
+    pytest.fail(
+        "bloom_filter_agg is now public: add a bloom-filter semi-join "
+        "pre-filter key (join_prefilter_hashbucket's sketch-native twin)"
+    )
+
+
+def test_groups_window_frame_probe(spark):
+    spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "k int, v int").createOrReplaceTempView(
+        "_probe_groups"
+    )
+    try:
+        spark.sql(
+            "SELECT sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND "
+            "CURRENT ROW) FROM _probe_groups"
+        ).collect()
+    except Exception:
+        pytest.skip("GROUPS window frames unsupported by Spark SQL (documented in SURVEY §7)")
+    pytest.fail(
+        "GROUPS window frames now parse and execute: add a "
+        "window_groups_frame key next to window_interval_range_frame"
+    )
