@@ -46,6 +46,10 @@ import debias_spark.queries.llm_ops21  # noqa: F401  Y50-Y51 KL divergence / tri
 import debias_spark.queries.relational_ext28  # noqa: F401  X139-X142 spearman / pipe SQL / recursive CTE / table function (round-7 block wave 5)
 import debias_spark.queries.llm_ops22  # noqa: F401  MM8 image tiles / Y52 centroid drift (round-7 block wave 6)
 import debias_spark.queries.io_roundtrip4  # noqa: F401  Z45 multiline CSV roundtrip (round-7 block wave 6)
+import debias_spark.queries.relational_ext29  # noqa: F401  X37-X39/X49 kendall tau / streaks / poisson anomaly / OHLC (round 7)
+import debias_spark.queries.relational_ext30  # noqa: F401  Z51/Z53 HLL intersection band / AQE skew split (round 7)
+import debias_spark.queries.streaming_ext5  # noqa: F401  Z50 salted stream-static join (round 7)
+import debias_spark.queries.io_roundtrip5  # noqa: F401  Z52 row-group stats pruning roundtrip (round 7)
 import debias_spark.queries.relational_ext20  # noqa: F401  X108 grid-bucketed spatial radius join (round 5)
 import debias_spark.queries.streaming_ext3  # noqa: F401  Z31 value-oracled stream-stream join (round 5)
 import debias_spark.queries.llm_ops8  # noqa: F401  Y18/Z23/Z24 bigram LM, URL dedup, containment (round 4)

@@ -1,0 +1,84 @@
+"""Round-7 wave 2 (Z52): parquet row-group pruning roundtrip — a
+range-partitioned, sorted parquet sink whose tight row-group statistics
+let a date-filtered read skip most of the file bytes.
+
+Pairs sink_partitioned_parquet_prune (Z26): Z26 proves DIRECTORY-level
+partition pruning (the filter never lists the other partitions); this key
+proves the finer grain — within unpartitioned files, the reader skips row
+GROUPS whose min/max stats exclude the predicate.  At 100 TB both layers
+matter: partitions bound the file listing, row-group stats bound the I/O
+within each file, and both are free once the data is written sorted.
+
+Reference parity: none — the reference has no columnar storage; north-star
+extension per SURVEY §2.H (r6 verdict item 8c).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.queries.io_roundtrip import _sink_dir
+from debias_spark.registry import register
+
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+def write_rowgroup_sink(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders range-partitioned AND sorted by o_orderdate with
+    small row groups (~256 KB), so every row group's min/max date stats
+    cover a narrow, non-overlapping slice.  Exposed for the footer
+    diagnostic test (tests/test_round7_wave.py reads the parquet footers
+    via pyarrow and asserts the 1997 predicate overlaps only a small
+    fraction of row groups)."""
+    out = _sink_dir(spark, sf_dir, "z52_rowgroup")
+    o = table(spark, sf_dir, "orders")
+    (
+        o.repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 256 * 1024)
+        .parquet(out)
+    )
+    return out
+
+
+@register(
+    "sink_rowgroup_stats_prune",
+    "Z52",
+    oracle=f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS n_orders,
+           CAST(sum({_CENTS}) AS BIGINT) AS rev_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_rowgroup_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip through the sorted sink with a pushed one-year date
+    filter: the predicate reaches the parquet reader (PushedFilters on
+    the scan — asserted in tests/test_plan_invariants.py style in the
+    round-7 wave test), and because the data is range-sorted the reader's
+    row-group stats skip ~6/7 of the groups before decoding a page.  The
+    monthly aggregate hash-matches the same filter over the SOURCE table,
+    proving the sort+write+filtered-read path loses nothing.
+
+    Scale shape: the write is one range shuffle (the same shuffle a
+    sorted table needs anyway); the read scans only stat-overlapping row
+    groups — I/O proportional to the selected date range, not the table."""
+    out = write_rowgroup_sink(spark, sf_dir)
+    rb = spark.read.parquet(out).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        rb.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
+        )
+        .orderBy("month")
+    )

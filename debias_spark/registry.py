@@ -88,10 +88,15 @@ DRIVER_PRIORITY = [
     "orders_holt_linear_forecast",
     # --- block 2: keys whose oracle or implementation changed in round 7
     # (ADVICE fixes: MinHash-collision post-filter, SemDeDup floor-eps
-    # ordering, weighted-median two-pass ranking) — prior evidence exists
-    # but re-proof is required after the change ---
+    # ordering; prefixsum window-spec change for pareto/gini) — prior
+    # evidence exists but re-proof is required after the change ---
     "dedup_minhash_mllib", "semdedup_cluster_cosine",
-    "lineitem_weighted_median_price",
+    "orders_pareto_share", "orders_gini_revenue",
+    # --- block 2b: keys BUILT in round 7 (no evidence yet, window slots
+    # 42-50; verified twice per key at sf0.001+sf0.01 + plain session) ---
+    "stats_kendall_tau", "orders_streak_runlength", "events_poisson_anomaly",
+    "events_hourly_ohlc", "agg_hll_intersection_banded", "join_aqe_skew_split",
+    "stream_static_join_salted", "sink_rowgroup_stats_prune",
     # --- block 3: r1-r6 driver-evidenced greens (re-proving is a bonus) ---
     "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
     "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",
@@ -134,8 +139,9 @@ DRIVER_PRIORITY = [
     "events_cusum_changepoint", "sql_lateral_topn_nations", "embedding_norms_arrow",
     "part_brand_entropy", "events_hhi_concentration", "docs_lang_confusion_audit",
     "orders_weekly_growth", "regr_price_vs_quantity", "docs_bm25_search",
-    "events_latency_percentiles_hourly", "similarity_ann_lsh", "orders_pareto_share",
-    "orders_gini_revenue", "text_crossdoc_ngram_dup", "text_ngram_novelty_curve",
+    "events_latency_percentiles_hourly", "similarity_ann_lsh",
+    "lineitem_weighted_median_price",
+    "text_crossdoc_ngram_dup", "text_ngram_novelty_curve",
     "dedup_lsh_bucket_stats", "docs_contamination_ngram_audit",
     "similarity_lsh_recall_report", "dedup_minhash_incremental",
     "orders_equidepth_histogram", "dedup_jaccard_histogram", "orders_basket_lift",
