@@ -97,6 +97,12 @@ DRIVER_PRIORITY = [
     "stats_kendall_tau", "orders_streak_runlength", "events_poisson_anomaly",
     "events_hourly_ohlc", "agg_hll_intersection_banded", "join_aqe_skew_split",
     "stream_static_join_salted", "sink_rowgroup_stats_prune",
+    # --- round-8 block: built+locally-verified late in round 7, AFTER the
+    # 50-key window filled (blocks 1+2 above hold 49 keys, so only the
+    # first key here makes the r7 window) — the r8 rebuild promotes the
+    # rest to the front ---
+    "window_ignore_nulls_pack", "sql_map_funcs_pack",
+    "corpus_mixture_temperature", "dedup_boilerplate_lines",
     # --- block 3: r1-r6 driver-evidenced greens (re-proving is a bonus) ---
     "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
     "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",
