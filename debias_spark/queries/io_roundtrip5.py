@@ -82,3 +82,57 @@ def sink_rowgroup_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def write_typed_partitions(spark: SparkSession, sf_dir: str) -> str:
+    """orders written as year=<int>/month=<int> Hive-style directories.
+    Exposed for the plan test (asserts PartitionFilters prune the
+    listing and the discovered partition columns come back as ints)."""
+    out = _sink_dir(spark, sf_dir, "z55_typedpart")
+    o = table(spark, sf_dir, "orders")
+    (
+        o.withColumn("year", F.year("o_orderdate"))
+        .withColumn("month", F.month("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("year", "month")
+        .parquet(out)
+    )
+    return out
+
+
+@register(
+    "source_partition_typed_discovery",
+    "Z55",
+    oracle=f"""
+    SELECT CAST(month(o_orderdate) AS INT) AS month,
+           count(*) AS n_orders,
+           CAST(sum({_CENTS}) AS BIGINT) AS rev_cents
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_partition_typed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed multi-level partition discovery: orders land as
+    year=1997/month=3 directory pairs, and the read side infers BOTH
+    partition columns back as INTEGERS from the path segments alone (no
+    schema hint).  A year filter then prunes at the LISTING level —
+    PartitionFilters on the scan, 12 of ~82 directories ever opened —
+    the coarse layer above Z52's row-group stats (and Z26's single
+    string partition; this key pins multi-level + type inference).
+    The monthly rollup hash-matches the same aggregate over the source
+    table, proving the partition columns carry their exact values
+    through the directory encoding.
+
+    Scale shape: partitioned write = one shuffle by (year, month); the
+    filtered read lists 12 directories regardless of table size."""
+    out = write_typed_partitions(spark, sf_dir)
+    rb = spark.read.parquet(out).filter(F.col("year") == 1997)
+    return (
+        rb.groupBy(F.col("month").cast("int").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
+        )
+        .orderBy("month")
+    )

@@ -103,6 +103,8 @@ DRIVER_PRIORITY = [
     # rest to the front ---
     "window_ignore_nulls_pack", "sql_map_funcs_pack",
     "corpus_mixture_temperature", "dedup_boilerplate_lines",
+    "stream_watermark_late_drop", "join_asof_forward_tolerance",
+    "sql_try_conversion_pack", "source_partition_typed_discovery",
     # --- block 3: r1-r6 driver-evidenced greens (re-proving is a bonus) ---
     "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
     "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",
