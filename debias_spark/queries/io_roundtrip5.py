@@ -136,3 +136,108 @@ def source_partition_typed_discovery(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("month")
     )
+
+
+_CODECS = ("snappy", "zstd", "gzip", "none")
+
+
+@register(
+    "sink_compression_codecs",
+    "Z56",
+    oracle=f"""
+    SELECT c.codec,
+           (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS n_orders,
+           (SELECT CAST(sum({_CENTS}) AS BIGINT) FROM orders
+            WHERE o_orderstatus = 'F') AS rev_cents
+    FROM (SELECT unnest(['gzip', 'none', 'snappy', 'zstd']) AS codec) c
+    ORDER BY c.codec
+    """,
+)
+def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec matrix: the same filtered projection
+    written under snappy, zstd, gzip and uncompressed, each read back
+    and aggregated — the four results must be IDENTICAL (codec choice
+    may never change data), which the oracle pins by emitting the same
+    source-table aggregate once per codec.  The size/speed trade-off
+    itself is asserted in tests (compressed files strictly smaller than
+    none; all four readable), not hashed — sizes are encoder-version
+    facts, not data facts.
+
+    Scale: codec is a per-column-chunk write option; at 100 TB zstd
+    typically buys ~30% over snappy for CPU — the point of pinning the
+    surface is that switching is one option, zero plan changes."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    proj = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    frames = []
+    for codec in _CODECS:
+        out = _sink_dir(spark, sf_dir, f"z56_{codec}")
+        proj.write.mode("overwrite").option("compression", codec).parquet(out)
+        rb = spark.read.parquet(out)
+        frames.append(
+            rb.agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "rev_cents"
+                ),
+            ).select(F.lit(codec).alias("codec"), "n_orders", "rev_cents")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("codec")
+
+
+@register(
+    "source_csv_schema_infer",
+    "Z57",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum({_CENTS}) AS BIGINT) AS rev_cents,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_day
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_csv_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV schema INFERENCE roundtrip: orders serialized to headered CSV
+    (dates as ISO strings, prices as decimals), read back with
+    inferSchema=true and NO schema hint — the reader must rediscover
+    bigint keys, double prices and DATE-typed order days (an explicit
+    dateFormat pins the inference; header gives the names).  The grouped
+    aggregate hash-matches the source table, so every inferred type
+    carried its exact values.  Complements Z26/Z28 (explicit-schema CSV)
+    and Z45 (multiline quoting): this key pins the INFERENCE surface an
+    ad-hoc ingest actually uses.
+
+    Scale: inference samples the file (a second scan) — the docstring
+    contract at 100 TB is 'infer once, then pin the schema', which is
+    exactly what the explicit-schema twins demonstrate."""
+    o = table(spark, sf_dir, "orders")
+    out = _sink_dir(spark, sf_dir, "z57_csv")
+    (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(out)
+    )
+    rb = (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .option("dateFormat", "yyyy-MM-dd")
+        .csv(out)
+    )
+    return (
+        rb.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+        )
+        .orderBy("o_orderpriority")
+    )

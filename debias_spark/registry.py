@@ -105,6 +105,8 @@ DRIVER_PRIORITY = [
     "corpus_mixture_temperature", "dedup_boilerplate_lines",
     "stream_watermark_late_drop", "join_asof_forward_tolerance",
     "sql_try_conversion_pack", "source_partition_typed_discovery",
+    "docs_pack_nextfit_decreasing", "orders_abc_xyz_classification",
+    "sink_compression_codecs", "source_csv_schema_infer",
     # --- block 3: r1-r6 driver-evidenced greens (re-proving is a bonus) ---
     "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
     "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",
