@@ -64,11 +64,14 @@ def test_bloom_filter_agg_probe(spark):
     if "bloom_filter_agg" not in fns and "might_contain" not in fns:
         pytest.skip(
             "bloom_filter_agg/might_contain not in the public function "
-            "registry of this Spark build (documented in SURVEY §7)"
+            "registry of this Spark build (documented in SURVEY §7). The "
+            "OPTIMIZER-injected runtime-filter path IS reachable and is "
+            "covered by join_bloom_runtime_filter (X148, round 7); only "
+            "the by-name callable surface remains blocked."
         )
     pytest.fail(
-        "bloom_filter_agg is now public: add a bloom-filter semi-join "
-        "pre-filter key (join_prefilter_hashbucket's sketch-native twin)"
+        "bloom_filter_agg is now public: add a by-name bloom-filter "
+        "aggregate key alongside join_bloom_runtime_filter (X148)"
     )
 
 
