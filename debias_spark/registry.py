@@ -109,6 +109,8 @@ DRIVER_PRIORITY = [
     "sink_compression_codecs", "source_csv_schema_infer",
     "join_bloom_runtime_filter", "sql_analyze_table_stats",
     "scalar_hash_fn_pack", "sql_cache_table_roundtrip",
+    "sql_partitioning_hints_pack", "diag_shuffle_partition_advisor",
+    "docs_trigram_renyi_entropy", "multimodal_bbox_area_stats",
     # --- block 3: r1-r6 driver-evidenced greens (re-proving is a bonus) ---
     "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
     "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",
