@@ -70,3 +70,31 @@ def test_bbox_invariants(spark, specs):
         assert 0 <= r.n_overlaps <= r.n_boxes * (r.n_boxes - 1) // 2
     # overlap signal is exercised somewhere in the corpus
     assert any(r.n_overlaps > 0 for r in rows)
+
+
+def test_asof_nearest_direction_consistency(spark, specs):
+    rows = specs["join_asof_nearest"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (r.direction is None) == (r.gap_s is None)
+        if r.gap_s is not None:
+            assert r.gap_s >= 0 and r.direction in ("backward", "forward")
+
+
+def test_ltv_curve_monotone(spark, specs):
+    rows = specs["orders_cohort_ltv_curve"].fn(spark, SF).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append((r.age_months, r.cum_ltv_cents_per_cust))
+    for pts in by_cohort.values():
+        ages = [a for a, _ in pts]
+        assert ages == sorted(ages)
+        vals = [v for _, v in pts]
+        assert vals == sorted(vals)  # cumulative LTV never decreases
+
+
+def test_neighbor_jaccard_bounds(spark, specs):
+    rows = specs["graph_neighbor_jaccard"].fn(spark, SF).collect()
+    for r in rows:
+        assert 2000 <= r.jaccard_e4 <= 10000
+        assert r.n_common >= 1
