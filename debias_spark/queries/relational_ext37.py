@@ -1,0 +1,75 @@
+"""Round-7 wave 9 (X155): native from_xml parsing.
+
+(A TIME-type pack was probed and dropped: Spark 4.1.2 parses TIME
+literals but gates every constructor/cast/extractor — make_time,
+to_time, CAST(ts AS TIME), hour(TIME) all raise UNSUPPORTED_TIME_TYPE —
+so the type is unusable on real columns in this build; recorded as an
+availability probe in tests/test_availability_probes.py.)
+
+Reference parity: none — the reference (SirHooke/debias-batch-processor)
+has no XML or time surface; north-star extensions per SURVEY §2.H / §8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.registry import register
+
+
+@register(
+    "sql_from_xml_nested",
+    "X155",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           count(*) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_from_xml_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML parsing (from_xml, Spark 4): each order serializes to a
+    nested XML document (two levels of nested elements), and from_xml
+    with an explicit schema recovers typed columns — the inverse pair of
+    Z44's XML sink (which roundtrips through FILES; this key pins the
+    COLUMN-level parse a pipeline uses on XML payloads embedded in a
+    feed).  The grouped aggregate over the PARSED values hash-matches
+    the source table, so types and nesting both survived.
+
+    Scale shape: serialize + parse are per-row codegen'd expressions; the
+    aggregate is the only shuffle."""
+    o = table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><k>"),
+        F.col("o_custkey"),
+        F.lit("</k><p>"),
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        F.lit("</p><meta><prio>"),
+        F.col("o_orderpriority"),
+        F.lit("</prio><flags><f>"),
+        (F.col("o_orderstatus") == "F").cast("int"),
+        F.lit("</f></flags></meta></order>"),
+    )
+    parsed = o.select(xml.alias("x")).select(
+        F.from_xml(
+            "x",
+            "k BIGINT, p BIGINT, meta STRUCT<prio: STRING, "
+            "flags: STRUCT<f: INT>>",
+        ).alias("v")
+    )
+    return (
+        parsed.groupBy(F.col("v.meta.prio").alias("prio"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v.k").cast("long").alias("cust_sum"),
+            F.sum("v.p").cast("long").alias("cents_sum"),
+            F.sum("v.meta.flags.f").cast("long").alias("n_f"),
+        )
+        .orderBy("prio")
+    )

@@ -112,6 +112,7 @@ DRIVER_PRIORITY = [
     "sql_partitioning_hints_pack", "diag_shuffle_partition_advisor",
     "docs_trigram_renyi_entropy", "multimodal_bbox_area_stats",
     "join_asof_nearest", "orders_cohort_ltv_curve", "graph_neighbor_jaccard",
+    "embedding_decontamination_screen", "sql_from_xml_nested",
     # --- block 3: r1-r6 driver-evidenced greens (re-proving is a bonus) ---
     "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
     "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",

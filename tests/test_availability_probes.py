@@ -90,3 +90,22 @@ def test_groups_window_frame_probe(spark):
         "GROUPS window frames now parse and execute: add a "
         "window_groups_frame key next to window_interval_range_frame"
     )
+
+
+def test_time_type_probe(spark):
+    """Spark 4.1.2 parses TIME literals but every constructor, cast and
+    extractor raises UNSUPPORTED_TIME_TYPE — the type cannot be derived
+    from real columns, so no query key can use it yet (probed round 7)."""
+    assert spark.sql("SELECT TIME '12:00:00' < TIME '13:00:00' AS b").collect()[0].b
+    try:
+        spark.sql("SELECT make_time(12, 30, 5.0)").collect()
+    except Exception as exc:
+        assert "UNSUPPORTED_TIME_TYPE" in str(exc) or "TIME" in str(exc)
+        pytest.skip(
+            "TIME is literal-only in this build (UNSUPPORTED_TIME_TYPE on "
+            "make_time/to_time/CAST/hour)"
+        )
+    pytest.fail(
+        "make_time now works: add a sql_time_type_pack key deriving "
+        "time-of-day from events.ts (business-hours bucket + tod checksum)"
+    )
