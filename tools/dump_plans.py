@@ -50,6 +50,12 @@ REPRESENTATIVE = [
     ("orders_market_basket", "basket-local pair explode (round-4): two shuffles, no distinct+self-join"),
     ("sink_partitioned_parquet_prune", "hive-partitioned sink read back with a PartitionFilter: one of three flag dirs scanned"),
     ("orders_demand_forecast_ewma8", "exact-integer EWMA: broadcast dim join, one (brand,week) aggregate, broadcast max-week, brand rollup"),
+    ("stats_spearman_corr", "two-pass distinct-value prefix-count ranks (round-7): no single-partition window anywhere"),
+    ("join_bloom_runtime_filter", "optimizer-injected runtime bloom filter: might_contain prunes the fact scan before the shuffle"),
+    ("join_aqe_skew_split", "AQE OptimizeSkewedJoin on the 5-key join (multi-mapper fact + own-exchange dim preconditions)"),
+    ("graph_neighbor_jaccard", "inverted postings join: only co-neighbored pairs scored, never all-pairs"),
+    ("orders_abc_xyz_classification", "two map-side-combined rollups + bucketed cumulative share; all-integer class cuts"),
+    ("sink_rowgroup_stats_prune", "range-sorted small row groups; pushed date filter skips stat-excluded groups"),
     ("docs_block_dedup", "non-overlapping block explode; min-claimant aggregate + one instance join"),
     # round-5 wave
     ("sql_offset_fetch_page", "OFFSET/FETCH as TakeOrderedAndProject: top-(offset+fetch) per partition, no global sort"),
