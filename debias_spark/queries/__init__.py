@@ -62,7 +62,8 @@ import debias_spark.queries.relational_ext35  # noqa: F401  X152/Z58 partitionin
 import debias_spark.queries.llm_ops25  # noqa: F401  Y56/MM9 renyi entropy / bbox stats (round 7)
 import debias_spark.queries.relational_ext36  # noqa: F401  T14/X153/X154 nearest as-of / cohort LTV / neighbor jaccard (round 7)
 import debias_spark.queries.llm_ops26  # noqa: F401  Y57 semantic decontamination screen (round 7)
-import debias_spark.queries.relational_ext37  # noqa: F401  X155-X156 from_xml / TIME type (round 7)
+import debias_spark.queries.relational_ext37  # noqa: F401  X155/X157 from_xml / cumulative distinct (round 7)
+import debias_spark.queries.io_roundtrip6  # noqa: F401  Z59-Z60 wholetext / recursive lookup (round 7)
 import debias_spark.queries.relational_ext20  # noqa: F401  X108 grid-bucketed spatial radius join (round 5)
 import debias_spark.queries.streaming_ext3  # noqa: F401  Z31 value-oracled stream-stream join (round 5)
 import debias_spark.queries.llm_ops8  # noqa: F401  Y18/Z23/Z24 bigram LM, URL dedup, containment (round 4)

@@ -1,4 +1,5 @@
-"""Round-7 wave 9 (X155): native from_xml parsing.
+"""Round-7 waves 9-10 (X155, X157): native from_xml parsing and
+cumulative distinct users.
 
 (A TIME-type pack was probed and dropped: Spark 4.1.2 parses TIME
 literals but gates every constructor/cast/extractor — make_time,
@@ -73,3 +74,55 @@ def sql_from_xml_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    "X157",
+    oracle="""
+    WITH fs AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1
+    ), days AS MATERIALIZED (
+        SELECT first_day AS day, count(*) AS n_new FROM fs GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_distinct_users
+    FROM days ORDER BY day
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users to date — the growth-curve metric that
+    is famously expensive when spelled naively (a running COUNT(DISTINCT)
+    re-deduplicates the entire history per day).  The scale-correct
+    identity: a user contributes to the cumulative count exactly once,
+    on their FIRST-SEEN day — so one user-grain aggregate (min day per
+    user), one day-grain count of first-sightings, and a prefix sum over
+    the bounded day dimension reproduce the exact running distinct count
+    with no day-over-day re-scan and no sketch.
+
+    Scale shape: one map-side-combined groupBy(user), one tiny day
+    aggregate, one window over ~30 day rows (bounded domain; the
+    two-pass prefixsum drops in if days were unbounded).  This is THE
+    pattern for distinct-to-date at 100 TB."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    days = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    # ~30-row frame: the single partition is intentional; non-foldable
+    # constant partition key avoids the WindowExec degradation warning
+    w = (
+        Window.partitionBy(F.unix_date("day") * 0)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return days.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("long").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("long").alias("cum_distinct_users"),
+    ).orderBy("day")

@@ -113,6 +113,8 @@ DRIVER_PRIORITY = [
     "docs_trigram_renyi_entropy", "multimodal_bbox_area_stats",
     "join_asof_nearest", "orders_cohort_ltv_curve", "graph_neighbor_jaccard",
     "embedding_decontamination_screen", "sql_from_xml_nested",
+    "source_wholetext_files", "source_recursive_dir_glob",
+    "events_cumulative_distinct_users",
     # --- block 3: r1-r6 driver-evidenced greens (re-proving is a bonus) ---
     "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
     "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",
