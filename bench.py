@@ -34,10 +34,12 @@ def load_prev_bench() -> dict[str, float]:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # Prefer the full per-key artifacts (every key, no line budget); fall
-    # back to the driver-recorded stdout lines (top ~50 keys only).
+    # Prefer the ROUND-ANCHORED full per-key artifacts (every key, no line
+    # budget).  BENCH_full.json itself is deliberately excluded: every run
+    # rewrites it, so using it would compare each run to the previous run
+    # and let a slow drift ratchet in under the 1.3x factor unflagged —
+    # the baseline must be the per-round snapshot, not the last run.
     full = sorted(glob.glob(os.path.join(here, "BENCH_full_r*.json")))
-    full += [p for p in [os.path.join(here, "BENCH_full.json")] if os.path.exists(p)]
     for path in reversed(full):
         try:
             with open(path) as fh:

@@ -77,7 +77,10 @@ def bucketed_cumsum(
     # which re-triggers WindowExec's "No Partition Defined" degradation
     # warning in every caller's bench tail.  _b * 0 is a non-foldable
     # constant: same one-partition semantics, no warning.
-    _const = F.col("_b") * 0
+    # coalesce guards a future caller whose order_col (hence _b) is NULL
+    # for some rows: NULL * 0 is NULL and would silently split those rows
+    # into their own window partition, excluding them from total/_offset
+    _const = F.coalesce(F.col("_b") * 0, F.lit(0))
     wo = (
         Window.partitionBy(_const)
         .orderBy("_b")
@@ -143,7 +146,10 @@ def bucketed_cumsum_with_rank(
     # which re-triggers WindowExec's "No Partition Defined" degradation
     # warning in every caller's bench tail.  _b * 0 is a non-foldable
     # constant: same one-partition semantics, no warning.
-    _const = F.col("_b") * 0
+    # coalesce guards a future caller whose order_col (hence _b) is NULL
+    # for some rows: NULL * 0 is NULL and would silently split those rows
+    # into their own window partition, excluding them from total/_offset
+    _const = F.coalesce(F.col("_b") * 0, F.lit(0))
     wo = (
         Window.partitionBy(_const)
         .orderBy("_b")

@@ -139,15 +139,19 @@ def sql_map_funcs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m1"),
         F.avg("n").alias("avg_n"),
     )
-    m = m.withColumn(
-        "m2", F.transform_values("m1", lambda _, v: v * 2)
-    ).withColumn(
-        "m3",
-        F.map_zip_with("m1", "m2", lambda _, a, b: a + b),
+    m = (
+        m.withColumn("m2", F.transform_values("m1", lambda _, v: v * 2))
+        .withColumn("m3", F.map_zip_with("m1", "m2", lambda _, a, b: a + b))
+        # the filter member of the HOF family, for real: keep only the
+        # above-mean days, then membership in m4 IS the above_avg flag
+        .withColumn(
+            "m4", F.map_filter("m1", lambda _, v: v > F.col("avg_n"))
+        )
     )
     ex = m.select(
         "event_type",
         "avg_n",
+        "m4",
         F.explode(
             F.map_zip_with(
                 "m1",
@@ -164,5 +168,5 @@ def sql_map_funcs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.n").cast("long").alias("n"),
         F.col("v.doubled").cast("long").alias("doubled"),
         F.col("v.zipped").cast("long").alias("zipped"),
-        (F.col("v.n") > F.col("avg_n")).alias("above_avg"),
+        F.map_contains_key("m4", F.col("day")).alias("above_avg"),
     ).orderBy("event_type", "day")

@@ -121,14 +121,9 @@ def sql_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ANALYZE is one scan with mergeable sketches; DESCRIBE reads
     the catalog only."""
-    import os
-
-    from debias_spark.queries.io_roundtrip import _sink_dir
-
     o = table(spark, sf_dir, "orders")
-    tname = "x149_orders_" + os.path.basename(
-        _sink_dir(spark, sf_dir, "x149")
-    ).rsplit("_", 1)[-1].replace("-", "_")
+    # applicationId-suffixed table name: concurrent sessions never clash
+    tname = "x149_orders_" + spark.sparkContext.applicationId.replace("-", "_")
     spark.sql(f"DROP TABLE IF EXISTS {tname}")
     o.select("o_orderkey", "o_custkey").write.saveAsTable(tname)
     try:

@@ -59,7 +59,12 @@ class JsonlSinkWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         # driver-side job commit: the manifest names every task file and
         # its row count — readers that trust only manifested files get
-        # exactly-once visibility even if stray task files survive
+        # exactly-once visibility even if stray task files survive.
+        # Sweep orphaned attempt staging files here too: a failed-then-
+        # retried task leaves its *.tmp behind on an ultimately
+        # SUCCESSFUL job, which is the common path (abort only covers
+        # failed jobs).
+        self._sweep_tmp()
         files = [
             {"file": os.path.basename(m.filename), "rows": m.n_rows}
             for m in messages
@@ -79,10 +84,13 @@ class JsonlSinkWriter(DataSourceWriter):
                     os.remove(m.filename)
                 except OSError:
                     pass
+        self._sweep_tmp()
+
+    def _sweep_tmp(self) -> None:
         # failed/zombie task attempts leave attempt-unique *.tmp staging
-        # files that no commit message names — sweep them too, or the sink
-        # dir accumulates orphans forever (readers glob-filter them out,
-        # but disk does not)
+        # files that no commit message names — sweep them on both commit
+        # and abort, or the sink dir accumulates orphans forever (readers
+        # glob-filter them out, but disk does not)
         import glob
 
         for tmp in glob.glob(os.path.join(self.path, "part-*.tmp")):
