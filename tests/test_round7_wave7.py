@@ -1,0 +1,80 @@
+"""Round-7 wave 9-10 tests (Y57, X155, X157, Z59, Z60): holdout
+exclusion, malformed-XML null contract, distinct-to-date identity, and
+file-granularity evidence.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debias_spark.registry import load_all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all_queries()
+
+
+def test_decontamination_excludes_holdout(spark, specs):
+    rows = specs["embedding_decontamination_screen"].fn(spark, SF).collect()
+    for r in rows:
+        assert r.vec_id % 97 != 0          # holdout never screens itself
+        assert r.holdout_id % 97 == 0      # matches come from the holdout
+        assert r.sim_e4 >= 6000
+
+
+def test_from_xml_malformed_yields_null(spark):
+    df = spark.createDataFrame(
+        [("<order><k>7</k></order>",), ("<order><k>not-a-number</k",), (None,)],
+        "x string",
+    )
+    out = df.select(
+        F.from_xml("x", "k BIGINT").alias("v")
+    ).select(F.col("v.k").alias("k")).collect()
+    assert [r.k for r in out] == [7, None, None]
+
+
+def test_cumulative_distinct_identity(spark, specs):
+    from debias_spark.catalog import table
+
+    rows = specs["events_cumulative_distinct_users"].fn(spark, SF).collect()
+    assert rows == sorted(rows, key=lambda r: r.day)
+    # running sum is monotone and its final value equals the exact
+    # all-time distinct count
+    cums = [r.cum_distinct_users for r in rows]
+    assert cums == sorted(cums)
+    exact = table(spark, SF, "events").select("user_id").distinct().count()
+    assert cums[-1] == exact
+    assert sum(r.n_new_users for r in rows) == exact
+
+
+def test_wholetext_one_row_per_file(spark, specs):
+    from debias_spark.queries.io_roundtrip import _sink_dir
+
+    df = specs["source_wholetext_files"].fn(spark, SF)
+    rows = df.collect()
+    out = _sink_dir(spark, SF, "z59_wholetext")
+    n_files = len(glob.glob(os.path.join(out, "bucket-*.txt")))
+    assert len(rows) == n_files > 0
+    # whole-file mode: byte counts include the embedded newlines a
+    # line-mode read would have split on
+    assert any(r.n_bytes > 600 for r in rows)
+
+
+def test_recursive_glob_reads_every_depth(spark, specs):
+    from debias_spark.catalog import table
+    from debias_spark.queries.io_roundtrip import _sink_dir
+
+    got = specs["source_recursive_dir_glob"].fn(spark, SF).collect()
+    total = sum(r.n for r in got)
+    assert total == table(spark, SF, "orders").count()
+    out = _sink_dir(spark, SF, "z60_nested")
+    # non-recursive read of the same tree must NOT see the nested files
+    with pytest.raises(Exception):
+        spark.read.parquet(out).count()
