@@ -64,6 +64,8 @@ import debias_spark.queries.relational_ext36  # noqa: F401  T14/X153/X154 neares
 import debias_spark.queries.llm_ops26  # noqa: F401  Y57 semantic decontamination screen (round 7)
 import debias_spark.queries.relational_ext37  # noqa: F401  X155/X157 from_xml / cumulative distinct (round 7)
 import debias_spark.queries.io_roundtrip6  # noqa: F401  Z59-Z60 wholetext / recursive lookup (round 7)
+import debias_spark.queries.io_roundtrip7  # noqa: F401  Z61 dynamic partition overwrite (round 7)
+import debias_spark.queries.relational_ext38  # noqa: F401  X158/Y58 interpurchase gaps / length trim (round 7)
 import debias_spark.queries.relational_ext20  # noqa: F401  X108 grid-bucketed spatial radius join (round 5)
 import debias_spark.queries.streaming_ext3  # noqa: F401  Z31 value-oracled stream-stream join (round 5)
 import debias_spark.queries.llm_ops8  # noqa: F401  Y18/Z23/Z24 bigram LM, URL dedup, containment (round 4)

@@ -115,6 +115,8 @@ DRIVER_PRIORITY = [
     "embedding_decontamination_screen", "sql_from_xml_nested",
     "source_wholetext_files", "source_recursive_dir_glob",
     "events_cumulative_distinct_users",
+    "sink_dynamic_partition_overwrite", "orders_interpurchase_gaps",
+    "docs_length_percentile_trim",
     # --- block 3: r1-r6 driver-evidenced greens (re-proving is a bonus) ---
     "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
     "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",

@@ -78,3 +78,36 @@ def test_recursive_glob_reads_every_depth(spark, specs):
     # non-recursive read of the same tree must NOT see the nested files
     with pytest.raises(Exception):
         spark.read.parquet(out).count()
+
+
+def test_dynamic_partition_overwrite_restores_conf(spark, specs):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, None)
+    specs["sink_dynamic_partition_overwrite"].fn(spark, SF).collect()
+    assert spark.conf.get(key, None) == before
+
+
+def test_interpurchase_gaps_accounting(spark, specs):
+    from debias_spark.catalog import table
+
+    rows = specs["orders_interpurchase_gaps"].fn(spark, SF).collect()
+    total_gaps = sum(r.n_gaps for r in rows)
+    o = table(spark, SF, "orders")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    # every order except each customer's first contributes one gap
+    assert total_gaps == n_orders - n_cust
+    for r in rows:
+        assert 0 <= r.min_days <= r.max_days
+
+
+def test_length_trim_keeps_ninety_percent(spark, specs):
+    rows = specs["docs_length_percentile_trim"].fn(spark, SF).collect()
+    n = sum(r.n_docs for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    # discrete 5th/95th percentile cuts keep ~90%, inclusive bounds may
+    # keep slightly more on ties
+    assert 0.88 * n <= kept <= 0.97 * n
+    lo, hi = rows[0].lo_cut, rows[0].hi_cut
+    assert all(r.lo_cut == lo and r.hi_cut == hi for r in rows)  # global cuts
+    assert lo < hi
