@@ -119,7 +119,7 @@ DRIVER_PRIORITY = [
     "docs_length_percentile_trim", "embedding_cluster_ari",
     "multimodal_audio_silence_trim", "sql_schema_of_json_infer",
     "lineitem_anova_f", "sessionize_timeout_cap",
-    "events_sliding_distinct_hll_banded",
+    "events_sliding_distinct_hll_banded", "dedup_keep_best_quality",
     # --- block 3: r1-r6 driver-evidenced greens (re-proving is a bonus) ---
     "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
     "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",
