@@ -70,6 +70,7 @@ import debias_spark.queries.llm_ops27  # noqa: F401  Y59/MM10/X159 cluster ARI /
 import debias_spark.queries.relational_ext39  # noqa: F401  X160/T15 ANOVA F / capped sessionization (round 7)
 import debias_spark.queries.relational_ext40  # noqa: F401  Z62 sliding distinct via windowed HLL union (round 7)
 import debias_spark.queries.llm_ops28  # noqa: F401  Y61 keep-best dedup survivor (round 7)
+import debias_spark.queries.io_roundtrip8  # noqa: F401  Z63-Z64 multiline JSON array / maxRecordsPerFile (round 7)
 import debias_spark.queries.relational_ext20  # noqa: F401  X108 grid-bucketed spatial radius join (round 5)
 import debias_spark.queries.streaming_ext3  # noqa: F401  Z31 value-oracled stream-stream join (round 5)
 import debias_spark.queries.llm_ops8  # noqa: F401  Y18/Z23/Z24 bigram LM, URL dedup, containment (round 4)

@@ -120,6 +120,7 @@ DRIVER_PRIORITY = [
     "multimodal_audio_silence_trim", "sql_schema_of_json_infer",
     "lineitem_anova_f", "sessionize_timeout_cap",
     "events_sliding_distinct_hll_banded", "dedup_keep_best_quality",
+    "source_json_multiline_array", "sink_max_records_per_file",
     # --- block 3: r1-r6 driver-evidenced greens (re-proving is a bonus) ---
     "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
     "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",

@@ -111,3 +111,29 @@ def test_length_trim_keeps_ninety_percent(spark, specs):
     lo, hi = rows[0].lo_cut, rows[0].hi_cut
     assert all(r.lo_cut == lo and r.hi_cut == hi for r in rows)  # global cuts
     assert lo < hi
+
+
+def test_max_records_per_file_splits(spark, specs):
+    import glob as _glob
+    import math
+
+    from debias_spark.catalog import table
+    from debias_spark.queries.io_roundtrip import _sink_dir
+
+    specs["sink_max_records_per_file"].fn(spark, SF).collect()
+    out = _sink_dir(spark, SF, "z64_maxrec")
+    files = _glob.glob(out + "/part-*.parquet")
+    n_rows = table(spark, SF, "orders").count()
+    # one input partition split into ceil(rows/2000) files
+    assert len(files) == math.ceil(n_rows / 400) > 1
+
+
+def test_multiline_json_rejected_by_default_reader(spark, specs):
+    from debias_spark.queries.io_roundtrip import _sink_dir
+
+    specs["source_json_multiline_array"].fn(spark, SF).collect()
+    out = _sink_dir(spark, SF, "z63_mljson")
+    # the default line-delimited reader sees pretty-printed arrays as
+    # corrupt records, not rows — the contract that makes multiLine real
+    df = spark.read.json(out)
+    assert "_corrupt_record" in df.columns or df.count() == 0
