@@ -26,8 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, in driver
-    priority order (keys without prior-round correctness evidence first,
-    cheapest first — see registry.DRIVER_PRIORITY)."""
+    priority order — derived mechanically from the committed
+    CORRECTNESS_r*.json artifacts (never-checked keys first, then failed,
+    then changed-since-check, then greens stalest-first; see
+    registry.priority_ordered)."""
     from debias_spark.registry import priority_ordered
 
     return {name: spec.fn for name, spec in priority_ordered().items()}

@@ -28,9 +28,14 @@ SUSPECT_FACTOR = 1.3
 
 
 def load_prev_bench() -> dict[str, float]:
-    """Per-query seconds from the newest BENCH_r*.json the driver recorded
-    (its parsed line shows the slowest keys — exactly where regressions
-    matter).  Missing/unparseable files mean no tripwire, not a failure."""
+    """Per-query tripwire BASELINE from the newest round-anchored bench
+    artifact.  When the artifact carries a per-key variance band (round 8+:
+    "band": {key: [min, max]} across that round's closed-tree runs), the
+    baseline is the band MAX — a re-measurement landing inside the host's
+    known drift band is then never flagged, and a flag means genuinely
+    outside everything that round observed (r7 verdict item 5).  Older
+    artifacts fall back to the single anchor value.  Missing/unparseable
+    files mean no tripwire, not a failure."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -43,9 +48,19 @@ def load_prev_bench() -> dict[str, float]:
     for path in reversed(full):
         try:
             with open(path) as fh:
-                queries = json.load(fh).get("queries") or {}
+                payload = json.load(fh)
+            queries = payload.get("queries") or {}
+            band = payload.get("band") or {}
             if queries:
-                return {k: float(v) for k, v in queries.items() if v and v > 0}
+                base = {k: float(v) for k, v in queries.items() if v and v > 0}
+                for k, mm in band.items():
+                    try:
+                        hi = float(mm[1])
+                    except (TypeError, ValueError, IndexError):
+                        continue
+                    if k in base and hi > base[k]:
+                        base[k] = hi
+                return base
         except (OSError, ValueError):
             continue
     paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))

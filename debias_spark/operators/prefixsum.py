@@ -62,7 +62,15 @@ def bucketed_cumsum(
             for k in range(n_buckets - 1)
         )
         order = [F.asc(order_col), F.asc(tiebreak_col)]
-    withb = withb.withColumn("_b", b).drop("cuts")
+    # NULL-safe bucket id: a NULL order_col makes every cutoff comparison
+    # (hence b) NULL, which would drop those rows from the null-unsafe
+    # _b equi-join below while still counting their values into total via
+    # a NULL-_b group in bsums — an inconsistent frame.  Coalescing AT
+    # ASSIGNMENT lands NULL-order rows deterministically in bucket 0
+    # (they sort within it by the window's NULL placement); callers whose
+    # oracle is the plain global window should keep order_col non-null
+    # for exact NULL-position parity.
+    withb = withb.withColumn("_b", F.coalesce(b, F.lit(0))).drop("cuts")
     wb = (
         Window.partitionBy("_b")
         .orderBy(*order)
@@ -73,14 +81,13 @@ def bucketed_cumsum(
     # per-bucket prefix offsets: a window over <= n_buckets rows — the
     # single-partition window is applied only to this tiny frame.
     # The single partition here is INTENTIONAL (<= n_buckets rows), but a
-    # literal partition key gets constant-folded out of the window spec,
+    # foldable partition key gets constant-folded out of the window spec,
     # which re-triggers WindowExec's "No Partition Defined" degradation
-    # warning in every caller's bench tail.  _b * 0 is a non-foldable
-    # constant: same one-partition semantics, no warning.
-    # coalesce guards a future caller whose order_col (hence _b) is NULL
-    # for some rows: NULL * 0 is NULL and would silently split those rows
-    # into their own window partition, excluding them from total/_offset
-    _const = F.coalesce(F.col("_b") * 0, F.lit(0))
+    # warning in every caller's bench tail.  Now that _b is NON-NULL
+    # (coalesced above) Spark 4 folds even `_b * 0` to a literal;
+    # pmod(_b, 1) is always 0 but survives optimization: same
+    # one-partition semantics, no warning (verified in the plan).
+    _const = F.pmod(F.col("_b"), F.lit(1))
     wo = (
         Window.partitionBy(_const)
         .orderBy("_b")
@@ -129,7 +136,10 @@ def bucketed_cumsum_with_rank(
             for k in range(n_buckets - 1)
         )
         order = [F.asc(order_col), F.asc(tiebreak_col)]
-    withb = withb.withColumn("_b", b).drop("cuts")
+    # NULL-safe bucket id — see bucketed_cumsum: coalesce at assignment so
+    # NULL-order rows join/count consistently (bucket 0) instead of being
+    # dropped by the _b equi-join while inflating total via bsums.
+    withb = withb.withColumn("_b", F.coalesce(b, F.lit(0))).drop("cuts")
     wb = (
         Window.partitionBy("_b")
         .orderBy(*order)
@@ -142,14 +152,13 @@ def bucketed_cumsum_with_rank(
         F.sum(value_col).alias("_bsum"), F.count("*").alias("_bcnt")
     )
     # The single partition here is INTENTIONAL (<= n_buckets rows), but a
-    # literal partition key gets constant-folded out of the window spec,
+    # foldable partition key gets constant-folded out of the window spec,
     # which re-triggers WindowExec's "No Partition Defined" degradation
-    # warning in every caller's bench tail.  _b * 0 is a non-foldable
-    # constant: same one-partition semantics, no warning.
-    # coalesce guards a future caller whose order_col (hence _b) is NULL
-    # for some rows: NULL * 0 is NULL and would silently split those rows
-    # into their own window partition, excluding them from total/_offset
-    _const = F.coalesce(F.col("_b") * 0, F.lit(0))
+    # warning in every caller's bench tail.  Now that _b is NON-NULL
+    # (coalesced above) Spark 4 folds even `_b * 0` to a literal;
+    # pmod(_b, 1) is always 0 but survives optimization: same
+    # one-partition semantics, no warning (verified in the plan).
+    _const = F.pmod(F.col("_b"), F.lit(1))
     wo = (
         Window.partitionBy(_const)
         .orderBy("_b")

@@ -96,3 +96,5 @@ import debias_spark.queries.reference_core  # noqa: F401  A1-F3
 import debias_spark.queries.annotate_queries  # noqa: F401  F1/F2 + flagship
 import debias_spark.queries.relational_ext  # noqa: F401  H1-H6, H11-H13, H17
 import debias_spark.queries.relational_ext2  # noqa: F401  X1-X11 second wave
+import debias_spark.queries.llm_ops29  # noqa: F401  Y62 stratified split + decontamination (round 8)
+import debias_spark.queries.pipeline_e2e  # noqa: F401  Z65 incremental refresh pipeline (round 8)

@@ -30,7 +30,7 @@ _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
     SELECT o_orderpriority AS prio,
            count(*) AS n,
            CAST(sum(o_custkey) AS BIGINT) AS cust_sum
-    FROM orders WHERE o_orderstatus = 'O'
+    FROM orders WHERE o_orderstatus = 'O' AND o_orderkey < 1200
     GROUP BY 1 ORDER BY 1
     """,
 )
@@ -46,8 +46,15 @@ def source_json_multiline_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-FILE parallelism only under multiLine (rule: the
     jsonl twin Z38/A3 is the splittable high-throughput form; multiLine
-    exists for payload fidelity at ingestion edges)."""
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    exists for payload fidelity at ingestion edges).  The fixture
+    collect is bounded O(1) in SF by a fixed orderkey cap (< 1200, a
+    few hundred rows at ANY scale factor) so the benched cost measures
+    multiLine ingestion, not driver-side fixture generation."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .filter(F.col("o_orderkey") < 1200)
+    )
     out = _sink_dir(spark, sf_dir, "z63_mljson")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -82,7 +89,7 @@ def source_json_multiline_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MAX_RECORDS = 400
+_MAX_RECORDS = 2000
 
 
 @register(
@@ -105,8 +112,14 @@ def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ceil(rows/limit) per partition) is asserted in the wave test.
 
     Scale: at 100 TB this is the last-mile guard against the
-    1-partition-1-giant-file failure mode of coalesced writes."""
-    o = table(spark, sf_dir, "orders")
+    1-partition-1-giant-file failure mode of coalesced writes (and the
+    knob is the guard, never coalesce(1) itself in production).  The
+    written projection is pruned to the two rollup columns and the cap
+    sized so file COUNT (ceil(rows/cap), ~75 at sf0.1) stays well below
+    the task-launch-dominated regime; the deterministic ceil-split
+    arithmetic itself is pinned by the wave test on a tiny frame with a
+    3-row cap, decoupling the proof from the benched cost."""
+    o = table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
     out = _sink_dir(spark, sf_dir, "z64_maxrec")
     (
         o.coalesce(1)  # deliberately ONE partition: the option must split it

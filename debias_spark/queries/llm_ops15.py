@@ -22,6 +22,12 @@ _DUCK_ALL_TOKENS = (
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 )
 
+# Floor-eps doctrine: Spark adds this PRE-FOLDED constant in ONE IEEE
+# addition (F.lit(_EPS)); the oracles must spell the identical single
+# addition — `+ 0.500000001e0` (the shortest round-trip repr of this
+# fold, parsed by DuckDB to the bit-identical double), never
+# `+ 0.5 + 1e-9` (two left-assoc additions, up to 1 ulp apart, which
+# can flip floor() at the integer-boundary ties the eps exists to pin).
 _EPS = 0.5 + 1e-9
 
 
@@ -90,7 +96,7 @@ _SEM_ASSIGN_CTE = f"""
                    row_number() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY floor(list_cosine_similarity(e.v, c.cv)
-                                      * 10000 + 0.5 + 1e-9)
+                                      * 10000 + 0.500000001e0)
                                     DESC, c.cent_id) AS rn
             FROM e CROSS JOIN c
         ) WHERE rn = 1
@@ -104,13 +110,13 @@ _SEM_ASSIGN_CTE = f"""
     oracle=_SEM_ASSIGN_CTE + f"""
     SELECT a1.cent_id,
            a1.vec_id AS id_a, a2.vec_id AS id_b,
-           CAST(floor(list_cosine_similarity(e1.v, e2.v) * 10000 + 0.5 + 1e-9)
+           CAST(floor(list_cosine_similarity(e1.v, e2.v) * 10000 + 0.500000001e0)
                 AS BIGINT) AS sim_e4
     FROM a a1
     JOIN a a2 ON a2.cent_id = a1.cent_id AND a1.vec_id < a2.vec_id
     JOIN e e1 ON e1.vec_id = a1.vec_id
     JOIN e e2 ON e2.vec_id = a2.vec_id
-    WHERE floor(list_cosine_similarity(e1.v, e2.v) * 10000 + 0.5 + 1e-9)
+    WHERE floor(list_cosine_similarity(e1.v, e2.v) * 10000 + 0.500000001e0)
           >= {_SEM_THRESH_E4}
     """,
 )
@@ -216,7 +222,7 @@ _MAT_TOPK = 5
         WHERE vec_id < {_MAT_PROBES}
     ), coarse AS MATERIALIZED (
         SELECT query_id, vec_id AS cand_id, v, pv,
-               CAST(floor(list_cosine_similarity(pvc, vc) * 10000 + 0.5 + 1e-9)
+               CAST(floor(list_cosine_similarity(pvc, vc) * 10000 + 0.500000001e0)
                     AS BIGINT) AS coarse_e4
         FROM p JOIN e ON e.vec_id <> p.query_id
     ), shortlist AS (
@@ -227,7 +233,7 @@ _MAT_TOPK = 5
         ) WHERE rn <= {_MAT_SHORTLIST}
     ), fine AS (
         SELECT query_id, cand_id,
-               CAST(floor(list_cosine_similarity(pv, v) * 10000 + 0.5 + 1e-9)
+               CAST(floor(list_cosine_similarity(pv, v) * 10000 + 0.500000001e0)
                     AS BIGINT) AS sim_e4
         FROM shortlist
     )

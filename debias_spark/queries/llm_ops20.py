@@ -21,7 +21,7 @@ _K_CAND = 10  # relevance candidates fed to MMR
 _LAMBDA = "0.7"  # relevance weight; (1 - lambda) penalizes redundancy
 
 # Greedy MMR unrolled to 3 selections.  rel/pair sims enter as floor-eps
-# e4 INTEGERS (floor(sim*1e4 + 0.5 + 1e-9)) — not round(sim, 4): Spark
+# e4 INTEGERS (floor(sim*1e4 + 0.500000001e0)) — not round(sim, 4): Spark
 # rounds the shortest-decimal repr HALF_UP while DuckDB rounds the binary
 # double, so an exact .xxxx5 tie could flip an argmax (r6 advice); the
 # floor of the identical double is bit-stable on both engines.  The MMR
@@ -71,10 +71,10 @@ _MMR_ORACLE_CTES = f"""e AS MATERIALIZED (
     SELECT cand_id, sim FROM (
         SELECT c.vec_id AS cand_id,
                CAST(floor(list_cosine_similarity(q.v, c.v) * 10000
-                          + 0.5 + 1e-9) AS BIGINT) AS sim,
+                          + 0.500000001e0) AS BIGINT) AS sim,
                row_number() OVER (
                    ORDER BY floor(list_cosine_similarity(q.v, c.v) * 10000
-                                  + 0.5 + 1e-9) DESC,
+                                  + 0.500000001e0) DESC,
                             c.vec_id) AS rn
         FROM e q JOIN e c ON c.vec_id <> q.vec_id
         WHERE q.vec_id = 0
@@ -82,7 +82,7 @@ _MMR_ORACLE_CTES = f"""e AS MATERIALIZED (
 ), pairs AS MATERIALIZED (
     SELECT a.cand_id AS a, b.cand_id AS b,
            CAST(floor(list_cosine_similarity(ea.v, eb.v) * 10000
-                      + 0.5 + 1e-9) AS BIGINT) AS sim
+                      + 0.500000001e0) AS BIGINT) AS sim
     FROM rel a JOIN rel b ON a.cand_id <> b.cand_id
     JOIN e ea ON ea.vec_id = a.cand_id
     JOIN e eb ON eb.vec_id = b.cand_id
@@ -108,7 +108,7 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     selections value-for-value.
 
     Determinism: every similarity enters as a floor-eps e4 integer
-    (floor(sim*1e4 + 0.5 + 1e-9)) before any comparison — the round-6
+    (floor(sim*1e4 + 0.500000001e0)) before any comparison — the round-6
     doctrine for values in RANK position, where a Spark-vs-DuckDB
     round() disagreement on an exact .xxxx5 tie would change which
     candidate gets selected; the MMR scores are arithmetic on those

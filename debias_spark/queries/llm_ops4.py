@@ -15,7 +15,7 @@ Four themes:
   full SQL oracle (Z12), watermarked stream-stream join (Z19).
 
 Registration position: imported after llm_ops3, so these keys land in the
-unproven-first block of the driver priority order (registry.DRIVER_PRIORITY
+unproven-first block of the driver priority order (registry.priority_ordered
 lists them explicitly after the round-1-unproven keys).
 """
 

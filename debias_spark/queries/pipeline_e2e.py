@@ -1,0 +1,184 @@
+"""Round-8 wave 1 (Z65): the end-to-end INCREMENTAL pipeline — an
+availableNow file stream drained in multiple micro-batches, each batch
+annotated and MERGED into a dedup-survivor state table, the survivors
+written to a lang-partitioned sink, and the final rollup value-oracled
+against the batch semantics.
+
+Reference parity: the reference's Refresh button re-reads the ENTIRE
+output folder on every press (analytics/dashboard_widget.py:72-79
+``refresh_data`` -> ``load_results(self.output_folder)``); this key is
+that loop as ONE engine-native incremental pipeline: new files arrive,
+only they are annotated, and the survivor state/sink update in place
+(r7 verdict growth item 6a).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.queries.io_roundtrip import _WAREHOUSE, _sink_dir
+from debias_spark.registry import register
+
+_SHORT_LT = 100  # annotate: docs under this many chars flagged short
+
+
+@register(
+    "pipeline_incremental_refresh",
+    "Z65",
+    oracle=f"""
+    WITH n AS MATERIALIZED (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS norm
+        FROM documents
+    ), surv AS (
+        SELECT lang, n_chars, doc_id FROM (
+            SELECT lang, n_chars, doc_id,
+                   row_number() OVER (
+                       PARTITION BY norm
+                       ORDER BY n_chars DESC, doc_id) AS rn
+            FROM n
+        ) WHERE rn = 1
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_chars < {_SHORT_LT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_keeper_id
+    FROM surv GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow stream -> annotate -> dedup survivors -> partitioned
+    sink, end to end: the documents table is staged as four parquet
+    files, drained one file per micro-batch, each batch annotated
+    (normalized-text digest = the Z7 fuzzy-exact fingerprint, length
+    quality, short flag) and MERGED into a survivor state table keyed by
+    digest that keeps the best copy (longest, doc_id tiebreak — the Y61
+    policy).  After the drain the survivors land in a lang-partitioned
+    parquet sink and the key returns the per-lang rollup READ BACK FROM
+    THE SINK — so the oracle hash proves the whole chain, not one stage.
+
+    Batching-independence (what makes a streaming chain value-oracled):
+    the survivor merge is an argmax by (n_chars desc, doc_id asc) — an
+    associative, commutative struct-max — so the final state is
+    identical however availableNow slices the input; the foreachBatch
+    body asserts the drain really took >= 2 non-empty batches so the
+    incremental path is what got proven, not a degenerate single batch.
+
+    Scale shape: each batch shuffles 16-byte digests + a small payload
+    struct (never text) for its OWN rows only; the state table holds one
+    row per distinct document and merges via state-union-groupBy (at
+    100 TB the swap-rewrite becomes a MERGE INTO a transactional table —
+    X73's contract — with the same argmax expression); history is never
+    re-read, and the sink is written once, partition-pruned by lang."""
+    from debias_spark.warehouse import prune_stale_siblings
+
+    docs = table(spark, sf_dir, "documents")
+    src_dir = _sink_dir(spark, sf_dir, "z65_src")  # prunes stale z65_src_*
+    base = os.path.basename(src_dir)
+    state_dir = os.path.join(_WAREHOUSE, base.replace("z65_src", "z65_state"))
+    sink_dir = os.path.join(_WAREHOUSE, base.replace("z65_src", "z65_sink"))
+    ckpt_dir = os.path.join(_WAREHOUSE, base.replace("z65_src", "z65_ckpt"))
+    for d in (state_dir, sink_dir, ckpt_dir):
+        prune_stale_siblings(
+            _WAREHOUSE, os.path.basename(d).rsplit("_", 1)[0] + "_", os.path.basename(d)
+        )
+        shutil.rmtree(d, ignore_errors=True)
+
+    # stage the corpus as 4 files so availableNow(maxFilesPerTrigger=1)
+    # genuinely iterates; in production this directory is the landing
+    # zone new corpus drops arrive in between refreshes
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    batches: list[int] = []
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # availableNow's trailing empty commit batch
+            return
+        batches.append(batch_id)
+        ann = batch.select(
+            F.substring(F.md5(norm), 1, 16).alias("digest"),
+            F.struct(
+                F.col("n_chars").cast("long").alias("n_chars"),
+                (-F.col("doc_id")).alias("nid"),
+                F.col("lang").alias("lang"),
+            ).alias("b"),
+        )
+        surv = ann.groupBy("digest").agg(F.max("b").alias("b"))
+        if os.path.isdir(state_dir):
+            prev = batch.sparkSession.read.parquet(state_dir)
+            surv = prev.unionByName(surv).groupBy("digest").agg(F.max("b").alias("b"))
+        # never half-update state: write beside, then atomic swap
+        staging = state_dir + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        surv.coalesce(1).write.parquet(staging)
+        old = state_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(staging, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # dial shuffle width down for the drain: each micro-batch shuffles a
+    # FRACTION of an already-small state frame, and 200-partition batch
+    # plans pay pure task-launch overhead 4x over (rule-9 cousin); the
+    # finally restores the never-set case with unset, not skip (rule 20)
+    _SP = "spark.sql.shuffle.partitions"
+    prev_sp = spark.conf.get(_SP, None)
+    spark.conf.set(_SP, "8")
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+    finally:
+        if prev_sp is None:
+            spark.conf.unset(_SP)
+        else:
+            spark.conf.set(_SP, prev_sp)
+    if len(batches) < 2:
+        raise RuntimeError(
+            f"pipeline_incremental_refresh drained in {len(batches)} "
+            "micro-batch(es); the incremental merge path was not exercised"
+        )
+
+    state = spark.read.parquet(state_dir)
+    survivors = state.select(
+        F.col("b.lang").alias("lang"),
+        F.col("b.n_chars").alias("n_chars"),
+        (-F.col("b.nid")).cast("long").alias("keeper_id"),
+    )
+    survivors.write.mode("overwrite").partitionBy("lang").parquet(sink_dir)
+    rb = spark.read.parquet(sink_dir)
+    return (
+        rb.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_chars") < _SHORT_LT).cast("long")).alias("n_short"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("keeper_id").alias("min_keeper_id"),
+        )
+        .orderBy("lang")
+    )

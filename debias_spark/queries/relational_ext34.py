@@ -179,14 +179,17 @@ def scalar_hash_fn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hash-function surface in one pass: md5 and sha2-256 (portable
     — DuckDB recomputes the identical hex digests), plus xxhash64 and
     murmur3 (`hash`) — Spark-internal functions DuckDB lacks, pinned by
-    their distinct-count over the 5-value priority domain instead (a
-    collision across 5 inputs would shift the count; both engines agree
-    that the count equals the domain size).  xxhash64 is the hash the
-    engine itself uses for bloom filters (X148) and murmur3 for shuffle
-    partitioning — worth pinning their reachability even without
-    cross-engine digests.
+    a GLOBAL distinct-count over the 5-value priority domain: the number
+    of distinct hash outputs across all 5 distinct inputs must equal the
+    number of distinct inputs, so a CROSS-input collision (two different
+    priorities hashing to one value) shrinks the global count and shifts
+    every emitted row (per-group countDistinct would always be 1 and
+    could never observe one).  xxhash64 is the hash the engine itself
+    uses for bloom filters (X148) and murmur3 for shuffle partitioning —
+    worth pinning their reachability even without cross-engine digests.
 
-    Scale: pure codegen projections + one grouped aggregate."""
+    Scale: pure codegen projections + one grouped aggregate + a 1-row
+    broadcast of the global hash census."""
     o = table(spark, sf_dir, "orders")
     per = o.select(
         F.col("o_orderpriority").alias("prio"),
@@ -197,19 +200,28 @@ def scalar_hash_fn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.md5(F.min("prio")).alias("md5_hex"),
         F.sha2(F.min("prio"), 256).alias("sha256_hex"),
-        F.countDistinct("xx").alias("nxx"),
-        F.countDistinct("mm").alias("nmm"),
     )
-    # distinct hash values per group must be 1 (one input string per
-    # group); emit n * that count so a collision anywhere moves the value
-    return agg.select(
-        "prio",
-        "n",
-        "md5_hex",
-        "sha256_hex",
-        (F.col("n") * F.col("nxx")).alias("n_distinct_xxhash"),
-        (F.col("n") * F.col("nmm")).alias("n_distinct_murmur"),
-    ).orderBy("prio")
+    # one-row global census: distinct inputs vs distinct hash outputs
+    census = per.agg(
+        F.countDistinct("prio").alias("nprio"),
+        F.countDistinct("xx").alias("gxx"),
+        F.countDistinct("mm").alias("gmm"),
+    )
+    # emit n + (distinct inputs - distinct hashes): equals n exactly when
+    # the hash is injective over the domain; any cross-input collision
+    # perturbs every row and breaks the oracle's count(*) expectation
+    return (
+        agg.crossJoin(F.broadcast(census))
+        .select(
+            "prio",
+            "n",
+            "md5_hex",
+            "sha256_hex",
+            (F.col("n") + F.col("nprio") - F.col("gxx")).alias("n_distinct_xxhash"),
+            (F.col("n") + F.col("nprio") - F.col("gmm")).alias("n_distinct_murmur"),
+        )
+        .orderBy("prio")
+    )
 
 
 @register(

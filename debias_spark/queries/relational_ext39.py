@@ -48,7 +48,7 @@ _EPS = 0.5 + 1e-9
            CAST(floor((sb - CAST(st * st AS DOUBLE) / CAST(nt AS DOUBLE))
                       / (k - 1)
                       / ((CAST(qt AS DOUBLE) - sb) / CAST(nt - k AS DOUBLE))
-                      * 1000000 + 0.5 + 1e-9) AS BIGINT) AS f_e6
+                      * 1000000 + 0.500000001e0) AS BIGINT) AS f_e6
     FROM tot
     """,
 )

@@ -54,175 +54,127 @@ def load_all_queries() -> dict[str, QuerySpec]:
     return QUERIES
 
 
-# ROUND-8 REBUILD NOTE: after CORRECTNESS_r07 lands, repeat the drill —
-# drain its green keys into block 3, front-load failures plus any block-1/2
-# tail that missed the 50-key window, then promote whatever round-8 block
-# accumulated below position 50 to the front.
+# The driver iterates queries() in dict order and rounds 1-7 showed it
+# checks exactly the first 50 keys per round.  Through round 7 the order
+# was a hand-maintained DRIVER_PRIORITY list rebuilt each round — and the
+# rebuild went stale twice (r6 and r7 verdicts' only defect), because a
+# manual drill can only ship one round late.  The order is now DERIVED at
+# import time from the committed CORRECTNESS_r*.json artifacts, so the
+# stale-priority class cannot recur:
 #
-# The driver iterates queries() in dict order and rounds 1-6 showed it
-# checks exactly the first 50 keys.  Dominant order: keys WITHOUT driver
-# correctness evidence first, then keys whose implementation or oracle
-# CHANGED since their last driver check, then the evidenced greens.  Keys
-# registered but not listed here are unproven by definition and go first
-# (priority_ordered puts unlisted keys at the head) — keep (new + block 1
-# + block 2) at or under 50, or explicitly slot new keys below block 1.
-DRIVER_PRIORITY = [
-    # --- block 1: the 37 round-6-built keys that never appeared in a
-    # driver CORRECTNESS window (r6 verdict item 1).  All locally verified
-    # twice per key at sf0.001+sf0.01 under a plain session in round 6.
-    "sql_pivot_multi_agg", "sql_scalar_udf_create", "diag_observe_metrics",
-    "udf_arrow_scalar_pack", "grouped_stats_applyinarrow", "embedding_mmr_rerank",
-    "source_json_permissive_badrecords", "sink_managed_table_insert",
-    "window_interval_range_frame", "sql_lateral_column_alias",
-    "sql_multicol_in_subquery", "docs_lang_balanced_sample",
-    "udtf_dynamic_schema_ngrams", "source_binaryfile_ingest",
-    "source_python_datasource_stream", "multimodal_audio_rms_by_rate",
-    "sql_xpath_extract_pack", "sql_url_parse_pack", "sql_scripting_budget_loop",
-    "sql_transpose_metrics", "agg_approx_topk_events", "source_metadata_columns",
-    "udtf_table_argument_stats", "stream_state_store_reader",
-    "text_kl_divergence_lang", "text_trigram_diversity", "stats_spearman_corr",
-    "sql_pipe_syntax_chain", "sql_recursive_cte_reach", "sql_table_function_lateral",
-    "multimodal_image_tile_stats", "embedding_centroid_drift",
-    "source_csv_multiline_quotes", "pandas_udf_iter_bucketize",
-    "cogroup_asof_attribution", "sink_python_datasource",
-    "orders_holt_linear_forecast",
-    # --- block 2: keys whose oracle or implementation changed in round 7
-    # (ADVICE fixes: MinHash-collision post-filter, SemDeDup floor-eps
-    # ordering; prefixsum window-spec change for pareto/gini) — prior
-    # evidence exists but re-proof is required after the change ---
-    "dedup_minhash_mllib", "semdedup_cluster_cosine",
-    "orders_pareto_share", "orders_gini_revenue",
-    # --- block 2b: keys BUILT in round 7 (no evidence yet, window slots
-    # 42-50; verified twice per key at sf0.001+sf0.01 + plain session) ---
-    "stats_kendall_tau", "orders_streak_runlength", "events_poisson_anomaly",
-    "events_hourly_ohlc", "agg_hll_intersection_banded", "join_aqe_skew_split",
-    "stream_static_join_salted", "sink_rowgroup_stats_prune",
-    # --- round-8 block: built+locally-verified late in round 7, AFTER the
-    # 50-key window filled (blocks 1+2 above hold 49 keys, so only the
-    # first key here makes the r7 window) — the r8 rebuild promotes the
-    # rest to the front ---
-    "window_ignore_nulls_pack", "sql_map_funcs_pack",
-    "corpus_mixture_temperature", "dedup_boilerplate_lines",
-    "stream_watermark_late_drop", "join_asof_forward_tolerance",
-    "sql_try_conversion_pack", "source_partition_typed_discovery",
-    "docs_pack_nextfit_decreasing", "orders_abc_xyz_classification",
-    "sink_compression_codecs", "source_csv_schema_infer",
-    "join_bloom_runtime_filter", "sql_analyze_table_stats",
-    "scalar_hash_fn_pack", "sql_cache_table_roundtrip",
-    "sql_partitioning_hints_pack", "diag_shuffle_partition_advisor",
-    "docs_trigram_renyi_entropy", "multimodal_bbox_area_stats",
-    "join_asof_nearest", "orders_cohort_ltv_curve", "graph_neighbor_jaccard",
-    "embedding_decontamination_screen", "sql_from_xml_nested",
-    "source_wholetext_files", "source_recursive_dir_glob",
-    "events_cumulative_distinct_users",
-    "sink_dynamic_partition_overwrite", "orders_interpurchase_gaps",
-    "docs_length_percentile_trim", "embedding_cluster_ari",
-    "multimodal_audio_silence_trim", "sql_schema_of_json_infer",
-    "lineitem_anova_f", "sessionize_timeout_cap",
-    "events_sliding_distinct_hll_banded", "dedup_keep_best_quality",
-    "source_json_multiline_array", "sink_max_records_per_file",
-    # --- block 3: r1-r6 driver-evidenced greens (re-proving is a bonus) ---
-    "embedding_kmeans_update", "diag_key_skew_profile", "text_gopher_rules",
-    "agg_stats_pack", "profile_table_stats", "embedding_norm_stats",
-    "event_dwell_time", "tpch_q1_pricing_summary", "text_unigram_logprob",
-    "text_bigram_lm_score", "udtf_text_bigram_stats", "stream_stateful_user_counts",
-    "part_skyline_pareto", "bpe_vocab_fit", "sql_listagg_ordered",
-    "sql_filtered_aggregates", "sql_group_order_by_all", "agg_percentile_disc",
-    "events_autocorr_lag", "abtest_chi2_independence", "bpe_encode_corpus",
-    "embedding_matryoshka_rerank", "docs_quality_ntile_bins", "sink_json_roundtrip",
-    "join_dpp_partitioned", "agg_decimal_exact", "sql_grouping_sets_explicit",
-    "events_sliding_distinct_users", "embedding_pq_codebook",
-    "docs_vocab_drift_logratio", "multimodal_audio_energy_windows",
-    "sql_union_by_name_evolution", "sql_identifier_dynamic_table",
-    "incremental_join_maintenance", "embedding_bitpack_hamming_topk",
-    "text_zipf_slope", "agg_bitmap_distinct", "sql_timestamp_arith_pack",
-    "multimodal_image_avghash_buckets", "abtest_ks_statistic", "orders_mannwhitney_u",
-    "text_naive_bayes_lang", "text_pmi_cooccurrence", "sink_xml_roundtrip",
-    "stream_chained_windows", "docs_shard_token_balance",
-    "multimodal_palette_histogram", "orders_theilsen_trend",
-    "source_python_datasource", "docs_block_dedup", "sink_orc_roundtrip",
-    "stream_foreachbatch_upsert", "sink_csv_roundtrip",
-    "orders_demand_forecast_ewma8", "sink_partitioned_parquet_prune",
-    "graph_kcore_copurchase", "sink_bucketed_join_noshuffle",
-    "docs_winnowing_fingerprint", "agg_approx_distinct", "agg_hll_sketch_union",
-    "multimodal_decode_dims", "multimodal_decode_audio", "sql_unpivot_wide_to_long",
-    "sql_offset_fetch_page", "sample_hash_deterministic", "graph_shortest_hops",
-    "stream_stream_join_attrib", "agg_countmin_heavyhitters",
-    "events_sequence_pattern", "embedding_kmeans_assign", "sql_cube_grouping_id",
-    "embedding_pca_power_topvec", "text_readability_flesch",
-    "source_parquet_schema_merge", "source_csv_permissive_badrecords",
-    "sql_variant_json_path", "sql_session_variables", "sql_parameterized_query",
-    "join_salted_hotkey", "stream_session_window_oracled", "dedup_pipeline_survivors",
-    "stream_dedup_watermark", "sql_try_arithmetic", "sql_collation_lcase",
-    "geo_grid_radius_join", "sql_recursive_bom_rollup", "timeseries_linear_interp",
-    "embedding_quantize_int8", "tpch_q11_important_inventory", "dedup_clusters",
-    "scd2_user_status", "docs_compaction_plan", "zorder_cluster_key",
-    "events_rolling_dau7", "abtest_conversion_ztest", "docs_token_budget_curve",
-    "multimodal_batch_manifest", "events_seasonality_profile", "embedding_dim_stats",
-    "merge_upsert_snapshot", "text_inverted_index_sample", "stream_rate_alert",
-    "events_cusum_changepoint", "sql_lateral_topn_nations", "embedding_norms_arrow",
-    "part_brand_entropy", "events_hhi_concentration", "docs_lang_confusion_audit",
-    "orders_weekly_growth", "regr_price_vs_quantity", "docs_bm25_search",
-    "events_latency_percentiles_hourly", "similarity_ann_lsh",
+#   1. never-driver-checked keys first (absent from every committed
+#      CORRECTNESS file — brand-new keys are unproven by definition),
+#      in registration order;
+#   2. keys whose LATEST driver check failed;
+#   3. keys in CHANGED_SINCE_CHECK below — implementation or oracle
+#      edited after their latest green check (the one input that cannot
+#      be derived from artifacts; builders append here when rewriting a
+#      driver-proven key and the next CORRECTNESS round drains it);
+#   4. the evidenced greens, stalest latest-check first (round asc, then
+#      position within that round's file) — so old evidence refreshes
+#      before recent evidence re-proves.
+#
+# Keep (new + failed + changed) at or under 50 so one driver window
+# covers every key that needs proof.
+
+# Keys whose implementation or oracle changed AFTER their latest green
+# driver check (newest evidence listed; drain entries once a later
+# CORRECTNESS file shows a green re-check).  Order within the list is
+# re-proof priority.
+# New keys built AFTER the current round's 50-key window filled: they
+# stay unproven until next round by construction (the r6/r7 "round-N+1
+# block" pattern), so they defer BEHIND the failed/changed keys whose
+# re-proof the window must cover first, while still preceding every
+# evidenced green.  Drain entries once their first CORRECTNESS row lands.
+DEFERRED_NEW_KEYS: list[str] = []
+
+CHANGED_SINCE_CHECK = [
+    # r7 two-pass equal-width rewrite (2ab17f2); last driver check r4
     "lineitem_weighted_median_price",
-    "text_crossdoc_ngram_dup", "text_ngram_novelty_curve",
-    "dedup_lsh_bucket_stats", "docs_contamination_ngram_audit",
-    "similarity_lsh_recall_report", "dedup_minhash_incremental",
-    "orders_equidepth_histogram", "dedup_jaccard_histogram", "orders_basket_lift",
-    "dedup_minhash_est_vs_exact", "orders_copurchase_triangles",
-    "lineitem_interval_overlap", "docs_dedup_url", "docs_dedup_containment",
-    "agg_percentiles_approx_banded", "agg_distinct_sketch_banded",
-    "graph_pagerank_copurchase", "incremental_agg_maintenance", "agg_salted_skew",
-    "embedding_random_projection", "funnel_conversion", "join_prefilter_hashbucket",
-    "sample_mixture_weighted", "dedup_exact_normalized", "tpch_q14_promo_revenue",
-    "timeseries_gapfill", "tpch_q22_idle_balances", "tpch_q17_small_quantity",
-    "retention_cohorts", "snapshot_diff_full_outer", "tpch_q19_disjunctive",
-    "dedup_near_editdistance", "tpch_q12_priority_class",
-    "tpch_q13_order_distribution", "tpch_q15_top_supplier",
-    "docs_quality_filterchain", "user_path_transitions", "docs_dup_rate_by_source",
-    "project_array_size", "filter_in_set", "agg_count_desc_topn", "project_path_stem",
-    "union_record_and_tag_rows", "scan_lines_drop_blank", "project_string_format",
-    "flag_scan_lines", "agg_count_by_key", "filter_equality",
-    "project_split_first_comma", "sort_by_index_asc", "project_cast_string",
-    "scan_partitioned_source", "join_semi_anti", "filter_nonempty_array",
-    "distinct_sorted", "explode_outer_nullable", "subquery_above_avg",
-    "tpch_q6_forecast_revenue", "join_left_outer", "scalar_string_pack2",
-    "sample_stratified_deterministic", "grouping_cube", "scalar_conditional_pack",
-    "scan_json_nested", "agg_max_by_key", "grouping_rollup", "scalar_datetime_pack2",
-    "filter_not_null", "agg_histogram", "join_sortmerge_large", "join_broadcast_hash",
-    "map_batch_annotate", "agg_argmin_argmax", "array_fn_pack",
-    "window_distribution_pack", "pivot_status_by_flag", "set_ops", "explode_tags",
-    "explode_with_position", "annotate_issue_distribution", "dedup_first_marker",
-    "text_pii_redact", "multimodal_resize_plan", "text_decontaminate",
-    "array_quantifiers", "text_token_count", "sample_train_val_test", "map_fn_pack",
-    "regexp_pack", "multimodal_extract", "text_chunk_documents",
-    "text_tokenize_topterms", "text_lang_id", "multimodal_frame_sample",
-    "text_fingerprint", "text_pack_sequences", "join_range_banded",
-    "join_asof_last_click", "window_sliding", "dedup_embedding_cosine",
-    "set_except_all", "window_tumbling_event_time", "pandas_udf_sigmoid",
-    "grouped_zscore_applyinpandas", "similarity_cosine_topk", "text_ngram_counts",
-    "variant_json_pack", "sessionize_batch", "dedup_exact",
-    "dedup_within_time_window", "sample_cap_per_source", "multimodal_dedup_binary",
-    "agg_mode_per_group", "unpivot_metrics", "stream_session_window",
-    "customer_rfm_segments", "window_rank_lag_frame", "join_skew_salted",
-    "text_rolling_hash", "scalar_fn_pack", "tpch_q18_large_orders",
-    "udtf_tokenize_positions", "tpch_q16_supplier_count", "similarity_ann_ivf",
-    "dedup_ngram_jaccard", "tpch_q20_dominant_supplier", "text_vocab_coverage",
-    "tpch_q4_order_priority", "events_anomaly_mad", "tpch_q3_shipping_priority",
-    "join_multiway_star", "text_quality_score", "tpch_q5_local_supplier_volume",
-    "dedup_simhash", "tpch_q9_product_profit", "tpch_q10_returned_items",
-    "stream_static_join_counts", "text_tfidf_top_terms", "tpch_q8_market_share",
-    "tpch_q2_min_cost_supplier", "tpch_q7_nation_trade", "text_repetition_ratio",
-    "window_range_frame", "dedup_minhash_lsh", "tpch_q21_sole_late_shipper",
-    "orders_market_basket", "agg_percentiles", "stream_stream_join",
-    "agg_percentiles_approx",
+    # r8: operators/prefixsum NULL-safe bucket id + pmod window const
+    "orders_pareto_share",
+    "orders_gini_revenue",
+    "stats_spearman_corr",
+    # r7 jsonl-sink orphan-.tmp sweep on commit (09a522a); checked r7 pre-fix
+    "sink_python_datasource",
+    # r8 ADVICE: floor-eps oracle respelling (+ 0.500000001e0 single-add)
+    "semdedup_cluster_cosine",
+    "embedding_mmr_rerank",
+    "embedding_matryoshka_rerank",
+    "bpe_encode_corpus",
 ]
 
 
+def _correctness_evidence() -> dict[str, tuple[int, int, dict]]:
+    """Parse the committed CORRECTNESS_r*.json artifacts at the repo root
+    into {key: (latest_round, index_within_that_round, record)}."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ev: dict[str, tuple[int, int, dict]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue  # a malformed artifact must not break queries()
+        if not isinstance(data, dict):
+            continue
+        for idx, (key, rec) in enumerate(data.items()):
+            if not isinstance(rec, dict):
+                continue
+            prev = ev.get(key)
+            if prev is None or rnd >= prev[0]:
+                ev[key] = (rnd, idx, rec)
+    return ev
+
+
+def _record_green(rec: dict, has_oracle: bool) -> bool:
+    """The driver's green criterion: value-hash match for oracled keys;
+    rows-observed for rows-only-by-design keys (err == 'no_oracle')."""
+    if rec.get("err") == "no_oracle" or not has_oracle:
+        rows = rec.get("spark_rows")
+        return rec.get("err") in (None, "no_oracle") and isinstance(rows, int) and rows >= 0
+    return bool(
+        rec.get("err") is None
+        and rec.get("rows_match")
+        and rec.get("schema_match")
+        and rec.get("hash_match")
+    )
+
+
 def priority_ordered() -> dict[str, QuerySpec]:
-    """All queries, reordered for the driver: unlisted (newest, hence
-    unproven) keys first, then DRIVER_PRIORITY order."""
+    """All queries, reordered for the driver's 50-key window, derived
+    mechanically from the committed CORRECTNESS_r*.json artifacts:
+    never-checked first, then latest-check failures, then
+    CHANGED_SINCE_CHECK, then greens stalest-evidence-first."""
     specs = load_all_queries()
-    listed = [k for k in DRIVER_PRIORITY if k in specs]
-    unlisted = [k for k in specs if k not in set(DRIVER_PRIORITY)]
-    return {k: specs[k] for k in unlisted + listed}
+    ev = _correctness_evidence()
+
+    deferred_set = {k for k in DEFERRED_NEW_KEYS if k in specs and k not in ev}
+    never = [k for k in specs if k not in ev and k not in deferred_set]
+    failed = [
+        k
+        for k in specs
+        if k in ev and not _record_green(ev[k][2], specs[k].oracle is not None)
+    ]
+    head = set(never) | set(failed) | deferred_set
+    changed = [
+        k for k in CHANGED_SINCE_CHECK if k in specs and k not in head
+    ]
+    head |= set(changed)
+    deferred = [k for k in DEFERRED_NEW_KEYS if k in deferred_set]
+    greens = sorted(
+        (k for k in specs if k not in head),
+        key=lambda k: (ev[k][0], ev[k][1]),
+    )
+    order = never + failed + changed + deferred + greens
+    assert len(order) == len(specs), "priority order must be a permutation"
+    return {k: specs[k] for k in order}

@@ -51,3 +51,54 @@ def test_small_registry_shows_everything():
     d = json.loads(render_line(pq, 1.0, 0.001))
     assert d["queries_omitted"] == 0
     assert len(d["queries"]) == 10
+
+
+def test_merge_bench_band(tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from merge_bench_band import merge
+
+    runs = []
+    for i, (qa, qb) in enumerate([(1.0, 2.0), (1.2, 1.8), (1.1, -1.0)]):
+        p = tmp_path / f"b{i}.json"
+        p.write_text(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_wall",
+                    "unit": "sec",
+                    "reps": 3,
+                    "sf": 0.1,
+                    "value": qa + max(qb, 0),
+                    "queries": {"qa": qa, "qb": qb},
+                    "suspect_contention": ["qa"] if i == 1 else [],
+                }
+            )
+        )
+        runs.append(str(p))
+    merged = merge(runs)
+    # anchor = max across runs (conservative slow-band anchor)
+    assert merged["queries"]["qa"] == 1.2
+    assert merged["band"]["qa"] == [1.0, 1.2]
+    # any failed run keeps the key visibly failed, no band
+    assert merged["queries"]["qb"] == -1.0
+    assert "qb" not in merged["band"]
+    assert merged["runs_n"] == 3
+    assert merged["suspect_contention"] == ["qa"]
+    assert merged["value_band"][0] <= merged["value_band"][1]
+
+
+def test_load_prev_bench_uses_band_max(tmp_path, monkeypatch):
+    import bench
+
+    artifact = {
+        "queries": {"qa": 1.0, "qb": 2.0},
+        "band": {"qa": [0.9, 1.4]},
+    }
+    (tmp_path / "BENCH_full_r99.json").write_text(json.dumps(artifact))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda _p: str(tmp_path / "bench.py")
+    )
+    base = bench.load_prev_bench()
+    assert base["qa"] == 1.4  # band max, not anchor
+    assert base["qb"] == 2.0  # no band entry -> anchor

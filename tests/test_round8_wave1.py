@@ -1,0 +1,73 @@
+"""Round-8 wave 1 tests (Y62, Z65): split/decontamination invariants and
+the incremental refresh pipeline's side contracts (multi-batch drain,
+partitioned sink layout, survivor uniqueness, conf restoration).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debias_spark.registry import load_all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all_queries()
+
+
+def test_split_decon_accounting_closes(spark, specs):
+    rows = specs["docs_train_split_decontaminated"].fn(spark, SF).collect()
+    assert rows, "empty accounting"
+    for r in rows:
+        assert r.n_docs == r.n_kept + r.n_removed, r
+        if r.split != "train":
+            # the screen only removes from train; eval splits pass whole
+            assert r.n_removed == 0, r
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    total = sum(by_split.values())
+    # 98/1/1 key-arithmetic split: exact at any SF because doc_ids are dense
+    assert by_split.get("train", 0) >= 0.9 * total
+    assert set(by_split) <= {"train", "val", "test"}
+
+
+def test_split_decon_is_deterministic(spark, specs):
+    fn = specs["docs_train_split_decontaminated"].fn
+    a = sorted(map(tuple, fn(spark, SF).collect()))
+    b = sorted(map(tuple, fn(spark, SF).collect()))
+    assert a == b
+
+
+def test_incremental_refresh_sink_layout_and_state(spark, specs):
+    from debias_spark.queries.io_roundtrip import _WAREHOUSE
+
+    out = specs["pipeline_incremental_refresh"].fn(spark, SF).collect()
+    assert out, "empty rollup"
+    tag = os.path.basename(SF) + "_" + spark.sparkContext.applicationId
+    sink = os.path.join(_WAREHOUSE, f"z65_sink_{tag}")
+    state = os.path.join(_WAREHOUSE, f"z65_state_{tag}")
+    # partitioned sink: one lang=<x> directory per emitted lang row
+    langs = {os.path.basename(p).split("=", 1)[1] for p in glob.glob(sink + "/lang=*")}
+    assert langs == {r.lang for r in out}
+    # survivor state: digest-unique (the dedup invariant the merge keeps)
+    st = spark.read.parquet(state)
+    assert st.count() == st.select("digest").distinct().count()
+    # rollup conservation: survivors never exceed the corpus
+    from debias_spark.catalog import table
+
+    n_docs_total = table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in out) <= n_docs_total
+
+
+def test_incremental_refresh_restores_shuffle_conf(spark, specs):
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key, None)
+    specs["pipeline_incremental_refresh"].fn(spark, SF).collect()
+    assert spark.conf.get(key, None) == before

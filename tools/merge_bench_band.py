@@ -1,0 +1,83 @@
+"""Merge several closed-tree bench runs into a round-anchored artifact
+with an explicit variance band.
+
+Round 7 measured three closed-tree runs spanning 146-170 s (this host's
+~1.15-1.4x drift band) and could only document the spread in SCALE.md
+prose; the round-8 tripwire then had to guess whether a slow key was
+"outside the band" or a "slow-band re-measurement" (r7 verdict item 5).
+This tool makes the band part of the artifact:
+
+    python bench.py                      # run 1 -> cp BENCH_full.json /tmp/b1.json
+    python bench.py                      # run 2 -> cp BENCH_full.json /tmp/b2.json
+    python bench.py                      # run 3 -> cp BENCH_full.json /tmp/b3.json
+    python tools/merge_bench_band.py BENCH_full_r08.json /tmp/b1.json /tmp/b2.json /tmp/b3.json
+
+Output schema = bench.py's BENCH_full schema plus:
+    "band":       {key: [min_sec, max_sec]}   across the input runs
+    "value_band": [min_total, max_total]      across the input runs
+    "runs_n":     number of merged runs
+    "queries":    per-key ANCHOR = the MAX across runs (the conservative
+                  slow-band anchor round 7 chose deliberately, so ratio
+                  gates never flatter a fast-band fluke), failures (-1)
+                  preserved if any run failed
+bench.py's tripwire reads band max as the baseline (load_prev_bench).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def merge(paths: list[str]) -> dict:
+    runs = []
+    for p in paths:
+        with open(p) as fh:
+            runs.append(json.load(fh))
+    if not runs:
+        raise SystemExit("no input runs")
+    keys: set[str] = set()
+    for r in runs:
+        keys |= set(r.get("queries") or {})
+    queries: dict[str, float] = {}
+    band: dict[str, list[float]] = {}
+    for k in sorted(keys):
+        vals = [float(r["queries"][k]) for r in runs if k in r.get("queries", {})]
+        ok = [v for v in vals if v >= 0]
+        if len(ok) < len(vals):  # any failed run must stay visible
+            queries[k] = -1.0
+            continue
+        queries[k] = round(max(ok), 4)
+        band[k] = [round(min(ok), 4), round(max(ok), 4)]
+    totals = [float(r.get("value", -1)) for r in runs if float(r.get("value", -1)) >= 0]
+    suspects = sorted({s for r in runs for s in r.get("suspect_contention", [])})
+    base = dict(runs[-1])  # metric/unit/reps/sf from the newest run
+    base.update(
+        {
+            "queries": queries,
+            "queries_n": len(queries),
+            "value": round(sum(v for v in queries.values() if v >= 0), 4),
+            "value_band": [round(min(totals), 4), round(max(totals), 4)] if totals else [],
+            "band": band,
+            "runs_n": len(runs),
+            "suspect_contention": suspects,
+        }
+    )
+    return base
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    out, inputs = sys.argv[1], sys.argv[2:]
+    payload = merge(inputs)
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(
+        f"{out}: {payload['queries_n']} keys, anchor total {payload['value']}s, "
+        f"band {payload['value_band']}, runs {payload['runs_n']}"
+    )
+
+
+if __name__ == "__main__":
+    main()
