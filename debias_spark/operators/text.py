@@ -98,3 +98,25 @@ def fingerprint_md5(text: Column) -> Column:
     """Content fingerprint of the normalized text (md5 — stable across
     engines and platforms; the exact-dedup shuffle key at scale)."""
     return F.md5(normalize_for_fingerprint(text))
+
+
+def normalize_strict(text: Column) -> Column:
+    """The Z7 'fuzzy-exact' canonical form: lowercase, non-alphanumerics
+    STRIPPED, space runs collapsed, trimmed — stricter than
+    ``normalize_for_fingerprint`` (which keeps punctuation).  The DuckDB
+    twin is ``NORMALIZE_STRICT_DUCK``; keep the two spellings in
+    lockstep, they are hash-compared by every caller's oracle.
+    (llm_ops4's dedup_exact_normalized predates this helper and inlines
+    the identical expression — consolidate when that key next changes.)"""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+
+
+# DuckDB spelling of normalize_strict over a column expression {x}
+NORMALIZE_STRICT_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)

@@ -89,6 +89,12 @@ def docs_train_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFra
         .when(F.col("doc_id") % 100 == _VAL_EQ, "val")
         .otherwise("test")
     )
+    # base feeds THREE branches (eval side, screen, accounting); the
+    # docs-embeddings join + norm projection recomputes per branch
+    # without the checkpoint.  Interleaved A/B at sf0.1 (4 reps):
+    # checkpointed 1.09-1.37s vs plain 1.15-1.56s — consistently ~5%
+    # faster, kept (rule-5 margin case: the join broadcasts, so the
+    # recomputed stage is cheap and the win is small but uniform).
     base = (
         docs.join(emb, docs["doc_id"] == emb["vec_id"])
         .select(
@@ -99,6 +105,7 @@ def docs_train_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFra
             split.alias("split"),
             l2_norm(F.col("embedding")).alias("nrm"),
         )
+        .localCheckpoint(eager=False)
     )
     ev = base.filter(F.col("split") != "train").select(
         F.col("v").alias("ev"), F.col("nrm").alias("en")
@@ -134,4 +141,94 @@ def docs_train_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
         .orderBy("split", "lang")
+    )
+
+
+# Temporal split point: 5 years of history train, the final ~1.6 years
+# eval (orders span 1995-01-01 .. 2001-08-01 at every SF)
+_SPLIT_TS = "2000-01-01"
+
+
+@register(
+    "orders_temporal_split_leakage",
+    "Y63",
+    oracle=f"""
+    WITH o AS MATERIALIZED (
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderdate < TIMESTAMP '{_SPLIT_TS}'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM orders
+    ), leaky AS (
+        SELECT o_custkey FROM o GROUP BY 1
+        HAVING count(DISTINCT split) = 2
+    )
+    SELECT split,
+           count(*) AS n_orders,
+           count(DISTINCT o.o_custkey) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS rev_cents,
+           CAST(sum(CASE WHEN l.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked_orders,
+           CAST(count(DISTINCT l.o_custkey) AS BIGINT) AS n_leaky_customers
+    FROM o LEFT JOIN leaky l ON l.o_custkey = o.o_custkey
+    GROUP BY split ORDER BY split
+    """,
+)
+def orders_temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TEMPORAL counterpart of Y62's stratified split: train on the
+    past, evaluate on the future (the only split that is honest for
+    forecasting models), plus the entity-leakage audit — customers with
+    orders on BOTH sides of the boundary make the eval split
+    warm-start for per-customer models, so the key reports per split
+    the order/customer/revenue accounting, how many orders belong to
+    leaky (both-sides) customers, and the leaky-entity count itself;
+    eval minus leaked is the cold-start eval set a per-entity model
+    must be graded on.
+
+    Scale shape: the split is a pure date-predicate projection (pruned
+    at the scan when the table is date-partitioned); everything reduces
+    through ONE per-(split, custkey) pre-aggregation, after which both
+    the leaky-entity set and the final rollup are counts over that
+    already-distinct frame — no exact-distinct ever mixes into a
+    groupBy with other aggregates, so no Expand replicates the fact
+    rows through the shuffle (measured rule 7).  The leaky set joins
+    back broadcast-sized relative to the per-customer frame (at 100 TB:
+    a bloom-filter semi-join on the same key).  All emitted values are
+    exact integers."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{_SPLIT_TS} 00:00:00'"),
+            "train",
+        )
+        .otherwise("eval")
+        .alias("split"),
+    )
+    # one shuffle on (split, custkey); every later aggregate is a count
+    # or sum over this distinct-by-construction frame
+    per_cust = o.groupBy("split", "o_custkey").agg(
+        F.count("*").alias("n_o"), F.sum("cents").alias("c")
+    )
+    leaky = (
+        per_cust.groupBy("o_custkey")
+        .agg(F.count("*").alias("ns"))  # rows are distinct splits already
+        .filter(F.col("ns") == 2)
+        .select("o_custkey", F.lit(True).alias("leaky"))
+    )
+    j = per_cust.join(F.broadcast(leaky), "o_custkey", "left").withColumn(
+        "leaky", F.coalesce(F.col("leaky"), F.lit(False))
+    )
+    return (
+        j.groupBy("split")
+        .agg(
+            F.sum("n_o").alias("n_orders"),
+            F.count("*").alias("n_customers"),
+            F.sum("c").alias("rev_cents"),
+            F.sum(F.when(F.col("leaky"), F.col("n_o")).otherwise(F.lit(0))).alias(
+                "n_leaked_orders"
+            ),
+            F.sum(F.col("leaky").cast("long")).alias("n_leaky_customers"),
+        )
+        .orderBy("split")
     )

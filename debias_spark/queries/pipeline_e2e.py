@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
+from debias_spark.operators.text import NORMALIZE_STRICT_DUCK, normalize_strict
 from debias_spark.queries.io_roundtrip import _WAREHOUSE, _sink_dir
 from debias_spark.registry import register
 
@@ -33,9 +34,7 @@ _SHORT_LT = 100  # annotate: docs under this many chars flagged short
     oracle=f"""
     WITH n AS MATERIALIZED (
         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
-               trim(regexp_replace(
-                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                   ' +', ' ', 'g')) AS norm
+               {NORMALIZE_STRICT_DUCK.format(x='text')} AS norm
         FROM documents
     ), surv AS (
         SELECT lang, n_chars, doc_id FROM (
@@ -73,7 +72,9 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     body asserts the drain really took >= 2 non-empty batches so the
     incremental path is what got proven, not a degenerate single batch.
 
-    Scale shape: each batch shuffles 16-byte digests + a small payload
+    Scale shape: each batch shuffles 8-byte digests (16 hex chars = 64
+    bits — the birthday bound supports ~2^32 distinct norms; keep the
+    full 32-char md5 beyond that corpus size) + a small payload
     struct (never text) for its OWN rows only; the state table holds one
     row per distinct document and merges via state-union-groupBy (at
     100 TB the swap-rewrite becomes a MERGE INTO a transactional table —
@@ -98,11 +99,7 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zone new corpus drops arrive in between refreshes
     docs.repartition(4).write.mode("overwrite").parquet(src_dir)
 
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
-        )
-    )
+    norm = normalize_strict(F.col("text"))
     batches: list[int] = []
 
     def refresh(batch: DataFrame, batch_id: int) -> None:
@@ -150,7 +147,14 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(300)
+            # awaitTermination returns False on timeout: fail LOUDLY then —
+            # stopping a half-drained stream would otherwise surface as a
+            # confusing value mismatch instead of a timeout
+            if not q.awaitTermination(300):
+                raise RuntimeError(
+                    "pipeline_incremental_refresh: availableNow drain did "
+                    "not finish within 300s"
+                )
         finally:
             q.stop()
     finally:

@@ -1,0 +1,102 @@
+"""Round-8 wave 2 (Z66): the skew diagnostic feeding the salting remedy —
+an advisor-driven salted aggregation whose salt count is DERIVED from the
+measured key profile instead of a cargo-culted constant.
+
+Reference parity: none — the reference (SirHooke/debias-batch-processor)
+is single-process and never shuffles; extension per SURVEY §2.H (r7
+verdict growth item 6c: "a skew-profile -> advisor -> salted-execution
+A/B key ... proving the diagnostic feeds the remedy").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.registry import register
+
+# per-reducer row budget: a key whose row count exceeds this gets split
+# across ceil(rows/budget) salt shards, capped at the shuffle width.
+# The budget is deliberately small at test SFs so the derived salt is
+# >= 2 from sf0.001 up (the degenerate k=1 path would prove nothing);
+# production budgets are memory-derived (rows_per_task ~ spill threshold)
+_ROW_BUDGET = 1024
+_SALT_CAP = 32
+_EPS = 0.5 + 1e-9  # floor-eps doctrine: folded constant, ONE addition
+
+
+@register(
+    "diag_skew_salt_autotune",
+    "Z66",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+        SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1
+    ), adv AS (
+        SELECT CAST(max(n) AS BIGINT) AS max_key_rows,
+               CAST(greatest(1, least({_SALT_CAP},
+                    ceil(CAST(max(n) AS DOUBLE) / {_ROW_BUDGET})))
+                    AS BIGINT) AS salt_k
+        FROM c
+    )
+    SELECT l.l_returnflag AS flag,
+           count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                + 0.500000001e0) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+           a.salt_k, a.max_key_rows
+    FROM lineitem l CROSS JOIN adv a
+    GROUP BY 1, a.salt_k, a.max_key_rows
+    ORDER BY 1
+    """,
+)
+def diag_skew_salt_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advisor-driven salting: the key profile (diag_key_skew_profile's
+    measurement) is reduced to max-rows-per-key, the advisor sizes the
+    salt as ceil(max_rows / per-reducer row budget) capped at the
+    shuffle width — the production rule that bounds per-task state even
+    for UNIFORM keys once each key outgrows one task — and the revenue
+    aggregate then actually EXECUTES through a two-stage salted plan
+    with that derived k.  The oracle recomputes both the advisor
+    arithmetic and the aggregate directly, so a salting bug (lost shard,
+    double merge) or a drifted advisor formula both break the hash:
+    the diagnostic demonstrably feeds the remedy (Z58/Z4 closed-loop).
+
+    The 1-row advisor frame is collected to drive the salt literal —
+    a control-flow scalar (same bounded-collect class as the BPE merge
+    table), not a data path.
+
+    Scale shape: profile = one mergeable count aggregate; salted exec =
+    partial agg on (key, salt) fanning each key across k reducers, then
+    a k-rows-per-key final merge.  Values are exact integer cents per
+    row BEFORE aggregation, so the salted re-association is bit-safe."""
+    li = table(spark, sf_dir, "lineitem")
+    prof = (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("max_key_rows"))
+        .first()
+    )
+    max_key_rows = int(prof["max_key_rows"])
+    salt_k = max(1, min(_SALT_CAP, -(-max_key_rows // _ROW_BUDGET)))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(_EPS)
+    ).cast("long")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salt_k))
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("pn"), F.sum(cents).alias("pc")
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.sum("pn").alias("n"), F.sum("pc").alias("rev_cents"))
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            "n",
+            "rev_cents",
+            F.lit(salt_k).cast("long").alias("salt_k"),
+            F.lit(max_key_rows).cast("long").alias("max_key_rows"),
+        )
+        .orderBy("flag")
+    )

@@ -86,7 +86,12 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # block" pattern), so they defer BEHIND the failed/changed keys whose
 # re-proof the window must cover first, while still preceding every
 # evidenced green.  Drain entries once their first CORRECTNESS row lands.
-DEFERRED_NEW_KEYS: list[str] = []
+DEFERRED_NEW_KEYS: list[str] = [
+    # round-8 wave 2+: built after the r8 window filled (39 carried-over
+    # r7 keys + 9 changed + Y62/Z65); these lead round 9's window
+    "diag_skew_salt_autotune",
+    "orders_temporal_split_leakage",
+]
 
 CHANGED_SINCE_CHECK = [
     # r7 two-pass equal-width rewrite (2ab17f2); last driver check r4

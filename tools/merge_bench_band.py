@@ -36,6 +36,15 @@ def merge(paths: list[str]) -> dict:
             runs.append(json.load(fh))
     if not runs:
         raise SystemExit("no input runs")
+    # a band across runs at different scales (or protocols) is meaningless
+    # and would silently poison the tripwire baseline: refuse to merge
+    for field in ("sf", "reps", "metric"):
+        vals = {json.dumps(r.get(field)) for r in runs}
+        if len(vals) > 1:
+            raise SystemExit(
+                f"input runs disagree on {field!r}: {sorted(vals)} — "
+                "merge only same-scale, same-protocol closed-tree runs"
+            )
     keys: set[str] = set()
     for r in runs:
         keys |= set(r.get("queries") or {})
