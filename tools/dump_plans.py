@@ -83,6 +83,10 @@ REPRESENTATIVE = [
     ("text_kl_divergence_lang", "KL: one token explode -> map-side (lang,token) aggregate; lang/token/grand totals all broadcast back"),
     ("embedding_centroid_drift", "centroid drift: posexplode collapses to |labels|x|dims| partials; global vector derived, never a second pass"),
     ("udtf_table_argument_stats", "UDTF TABLE arg PARTITION BY: one hash exchange into the Arrow UDTF stage, no sort"),
+    # round-8 wave
+    ("docs_train_split_decontaminated", "98/1/1 key-arithmetic split; tiny eval side broadcast, EXISTS-via-max screen shuffles one boolean per train doc"),
+    ("diag_skew_salt_autotune", "advisor-derived salt: partial aggregate keys on (flag, _salt) fan each key across k reducers, final merges k partials"),
+    ("orders_temporal_split_leakage", "one per-(split, custkey) pre-aggregation; leaky set broadcast back; no Expand in the rollup (rule-7 shape)"),
 ]
 
 
