@@ -100,3 +100,93 @@ def diag_skew_salt_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "join_cbo_reorder_stats",
+    "X161",
+    # bench=False for the Y61 reason: ~3s of the key is saveAsTable x3 +
+    # ANALYZE scaffolding whose cost the bench already prices via
+    # sink_managed_table_insert and sql_analyze_table_stats; the query
+    # itself is the H5 star shape benched there
+    bench=False,
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.500000001e0) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_cbo_reorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering, fed by ANALYZE statistics (the X149
+    catalog stats actually DOING something): three managed tables —
+    fact (lineitem), mid (orders), small (customer) — get table+column
+    stats, CBO and joinReorder are enabled, and the 3-way join is
+    WRITTEN in the worst syntactic order (fact joined first, the small
+    dimension last).  With stats the optimizer re-orders the inner-join
+    cluster so the small side reduces the intermediate early; the wave
+    test pins the reorder by diffing the optimized plans with CBO on vs
+    off, while this key hash-checks that the reordered execution is
+    value-identical to the declarative join.  At 100 TB this rule is
+    the difference between shuffling the fact table once or twice —
+    and it only exists if ANALYZE ran, which is the operational point.
+
+    Scale: ANALYZE = one scan per table with mergeable sketches; the
+    query itself is the H5 star shape.  Session confs are restored in a
+    finally (never-set -> unset, rule 20); tables are applicationId-
+    suffixed and dropped in the finally."""
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    names = {t: f"x161_{t}_{app}" for t in ("lineitem", "orders", "customer")}
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for df, t in ((li, "lineitem"), (o, "orders"), (c, "customer")):
+            spark.sql(f"DROP TABLE IF EXISTS {names[t]}")
+            df.write.saveAsTable(names[t])
+        spark.sql(f"ANALYZE TABLE {names['lineitem']} COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+        spark.sql(f"ANALYZE TABLE {names['orders']} COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+        spark.sql(f"ANALYZE TABLE {names['customer']} COMPUTE STATISTICS FOR COLUMNS c_custkey")
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        cents = (
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100"
+            " + 0.500000001e0) AS BIGINT)"
+        )
+        out = spark.sql(
+            f"""
+            SELECT c_mktsegment AS segment,
+                   count(*) AS n_lines,
+                   CAST(sum({cents}) AS BIGINT) AS rev_cents
+            FROM {names['lineitem']} l
+            JOIN {names['orders']} o ON o.o_orderkey = l.l_orderkey
+            JOIN {names['customer']} c ON c.c_custkey = o.o_custkey
+            GROUP BY 1 ORDER BY 1
+            """
+        )
+        # materialize WHILE the stats/confs are live; the returned frame
+        # must not depend on tables the finally drops
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "segment string, n_lines bigint, rev_cents bigint"
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -91,6 +91,7 @@ DEFERRED_NEW_KEYS: list[str] = [
     # r7 keys + 9 changed + Y62/Z65); these lead round 9's window
     "diag_skew_salt_autotune",
     "orders_temporal_split_leakage",
+    "join_cbo_reorder_stats",
 ]
 
 CHANGED_SINCE_CHECK = [

@@ -101,3 +101,56 @@ def test_temporal_split_leakage_invariants(spark, specs):
         assert 0 <= r.n_leaky_customers <= r.n_customers
     # a leaky customer is by definition present on BOTH sides
     assert rows["train"].n_leaky_customers == rows["eval"].n_leaky_customers
+
+
+def test_cbo_join_reorder_actually_fires(spark, specs):
+    """X161's claim, pinned: with ANALYZE stats + CBO the optimizer
+    rewrites the written (fact JOIN mid) JOIN small order so the small
+    dimension reduces the intermediate first; without CBO the syntactic
+    order survives."""
+    import re
+
+    from debias_spark.catalog import table
+
+    app = spark.sparkContext.applicationId.replace("-", "_") + "_t"
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    names = {t: f"x161t_{t}_{app}" for t in ("lineitem", "orders", "customer")}
+    confs = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for df, t in ((li, "lineitem"), (o, "orders"), (c, "customer")):
+            spark.sql(f"DROP TABLE IF EXISTS {names[t]}")
+            df.write.saveAsTable(names[t])
+        spark.sql(f"ANALYZE TABLE {names['lineitem']} COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+        spark.sql(f"ANALYZE TABLE {names['orders']} COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+        spark.sql(f"ANALYZE TABLE {names['customer']} COMPUTE STATISTICS FOR COLUMNS c_custkey")
+        q = f"""
+            SELECT c_mktsegment, count(*) AS n
+            FROM {names['lineitem']} l
+            JOIN {names['orders']} o ON o.o_orderkey = l.l_orderkey
+            JOIN {names['customer']} c ON c.c_custkey = o.o_custkey
+            GROUP BY 1
+        """
+        orders_seen = {}
+        for cbo in ("false", "true"):
+            for k in confs:
+                spark.conf.set(k, cbo)
+            plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+            orders_seen[cbo] = re.findall(r"x161t_(lineitem|orders|customer)_", plan)
+        # syntactic order without stats-based reordering
+        assert orders_seen["false"] == ["lineitem", "orders", "customer"]
+        # CBO puts the reducing dimension before the fact table
+        assert orders_seen["true"] != orders_seen["false"]
+        assert orders_seen["true"].index("customer") < orders_seen["true"].index(
+            "lineitem"
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
