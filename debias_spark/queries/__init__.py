@@ -98,4 +98,5 @@ import debias_spark.queries.relational_ext  # noqa: F401  H1-H6, H11-H13, H17
 import debias_spark.queries.relational_ext2  # noqa: F401  X1-X11 second wave
 import debias_spark.queries.llm_ops29  # noqa: F401  Y62 stratified split + decontamination (round 8)
 import debias_spark.queries.pipeline_e2e  # noqa: F401  Z65 incremental refresh pipeline (round 8)
-import debias_spark.queries.relational_ext41  # noqa: F401  Z66 advisor-driven salted agg (round 8)
+import debias_spark.queries.relational_ext41  # noqa: F401  Z66/X161/X162 advisor salting, CBO reorder, decayed engagement (round 8)
+import debias_spark.queries.llm_ops30  # noqa: F401  Y64 importance resampling (round 8)

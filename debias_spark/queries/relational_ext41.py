@@ -190,3 +190,63 @@ def join_cbo_reorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(k, v)
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@register(
+    "events_decayed_engagement",
+    "X162",
+    oracle="""
+    WITH ref AS MATERIALIZED (
+        SELECT max(CAST(ts AS DATE)) AS rd FROM events
+    ), d AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT)
+                   >> least(CAST(datediff('day', CAST(ts AS DATE), ref.rd)
+                                 // 7 AS INT), 62) AS dec_cents
+        FROM events, ref
+    )
+    SELECT user_id,
+           CAST(sum(dec_cents) AS BIGINT) AS score_cents,
+           count(*) AS n_events
+    FROM d GROUP BY user_id
+    ORDER BY score_cents DESC, user_id LIMIT 10
+    """,
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement scoring (the feature-store freshness
+    counter): each event's value halves per 7-day half-life behind the
+    corpus reference date, implemented as an INTEGER RIGHT SHIFT of the
+    cent value by the half-life count — bit-exact on both engines, no
+    exp()/pow() transcendental to drift a ulp (the rule-18/27 doctrine
+    applied to decay).  Top-10 users by decayed score; a user's old
+    burst ranks below a smaller recent streak, which is the point of
+    decay.
+
+    Scale shape: the reference date is a 1-row broadcast aggregate; the
+    decay is a pure projection; one groupBy(user) with mergeable sums;
+    the top-10 is TakeOrdered (per-partition heads, no global sort).
+    At 100 TB the same shift-decay folds into incremental maintenance:
+    yesterday's state shifts right when the day ticks, today's partial
+    adds — exactly the X90 base/delta contract."""
+    from debias_spark.catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.to_date("ts")).alias("rd"))
+    d = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        # SQL form: the Python F.shiftright helper only takes a literal
+        # shift count; the SQL function accepts a column expression
+        F.expr(
+            "shiftright(CAST(round(value * 100) AS BIGINT), "
+            "least(CAST(datediff(rd, CAST(ts AS DATE)) DIV 7 AS INT), 62))"
+        ).alias("dec_cents"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum("dec_cents").alias("score_cents"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("score_cents"), "user_id")
+        .limit(10)
+    )

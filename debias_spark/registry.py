@@ -92,6 +92,8 @@ DEFERRED_NEW_KEYS: list[str] = [
     "diag_skew_salt_autotune",
     "orders_temporal_split_leakage",
     "join_cbo_reorder_stats",
+    "docs_importance_resample",
+    "events_decayed_engagement",
 ]
 
 CHANGED_SINCE_CHECK = [

@@ -154,3 +154,42 @@ def test_cbo_join_reorder_actually_fires(spark, specs):
                 spark.conf.set(k, v)
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_importance_resample_tracks_expectation(spark, specs):
+    rows = specs["docs_importance_resample"].fn(spark, SF).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    total_sampled = sum(r.n_sampled for r in rows)
+    total_expected = sum(r.expected_milli for r in rows) / 1000.0
+    # deterministic coin, so the realized count is FIXED for this data —
+    # assert it lands within 4 sigma of the binomial expectation
+    import math
+
+    sigma = math.sqrt(max(total_expected * (1 - total_expected / total_docs), 1.0))
+    assert abs(total_sampled - total_expected) <= 4 * sigma, (
+        total_sampled,
+        total_expected,
+    )
+    # and it is exactly reproducible
+    again = specs["docs_importance_resample"].fn(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_decayed_engagement_bounds(spark, specs):
+    from debias_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    rows = specs["events_decayed_engagement"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r.score_cents >= 0 for r in rows)
+    # decay only shrinks: every user's decayed score <= undecayed cents
+    raw = {
+        r.user_id: r.c
+        for r in table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert r.score_cents <= raw[r.user_id]
