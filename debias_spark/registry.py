@@ -68,8 +68,9 @@ def load_all_queries() -> dict[str, QuerySpec]:
 #   2. keys whose LATEST driver check failed;
 #   3. keys in CHANGED_SINCE_CHECK below — implementation or oracle
 #      edited after their latest green check (the one input that cannot
-#      be derived from artifacts; builders append here when rewriting a
-#      driver-proven key and the next CORRECTNESS round drains it);
+#      be derived from artifacts; builders append {key: round} when
+#      rewriting a driver-proven key and the entry DRAINS ITSELF once a
+#      green check at/after that round lands — see changed_pending);
 #   4. the evidenced greens, stalest latest-check first (round asc, then
 #      position within that round's file) — so old evidence refreshes
 #      before recent evidence re-proves.
@@ -77,10 +78,6 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # Keep (new + failed + changed) at or under 50 so one driver window
 # covers every key that needs proof.
 
-# Keys whose implementation or oracle changed AFTER their latest green
-# driver check (newest evidence listed; drain entries once a later
-# CORRECTNESS file shows a green re-check).  Order within the list is
-# re-proof priority.
 # New keys built AFTER the current round's 50-key window filled: they
 # stay unproven until next round by construction (the r6/r7 "round-N+1
 # block" pattern), so they defer BEHIND the failed/changed keys whose
@@ -96,21 +93,45 @@ DEFERRED_NEW_KEYS: list[str] = [
     "events_decayed_engagement",
 ]
 
-CHANGED_SINCE_CHECK = [
+# Keys whose implementation or oracle changed AFTER their latest green
+# driver check, mapped to the FIRST round whose green check counts as
+# re-proof (= the round the change shipped in).  Entries drain
+# THEMSELVES: once a CORRECTNESS_r{N}.json with N >= the recorded round
+# shows the key green, it stops occupying a window slot — so a
+# forgotten manual drain cannot waste round-N+1 slots (the third
+# staleness class, closed mechanically like the other two).  Dict order
+# is re-proof priority.
+CHANGED_SINCE_CHECK: dict[str, int] = {
     # r7 two-pass equal-width rewrite (2ab17f2); last driver check r4
-    "lineitem_weighted_median_price",
+    "lineitem_weighted_median_price": 8,
     # r8: operators/prefixsum NULL-safe bucket id + pmod window const
-    "orders_pareto_share",
-    "orders_gini_revenue",
-    "stats_spearman_corr",
+    "orders_pareto_share": 8,
+    "orders_gini_revenue": 8,
+    "stats_spearman_corr": 8,
     # r7 jsonl-sink orphan-.tmp sweep on commit (09a522a); checked r7 pre-fix
-    "sink_python_datasource",
+    "sink_python_datasource": 8,
     # r8 ADVICE: floor-eps oracle respelling (+ 0.500000001e0 single-add)
-    "semdedup_cluster_cosine",
-    "embedding_mmr_rerank",
-    "embedding_matryoshka_rerank",
-    "bpe_encode_corpus",
-]
+    "semdedup_cluster_cosine": 8,
+    "embedding_mmr_rerank": 8,
+    "embedding_matryoshka_rerank": 8,
+    "bpe_encode_corpus": 8,
+}
+
+
+def changed_pending(specs: dict, ev: dict) -> list[str]:
+    """CHANGED_SINCE_CHECK entries still awaiting their post-change green
+    driver check (a green at/after the recorded round satisfies one)."""
+    out = []
+    for k, need in CHANGED_SINCE_CHECK.items():
+        if k not in specs:
+            continue
+        e = ev.get(k)
+        if e is not None and e[0] >= need and _record_green(
+            e[2], specs[k].oracle is not None
+        ):
+            continue  # re-proof landed; entry is spent
+        out.append(k)
+    return out
 
 
 def _correctness_evidence() -> dict[str, tuple[int, int, dict]]:
@@ -174,9 +195,7 @@ def priority_ordered() -> dict[str, QuerySpec]:
         if k in ev and not _record_green(ev[k][2], specs[k].oracle is not None)
     ]
     head = set(never) | set(failed) | deferred_set
-    changed = [
-        k for k in CHANGED_SINCE_CHECK if k in specs and k not in head
-    ]
+    changed = [k for k in changed_pending(specs, ev) if k not in head]
     head |= set(changed)
     deferred = [k for k in DEFERRED_NEW_KEYS if k in deferred_set]
     greens = sorted(

@@ -12,6 +12,7 @@ from debias_spark.registry import (
     DEFERRED_NEW_KEYS,
     _correctness_evidence,
     _record_green,
+    changed_pending,
     load_all_queries,
     priority_ordered,
 )
@@ -49,12 +50,11 @@ def test_failed_changed_and_deferred_precede_all_greens():
     ev = _correctness_evidence()
     order = list(priority_ordered())
     pos = {k: i for i, k in enumerate(order)}
-    needs_proof = {
+    needs_proof = set(changed_pending(specs, ev)) | {
         k
         for k in specs
         if k not in ev
         or not _record_green(ev[k][2], specs[k].oracle is not None)
-        or k in CHANGED_SINCE_CHECK
     }
     first_green = min(
         (pos[k] for k in specs if k not in needs_proof), default=len(order)
@@ -67,11 +67,12 @@ def test_green_tail_is_stalest_first():
     specs = load_all_queries()
     ev = _correctness_evidence()
     order = list(priority_ordered())
+    pending = set(changed_pending(specs, ev))
     tail = [
         k
         for k in order
         if k in ev
-        and k not in CHANGED_SINCE_CHECK
+        and k not in pending
         and _record_green(ev[k][2], specs[k].oracle is not None)
     ]
     keys = [(ev[k][0], ev[k][1]) for k in tail]
@@ -85,6 +86,7 @@ def test_window_covers_every_key_needing_proof():
     either trims CHANGED_SINCE_CHECK or defers the key explicitly."""
     specs = load_all_queries()
     ev = _correctness_evidence()
+    pending = set(changed_pending(specs, ev))
     needing = [
         k
         for k in specs
@@ -93,7 +95,7 @@ def test_window_covers_every_key_needing_proof():
             k in ev
             and not _record_green(ev[k][2], specs[k].oracle is not None)
         )
-        or (k in ev and k in CHANGED_SINCE_CHECK)
+        or (k in ev and k in pending)
     ]
     assert len(needing) <= 50, (
         f"{len(needing)} keys need driver proof but the window holds 50: "
@@ -209,3 +211,30 @@ def test_floor_eps_oracles_keep_boundary_margin():
         f"{fragile} — widen the emission scale or restate the formula "
         f"over integers (see tools/float_margin_audit.py)"
     )
+
+
+def test_changed_entries_drain_once_reproven():
+    """A CHANGED_SINCE_CHECK entry stops consuming a window slot as soon
+    as a CORRECTNESS round >= its recorded round shows the key green —
+    the manual-drain failure mode cannot waste round-N+1 slots."""
+    specs = load_all_queries()
+    ev = _correctness_evidence()
+    any_key = next(iter(CHANGED_SINCE_CHECK))
+    need = CHANGED_SINCE_CHECK[any_key]
+    fake_ev = dict(ev)
+    fake_ev[any_key] = (
+        need,
+        0,
+        {"err": None, "rows_match": True, "schema_match": True, "hash_match": True,
+         "spark_rows": 1, "oracle_rows": 1},
+    )
+    assert any_key in changed_pending(specs, ev) or (
+        any_key in ev
+        and ev[any_key][0] >= need
+        and _record_green(ev[any_key][2], specs[any_key].oracle is not None)
+    )
+    assert any_key not in changed_pending(specs, fake_ev)
+    # and a pre-change green does NOT satisfy it
+    stale_ev = dict(fake_ev)
+    stale_ev[any_key] = (need - 1, 0, fake_ev[any_key][2])
+    assert any_key in changed_pending(specs, stale_ev)
