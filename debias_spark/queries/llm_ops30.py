@@ -69,7 +69,10 @@ def docs_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(keep.cast("long")).alias("n_sampled"),
+            # when/otherwise(0), not sum(cast): an all-NULL group (possible
+            # if regenerated testdata ever ships NULL ids/chars) must yield
+            # 0 like the oracle's CASE, never NULL
+            F.sum(F.when(keep, F.lit(1)).otherwise(F.lit(0))).alias("n_sampled"),
             F.sum(F.when(keep, F.col("n_chars")).otherwise(F.lit(0))).alias(
                 "sampled_chars"
             ),

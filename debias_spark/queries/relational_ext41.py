@@ -102,6 +102,30 @@ def diag_skew_salt_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_cbo_star_tables(spark: SparkSession, sf_dir: str, prefix: str) -> dict[str, str]:
+    """Shared X161 scaffold (also imported by the reorder wave test so
+    the pinned plan diff and the oracled key can never desynchronize):
+    stage fact/mid/small projections as managed tables and ANALYZE the
+    join-key columns.  Caller drops the returned tables."""
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    names = {t: f"{prefix}_{t}_{app}" for t in ("lineitem", "orders", "customer")}
+    for df, t in ((li, "lineitem"), (o, "orders"), (c, "customer")):
+        spark.sql(f"DROP TABLE IF EXISTS {names[t]}")
+        df.write.saveAsTable(names[t])
+    spark.sql(f"ANALYZE TABLE {names['lineitem']} COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+    spark.sql(f"ANALYZE TABLE {names['orders']} COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+    spark.sql(f"ANALYZE TABLE {names['customer']} COMPUTE STATISTICS FOR COLUMNS c_custkey")
+    return names
+
+
+CBO_CONFS = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+
+
 @register(
     "join_cbo_reorder_stats",
     "X161",
@@ -140,27 +164,12 @@ def join_cbo_reorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     query itself is the H5 star shape.  Session confs are restored in a
     finally (never-set -> unset, rule 20); tables are applicationId-
     suffixed and dropped in the finally."""
-    app = spark.sparkContext.applicationId.replace("-", "_")
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    names = {t: f"x161_{t}_{app}" for t in ("lineitem", "orders", "customer")}
-    confs = {
-        "spark.sql.cbo.enabled": "true",
-        "spark.sql.cbo.joinReorder.enabled": "true",
-    }
-    prev = {k: spark.conf.get(k, None) for k in confs}
+    prev = {k: spark.conf.get(k, None) for k in CBO_CONFS}
+    names: dict[str, str] = {}
     try:
-        for df, t in ((li, "lineitem"), (o, "orders"), (c, "customer")):
-            spark.sql(f"DROP TABLE IF EXISTS {names[t]}")
-            df.write.saveAsTable(names[t])
-        spark.sql(f"ANALYZE TABLE {names['lineitem']} COMPUTE STATISTICS FOR COLUMNS l_orderkey")
-        spark.sql(f"ANALYZE TABLE {names['orders']} COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
-        spark.sql(f"ANALYZE TABLE {names['customer']} COMPUTE STATISTICS FOR COLUMNS c_custkey")
-        for k, v in confs.items():
-            spark.conf.set(k, v)
+        names = build_cbo_star_tables(spark, sf_dir, "x161")
+        for k in CBO_CONFS:
+            spark.conf.set(k, "true")
         cents = (
             "CAST(floor(l_extendedprice * (1 - l_discount) * 100"
             " + 0.500000001e0) AS BIGINT)"
@@ -228,9 +237,7 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the same shift-decay folds into incremental maintenance:
     yesterday's state shifts right when the day ticks, today's partial
     adds — exactly the X90 base/delta contract."""
-    from debias_spark.catalog import table as _table
-
-    ev = _table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
     ref = ev.agg(F.max(F.to_date("ts")).alias("rd"))
     d = ev.crossJoin(F.broadcast(ref)).select(
         "user_id",

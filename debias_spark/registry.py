@@ -120,7 +120,15 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
 
 def changed_pending(specs: dict, ev: dict) -> list[str]:
     """CHANGED_SINCE_CHECK entries still awaiting their post-change green
-    driver check (a green at/after the recorded round satisfies one)."""
+    driver check (a green at/after the recorded round satisfies one).
+
+    Round granularity is sufficient BECAUSE of the driver protocol: the
+    CORRECTNESS_r{N} artifact is recorded exactly once, at round close,
+    against the round's final committed tree — so a round-N check always
+    post-dates every round-N change, and ``need = the round the change
+    shipped in`` can never be satisfied by a pre-change green.  If the
+    driver ever starts checking MID-round, record ``need = N + 1``
+    instead (a same-round green would no longer imply post-change)."""
     out = []
     for k, need in CHANGED_SINCE_CHECK.items():
         if k not in specs:

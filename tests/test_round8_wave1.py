@@ -110,22 +110,15 @@ def test_cbo_join_reorder_actually_fires(spark, specs):
     order survives."""
     import re
 
-    from debias_spark.catalog import table
+    from debias_spark.queries.relational_ext41 import CBO_CONFS as confs
+    from debias_spark.queries.relational_ext41 import build_cbo_star_tables
 
-    app = spark.sparkContext.applicationId.replace("-", "_") + "_t"
-    li = table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
-    o = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
-    c = table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
-    names = {t: f"x161t_{t}_{app}" for t in ("lineitem", "orders", "customer")}
-    confs = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
     prev = {k: spark.conf.get(k, None) for k in confs}
+    names = {}
     try:
-        for df, t in ((li, "lineitem"), (o, "orders"), (c, "customer")):
-            spark.sql(f"DROP TABLE IF EXISTS {names[t]}")
-            df.write.saveAsTable(names[t])
-        spark.sql(f"ANALYZE TABLE {names['lineitem']} COMPUTE STATISTICS FOR COLUMNS l_orderkey")
-        spark.sql(f"ANALYZE TABLE {names['orders']} COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
-        spark.sql(f"ANALYZE TABLE {names['customer']} COMPUTE STATISTICS FOR COLUMNS c_custkey")
+        # the SAME scaffold the key executes — plan pin and oracle can
+        # never desynchronize on stats columns or table shapes
+        names = build_cbo_star_tables(spark, SF, "x161t")
         q = f"""
             SELECT c_mktsegment, count(*) AS n
             FROM {names['lineitem']} l
