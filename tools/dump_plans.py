@@ -87,6 +87,8 @@ REPRESENTATIVE = [
     ("docs_train_split_decontaminated", "98/1/1 key-arithmetic split; tiny eval side broadcast, EXISTS-via-max screen shuffles one boolean per train doc"),
     ("diag_skew_salt_autotune", "advisor-derived salt: partial aggregate keys on (flag, _salt) fan each key across k reducers, final merges k partials"),
     ("orders_temporal_split_leakage", "one per-(split, custkey) pre-aggregation; leaky set broadcast back; no Expand in the rollup (rule-7 shape)"),
+    ("docs_importance_resample", "deterministic weighted-acceptance coin as a pure projection: sampling is a scan, only the source rollup shuffles"),
+    ("events_decayed_engagement", "integer shift decay in the scan projection; mergeable per-user sums; top-10 via TakeOrdered, no global sort"),
 ]
 
 
