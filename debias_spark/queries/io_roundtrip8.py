@@ -136,3 +136,66 @@ def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_SPLIT_BYTES = 64 * 1024
+
+
+@register(
+    "source_max_partition_bytes_scan",
+    "Z67",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum({_CENTS}) AS BIGINT) AS rev_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_max_partition_bytes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-split sizing on read (spark.sql.files.maxPartitionBytes) —
+    the READ-side twin of Z64's maxRecordsPerFile: one parquet FILE is
+    scanned as many input partitions (effective split = min(
+    maxPartitionBytes, max(openCostInBytes, bytes/defaultParallelism)),
+    ceil(bytes/split) tasks — arithmetic pinned in the wave test), and
+    the rollup hash-matches the source, proving byte-range splitting
+    never loses or duplicates a row across row-group boundaries.
+
+    At 100 TB this is THE scan-parallelism lever the brief calls out:
+    partitions sized so each task's input fits executor memory — too
+    big spills, too small drowns in task launch; the Z58 advisor's
+    arithmetic picks the value, this key proves the knob.  Confs are
+    restored in a finally (never-set -> unset, rule 20)."""
+    o = table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    out = _sink_dir(spark, sf_dir, "z67_mpb")
+    o.coalesce(1).write.mode("overwrite").parquet(out)
+    _MPB = "spark.sql.files.maxPartitionBytes"
+    _OC = "spark.sql.files.openCostInBytes"
+    prev = {k: spark.conf.get(k, None) for k in (_MPB, _OC)}
+    try:
+        # openCost is raised WITH the split size: the effective split is
+        # min(mpb, max(openCost, bytes/parallelism)), so leaving openCost
+        # at default would let the parallelism term shrink splits below
+        # the demonstrated knob on small inputs
+        spark.conf.set(_MPB, str(_SPLIT_BYTES))
+        spark.conf.set(_OC, str(_SPLIT_BYTES))
+        rb = spark.read.parquet(out)
+        rows = (
+            rb.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "rev_cents"
+                ),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+        # materialized under the live confs; the tiny (<=3-row) result is
+        # re-framed so the returned plan doesn't depend on restored confs
+        return spark.createDataFrame(rows, "o_orderstatus string, n bigint, rev_cents bigint")
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

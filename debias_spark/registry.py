@@ -91,6 +91,7 @@ DEFERRED_NEW_KEYS: list[str] = [
     "join_cbo_reorder_stats",
     "docs_importance_resample",
     "events_decayed_engagement",
+    "source_max_partition_bytes_scan",
 ]
 
 # Keys whose implementation or oracle changed AFTER their latest green

@@ -186,3 +186,42 @@ def test_decayed_engagement_bounds(spark, specs):
     }
     for r in rows:
         assert r.score_cents <= raw[r.user_id]
+
+
+def test_max_partition_bytes_split_arithmetic(spark, specs):
+    """Z67's claim, pinned: a single parquet file is scanned as
+    ceil(bytes / split) input partitions where split =
+    min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism)),
+    and the values are identical however the file is split."""
+    import math
+    import os
+
+    from debias_spark.queries.io_roundtrip import _sink_dir
+
+    base = specs["source_max_partition_bytes_scan"].fn(spark, SF).collect()
+    out = _sink_dir(spark, SF, "z67_mpb")
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1  # the staged input really is ONE file
+    nbytes = os.path.getsize(os.path.join(out, files[0]))
+    confs = ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        split = 4096
+        for k in confs:
+            spark.conf.set(k, str(split))
+        rb = spark.read.parquet(out)
+        expect = math.ceil(nbytes / split)
+        assert rb.rdd.getNumPartitions() == expect > 1
+        # split reads lose/duplicate nothing: same rollup as the key's
+        redone = (
+            rb.groupBy("o_orderstatus").count().orderBy("o_orderstatus").collect()
+        )
+        assert [(r.o_orderstatus, r["count"]) for r in redone] == [
+            (r.o_orderstatus, r.n) for r in base
+        ]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
