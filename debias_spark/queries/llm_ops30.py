@@ -80,3 +80,75 @@ def docs_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _crosssource_oracle(num_hashes: int = 32, bands: int = 4) -> str:
+    """DuckDB replay: the H9 pair pipeline joined to document sources,
+    rolled up as an unordered source x source duplication matrix."""
+    from debias_spark.queries.llm_ops import _minhash_ctes
+
+    ctes, jac = _minhash_ctes(num_hashes, bands)
+    return f"""
+    WITH {ctes}, pairs AS (
+        SELECT c.id, c.rep_id
+        FROM cand c JOIN sh a ON a.id = c.id JOIN sh b ON b.id = c.rep_id
+        WHERE {jac} >= 0.8
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id
+    JOIN documents db ON db.doc_id = p.rep_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register(
+    "docs_dup_crosssource_matrix",
+    "Y65",
+    # bench=False for the H9e/Y61 reason: the key re-runs the full
+    # minhash pair pipeline the bench already prices via H9
+    bench=False,
+    oracle=_crosssource_oracle(),
+)
+def docs_dup_crosssource_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the data-governance rollup over
+    the H9 near-dup pair graph: for every unordered source pair, how
+    many near-duplicate pairs connect them (and how many cross the
+    source boundary).  WITHIN-source duplication means a crawler is
+    re-fetching; CROSS-source duplication means two upstream feeds
+    overlap and one can be dropped — the decision this matrix feeds in a
+    real corpus pipeline.  Source pair is normalized with least/greatest
+    so the matrix is triangular regardless of which side the pair
+    pipeline chose as representative.
+
+    Scale shape: pairs come from the banded-LSH pipeline (never
+    all-pairs); the source lookup is two hash joins on doc_id (broadcast
+    while doc->source fits, shuffle joins beyond); the matrix itself is
+    source-cardinality-squared bounded (tiny)."""
+    docs = table(spark, sf_dir, "documents")
+    from debias_spark.operators.dedup import minhash_dedup
+
+    pairs = minhash_dedup(docs, "doc_id", "text", shingle_n=1, threshold=0.8)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnRenamed("source", "sa"), pairs["id"] == src["doc_id"])
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "sb"),
+            F.col("rep_id") == src["doc_id"],
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("sa") != F.col("sb")).cast("long").alias("x"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"), F.sum("x").alias("n_cross"))
+        .orderBy("source_a", "source_b")
+    )

@@ -92,6 +92,7 @@ DEFERRED_NEW_KEYS: list[str] = [
     "docs_importance_resample",
     "events_decayed_engagement",
     "source_max_partition_bytes_scan",
+    "docs_dup_crosssource_matrix",
 ]
 
 # Keys whose implementation or oracle changed AFTER their latest green

@@ -225,3 +225,23 @@ def test_max_partition_bytes_split_arithmetic(spark, specs):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_crosssource_matrix_conserves_pairs(spark, specs):
+    from debias_spark.operators.dedup import minhash_dedup
+    from debias_spark.catalog import table
+
+    rows = specs["docs_dup_crosssource_matrix"].fn(spark, SF).collect()
+    # triangular matrix, cross-count bounded by pair count
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert 0 <= r.n_cross <= r.n_pairs
+        # same-source cells have zero cross pairs, cross cells are all cross
+        if r.source_a == r.source_b:
+            assert r.n_cross == 0
+        else:
+            assert r.n_cross == r.n_pairs
+    # conservation: the matrix totals exactly the H9 pair count
+    docs = table(spark, SF, "documents")
+    n_pairs = minhash_dedup(docs, "doc_id", "text", shingle_n=1, threshold=0.8).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
