@@ -187,16 +187,31 @@ def minhash_banded(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     round trip per operator node (hundreds of driver round trips per query
     construction — measured as seconds of pure DataFrame-build time on the
     analogous simhash expression)."""
-    rows_per_band = num_hashes // bands
+    return bands_from_sig(minhash_sig_wide(sh, num_hashes), num_hashes, bands)
+
+
+def minhash_sig_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, h0..h{n-1}) wide signature frame — the codegen half of
+    :func:`minhash_banded`, exposed so incremental pipelines (Z68) can
+    persist signatures as STATE and re-derive band rows from them without
+    re-shingling history.  Expressions are textually identical to the
+    pre-split minhash_banded; plans and values are unchanged."""
     ex = sh.select("id", F.explode("sh").alias("s")).withColumn(
         "base", F.expr(f"({H60_SQL.format(x='s')}) % {MINHASH_P}")
     )
-    sig = ex.groupBy("id").agg(
+    return ex.groupBy("id").agg(
         *[
             F.expr(f"min((base * {a} + {b}) % {MINHASH_P}) AS h{h}")
             for h, (a, b) in enumerate(minhash_params(num_hashes))
         ]
     )
+
+
+def bands_from_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_id, band_hash) rows from a wide signature frame (the band
+    half of :func:`minhash_banded`; see its docstring for the spelling
+    doctrine)."""
+    rows_per_band = num_hashes // bands
     bands_sql = ", ".join(
         H60_SQL.format(
             x="concat_ws(',', {}, '{}')".format(

@@ -9,6 +9,13 @@ register FIRST so any per-round key cap or time cutoff lands on keys that
 already have green CORRECTNESS_r01 rows, never on unproven ones.
 """
 
+import debias_spark.queries.llm_ops31  # noqa: F401  Y66/Y68/Y69/Y70 drift monitor, substring spans, epoch plan, rendezvous shards (round 9)
+import debias_spark.queries.llm_ops32  # noqa: F401  Y67 ANN recall autotune (round 9)
+import debias_spark.queries.pipeline_e2e2  # noqa: F401  Z68 incremental near-dup refresh (round 9)
+import debias_spark.queries.relational_ext42  # noqa: F401  X163/X164 k-anonymity, join-strategy autotune (round 9)
+import debias_spark.queries.llm_ops33  # noqa: F401  Y71 LSH band autotune (round 9)
+import debias_spark.queries.io_roundtrip9  # noqa: F401  Z70 gzip unsplittable scan (round 9)
+import debias_spark.queries.relational_ext43  # noqa: F401  X165/X166 subsample CI, reused-exchange proof (round 9)
 import debias_spark.queries.relational_ext12  # noqa: F401  X86-X87 skyline, interval overlap (round 4)
 import debias_spark.queries.relational_ext13  # noqa: F401  X91-X92 k-core, EWMA forecast (round 4)
 import debias_spark.queries.llm_ops9  # noqa: F401  Y19 block dedup (round 4)

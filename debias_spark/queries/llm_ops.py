@@ -64,26 +64,17 @@ _DUCK_TOKENS = (
 )
 
 
-def _minhash_ctes(
-    num_hashes: int = 32, bands: int = 4, source: str = "documents"
-) -> tuple[str, str]:
-    """(cte_chain, jaccard_expr) for the DuckDB replay of minhash_dedup:
-    same base-h60 + affine-permutation signatures, band hashes, and
-    bucket-representative window.  Shared by the pair oracle, the
-    recursive-closure cluster oracle, and (via ``source``) the Z20
-    full-pipeline oracle, which runs the same chain over the exact-dedup
-    representatives CTE instead of raw documents."""
-    from debias_spark.operators.dedup import MINHASH_P, minhash_params
-
+def _band_selects_duck(num_hashes: int, bands: int, from_cte: str = "sig") -> str:
+    """UNION ALL of per-band (id, band_id, band_hash) selects over a wide
+    signature CTE — the DuckDB twin of operators.dedup.bands_from_sig,
+    factored out so multi-band-config oracles (Y71) replay several band
+    layouts from ONE signature CTE.  Text identical to the pre-split
+    _minhash_ctes emission."""
     rpb = num_hashes // bands
-    sig_cols = ", ".join(
-        f"min(((({_h60_duck('s')}) % {MINHASH_P}) * {a} + {b}) % {MINHASH_P})"
-        f" AS h{h}"
-        for h, (a, b) in enumerate(minhash_params(num_hashes))
-    )
-    band_selects = " UNION ALL ".join(
-        "SELECT id, {b} AS band_id, {bh} AS band_hash FROM sig".format(
+    return " UNION ALL ".join(
+        "SELECT id, {b} AS band_id, {bh} AS band_hash FROM {f}".format(
             b=b,
+            f=from_cte,
             bh=
             _h60_duck(
                 "concat_ws(',', {}, '{}')".format(
@@ -96,6 +87,25 @@ def _minhash_ctes(
         )
         for b in range(bands)
     )
+
+
+def _minhash_ctes(
+    num_hashes: int = 32, bands: int = 4, source: str = "documents"
+) -> tuple[str, str]:
+    """(cte_chain, jaccard_expr) for the DuckDB replay of minhash_dedup:
+    same base-h60 + affine-permutation signatures, band hashes, and
+    bucket-representative window.  Shared by the pair oracle, the
+    recursive-closure cluster oracle, and (via ``source``) the Z20
+    full-pipeline oracle, which runs the same chain over the exact-dedup
+    representatives CTE instead of raw documents."""
+    from debias_spark.operators.dedup import MINHASH_P, minhash_params
+
+    sig_cols = ", ".join(
+        f"min(((({_h60_duck('s')}) % {MINHASH_P}) * {a} + {b}) % {MINHASH_P})"
+        f" AS h{h}"
+        for h, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    band_selects = _band_selects_duck(num_hashes, bands)
     jac = (
         "round(len(list_intersect(a.sh, b.sh))::DOUBLE"
         " / len(list_distinct(a.sh || b.sh)), 4)"

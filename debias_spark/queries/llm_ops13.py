@@ -181,7 +181,7 @@ def embedding_pca_power_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_syllables AS INTEGER) AS n_syllables,
            CAST(floor((206.835 - 1.015 * n_words / n_sentences
                                - 84.6 * n_syllables / n_words) * 100
-                      + 0.5 + 1e-9) AS BIGINT) AS flesch_centi
+                      + 0.500000001e0) AS BIGINT) AS flesch_centi
     FROM c
     """,
 )

@@ -129,11 +129,11 @@ _ZIPF_TOP = 200
     )
     SELECT count(*) AS n_terms,
            CAST(floor(regr_slope(ln(f::DOUBLE), ln(r::DOUBLE)) * 10000
-                      + 0.5 + 1e-9) AS BIGINT) AS slope_e4,
+                      + 0.500000001e0) AS BIGINT) AS slope_e4,
            CAST(floor(regr_intercept(ln(f::DOUBLE), ln(r::DOUBLE)) * 10000
-                      + 0.5 + 1e-9) AS BIGINT) AS intercept_e4,
+                      + 0.500000001e0) AS BIGINT) AS intercept_e4,
            CAST(floor(regr_r2(ln(f::DOUBLE), ln(r::DOUBLE)) * 10000
-                      + 0.5 + 1e-9) AS BIGINT) AS r2_e4
+                      + 0.500000001e0) AS BIGINT) AS r2_e4
     FROM ranked
     """,
 )

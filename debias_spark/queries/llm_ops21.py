@@ -35,7 +35,7 @@ from debias_spark.registry import register
            CAST(floor(sum((lt.c / CAST(n.n AS DOUBLE))
                           * ln(CAST(lt.c * m.m AS DOUBLE)
                                / CAST(n.n * g.g AS DOUBLE)))
-                      * 1000000 + 0.5 + 1e-9) AS BIGINT) AS kl_e6
+                      * 1000000 + 0.500000001e0) AS BIGINT) AS kl_e6
     FROM lt
     JOIN n ON n.lang = lt.lang
     JOIN g ON g.token = lt.token
@@ -119,7 +119,7 @@ def text_kl_divergence_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(c) AS BIGINT) AS n_trigrams,
            CAST(count(*) AS BIGINT) AS n_distinct,
            CAST(floor(CAST(count(*) * 1000000 AS DOUBLE)
-                      / CAST(sum(c) AS DOUBLE) + 0.5 + 1e-9) AS BIGINT)
+                      / CAST(sum(c) AS DOUBLE) + 0.500000001e0) AS BIGINT)
                AS diversity_e6
     FROM lt
     GROUP BY lang

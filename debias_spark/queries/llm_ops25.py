@@ -39,7 +39,7 @@ _EPS = 0.5 + 1e-9
            CAST(n AS BIGINT) AS n_grams,
            CAST(n_distinct AS BIGINT) AS n_distinct,
            CAST(floor(ln(CAST(n * n AS DOUBLE) / CAST(c2 AS DOUBLE))
-                      * 1000000 + 0.5 + 1e-9) AS BIGINT) AS renyi2_e6
+                      * 1000000 + 0.500000001e0) AS BIGINT) AS renyi2_e6
     FROM s ORDER BY doc_id
     """,
 )

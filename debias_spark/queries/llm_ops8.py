@@ -46,7 +46,7 @@ def _tokens(col: str = "text"):
     SELECT bg.doc_id,
            count(*) AS n_bigrams,
            CAST(floor(avg(-ln((big.n12 + 1.0) / (uni.n1 + vv.v)))
-                      * 1000000 + 0.5 + 1e-9) AS BIGINT) AS avg_nll_e6
+                      * 1000000 + 0.500000001e0) AS BIGINT) AS avg_nll_e6
     FROM bg
     JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
     JOIN uni ON bg.w1 = uni.w

@@ -1,0 +1,409 @@
+"""Round-9 wave 1 (Z68): NEAR-dup fused into the incremental refresh
+loop — each arriving micro-batch is checked against the PRIOR corpus's
+MinHash band/signature state, so the batch dedup family (H9/Y17) and the
+refresh pipeline (Z65) meet in one engine-native key (r8 verdict item 3).
+
+Reference parity: the reference's Refresh loop
+(analytics/dashboard_widget.py:72-79) re-reads everything and dedups
+nothing; Z65 gave it exact-digest survivors, this key gives it the
+near-duplicate screen a real corpus refresh runs on arrival.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.operators.text import NORMALIZE_STRICT_DUCK
+from debias_spark.queries.io_roundtrip import _WAREHOUSE, _sink_dir
+from debias_spark.queries.llm_ops import _minhash_ctes
+from debias_spark.registry import register
+
+_NH, _NB = 32, 4  # minhash hashes / bands (the H9 family constants)
+# signature-estimated Jaccard >= 0.8  <=>  matching components >= 26
+# (ceil(0.8 * 32); the integer compare keeps the cut exact cross-engine)
+_EST_MIN_MATCHES = 26
+
+_MATCH_TERMS_DUCK = " + ".join(
+    f"(CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END)" for k in range(_NH)
+)
+_MATCH_TERMS_SPARK = " + ".join(
+    f"(CASE WHEN h{k} = g{k} THEN 1 ELSE 0 END)" for k in range(_NH)
+)
+
+_CTES, _ = _minhash_ctes(_NH, _NB)
+
+
+@register(
+    "pipeline_incremental_neardup",
+    "Z68",
+    oracle=f"""
+    WITH {_CTES}, cand2 AS (
+        SELECT DISTINCT n.id, i.id AS j
+        FROM banded n JOIN banded i
+          ON i.band_id = n.band_id AND i.band_hash = n.band_hash
+         AND i.id < n.id
+    ), dropped AS (
+        SELECT DISTINCT c.id FROM cand2 c
+        JOIN sig a ON a.id = c.id JOIN sig b ON b.id = c.j
+        WHERE ({_MATCH_TERMS_DUCK}) >= {_EST_MIN_MATCHES}
+    )
+    SELECT d.lang,
+           CAST(sum(CASE WHEN x.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs,
+           CAST(sum(CASE WHEN x.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN x.id IS NULL THEN CAST(n_chars AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_chars,
+           CAST(min(CASE WHEN x.id IS NULL THEN doc_id END) AS BIGINT)
+               AS min_keeper_id
+    FROM documents d LEFT JOIN dropped x ON x.id = d.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup refresh: the corpus arrives as four
+    doc_id-ordered drops (an availableNow file stream, one file per
+    micro-batch, processed oldest-first); each batch's docs are
+    MinHash-banded and joined against the ACCUMULATED band state — prior
+    batches plus in-batch earlier ids — and a doc is dropped iff some
+    EARLIER doc collides in >= 1 band with signature agreement >= 26/32
+    components (estimated Jaccard >= 0.8, the Y17 policy evaluated from
+    persisted signatures instead of re-shingled history).  Survivor
+    payloads, band rows, and signatures append to state; history text is
+    NEVER re-read or re-hashed.
+
+    Batching-independence (what makes the chain value-oracled): "exists
+    an earlier colliding doc with >= 26 matching components" is a pure
+    predicate over the corpus — slicing by arrival leaves it unchanged
+    as long as arrival order follows doc_id, which the staged drops pin
+    (ascending id ranges, ascending mtimes; FileStreamSource processes
+    oldest-first).  Dropped docs stay IN the band state — they keep
+    suppressing later copies, exactly as the pure predicate requires.
+    The foreachBatch body asserts >= 2 non-empty batches ran.
+
+    Scale shape: per batch the only wide work is its OWN rows' shingle
+    explode (history is signatures, 32 ints/doc, and band rows, 4
+    ints/doc — never text); the index join is banded (never all-pairs)
+    and the state appends are hive-partitioned by band_id so a batch's
+    probe reads prune to colliding bands.  At 100 TB the band state
+    becomes a bucketed table keyed (band_id, band_hash) — same join, a
+    narrower scan; the verification stays a 32-column integer compare
+    with no floats anywhere."""
+    from debias_spark.operators.dedup import (
+        bands_from_sig,
+        minhash_sig_wide,
+        word_shingles,
+    )
+    from debias_spark.warehouse import prune_stale_siblings, stage_single_file_drop
+
+    docs = table(spark, sf_dir, "documents")
+    src_dir = _sink_dir(spark, sf_dir, "z68_src")  # prunes stale z68_src_*
+    base = os.path.basename(src_dir)
+    band_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_bands"))
+    sig_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_sigs"))
+    pay_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_payload"))
+    ckpt_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_ckpt"))
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+    for d in (band_dir, sig_dir, pay_dir, ckpt_dir):
+        prune_stale_siblings(
+            _WAREHOUSE, os.path.basename(d).rsplit("_", 1)[0] + "_", os.path.basename(d)
+        )
+        shutil.rmtree(d, ignore_errors=True)
+
+    # stage four doc_id-ordered drops with ascending mtimes so the file
+    # stream replays the production arrival order (fixture prep: the
+    # count only slices the staging files, it is not part of the query)
+    n_docs = docs.count()
+    bounds = [0, n_docs // 4, n_docs // 2, (3 * n_docs) // 4, n_docs + 1]
+    t0 = time.time() - 3600
+    for i in range(4):
+        stage_single_file_drop(
+            docs.filter(
+                (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+            ),
+            src_dir,
+            f"drop{i}.parquet",
+            mtime=t0 + 60 * i,
+        )
+
+    batches: list[int] = []
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # availableNow's trailing empty commit batch
+            return
+        batches.append(batch_id)
+        ss = batch.sparkSession
+        b_sh = batch.select(
+            F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
+        ).filter(F.size("sh") > 0)
+        # the signature frame feeds three consumers (bands, probe side,
+        # state append) and sits above a shuffle + crypto-hash pipeline:
+        # checkpoint once (memory rule: checkpoint by reuse count)
+        b_sig = minhash_sig_wide(b_sh, _NH).localCheckpoint(eager=True)
+        b_banded = bands_from_sig(b_sig, _NH, _NB)
+
+        idx = b_banded
+        if os.path.isdir(band_dir):
+            idx = ss.read.parquet(band_dir).unionByName(idx)
+        idx = idx.select(
+            F.col("id").alias("j"),
+            F.col("band_id").alias("j_band"),
+            F.col("band_hash").alias("j_hash"),
+        )
+        cand = (
+            b_banded.join(
+                idx,
+                (F.col("j_band") == F.col("band_id"))
+                & (F.col("j_hash") == F.col("band_hash"))
+                & (F.col("j") < F.col("id")),
+            )
+            .select("id", "j")
+            .distinct()
+        )
+        sig_all = b_sig
+        if os.path.isdir(sig_dir):
+            sig_all = ss.read.parquet(sig_dir).unionByName(sig_all)
+        jside = sig_all.select(
+            F.col("id").alias("j"),
+            *[F.col(f"h{k}").alias(f"g{k}") for k in range(_NH)],
+        )
+        dropped = (
+            cand.join(b_sig, "id")
+            .join(jside, "j")
+            .filter(F.expr(f"({_MATCH_TERMS_SPARK}) >= {_EST_MIN_MATCHES}"))
+            .select("id")
+            .distinct()
+        )
+        payload = (
+            batch.select(
+                F.col("doc_id").alias("id"),
+                "lang",
+                F.col("n_chars").cast("long").alias("n_chars"),
+            )
+            .join(dropped.withColumn("_d", F.lit(1)), "id", "left")
+            .select(
+                "id", "lang", "n_chars", F.col("_d").isNotNull().alias("dropped")
+            )
+        )
+        # append-only state: band rows partitioned by band_id (probe
+        # reads prune to colliding bands), signatures and payloads flat
+        b_banded.write.mode("append").partitionBy("band_id").parquet(band_dir)
+        b_sig.write.mode("append").parquet(sig_dir)
+        payload.write.mode("append").parquet(pay_dir)
+
+    _SP = "spark.sql.shuffle.partitions"
+    prev_sp = spark.conf.get(_SP, None)
+    spark.conf.set(_SP, "8")
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise RuntimeError(
+                    "pipeline_incremental_neardup: availableNow drain did "
+                    "not finish within 300s"
+                )
+        finally:
+            q.stop()
+    finally:
+        if prev_sp is None:
+            spark.conf.unset(_SP)
+        else:
+            spark.conf.set(_SP, prev_sp)
+    if len(batches) < 2:
+        raise RuntimeError(
+            f"pipeline_incremental_neardup drained in {len(batches)} "
+            "micro-batch(es); the incremental screen was not exercised"
+        )
+
+    pay = spark.read.parquet(pay_dir)
+    keep = ~F.col("dropped")
+    return (
+        pay.groupBy("lang")
+        .agg(
+            F.sum(keep.cast("long")).alias("n_docs"),
+            F.sum(F.col("dropped").cast("long")).alias("n_dropped"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(F.lit(0))).alias(
+                "sum_chars"
+            ),
+            F.min(F.when(keep, F.col("id"))).alias("min_keeper_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "pipeline_checkpoint_resume",
+    "Z71",
+    oracle=f"""
+    WITH n AS MATERIALIZED (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               {NORMALIZE_STRICT_DUCK.format(x="text")} AS norm
+        FROM documents
+    ), surv AS (
+        SELECT source, n_chars, doc_id FROM (
+            SELECT source, n_chars, doc_id,
+                   row_number() OVER (
+                       PARTITION BY norm
+                       ORDER BY n_chars DESC, doc_id) AS rn
+            FROM n
+        ) WHERE rn = 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_keeper_id
+    FROM surv GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RESUME, exactly-once: the refresh pipeline is run as
+    TWO separate availableNow drains against ONE streaming checkpoint —
+    first over three staged drops, then again after a fourth drop lands.
+    The second drain must process EXACTLY the new file (one non-empty
+    micro-batch, its batch id continuing past the first drain's — the
+    checkpoint carried over, nothing was reprocessed and nothing reset),
+    and the final survivor rollup still hash-matches the whole-corpus
+    oracle — the two halves of the exactly-once contract a production
+    landing zone lives on: no reprocessing AND no loss.
+
+    Scale shape: identical to Z65's merge (argmax per normalized digest,
+    parallel multi-file state swap); what this key adds is the proof
+    that the FileStreamSource offset log, not a full re-listing, decides
+    the second drain's work — at 100 TB re-listing means re-reading a
+    corpus, so checkpoint continuity IS the cost model of a refresh."""
+    from debias_spark.operators.text import normalize_strict
+    from debias_spark.warehouse import (
+        prune_stale_siblings,
+        stage_single_file_drop,
+        swap_state_write,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    src_dir = _sink_dir(spark, sf_dir, "z71_src")
+    base = os.path.basename(src_dir)
+    state_dir = os.path.join(_WAREHOUSE, base.replace("z71_src", "z71_state"))
+    ckpt_dir = os.path.join(_WAREHOUSE, base.replace("z71_src", "z71_ckpt"))
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+    for d in (state_dir, ckpt_dir):
+        prune_stale_siblings(
+            _WAREHOUSE, os.path.basename(d).rsplit("_", 1)[0] + "_", os.path.basename(d)
+        )
+        shutil.rmtree(d, ignore_errors=True)
+
+    n_docs = docs.count()  # fixture staging only
+    bounds = [0, n_docs // 4, n_docs // 2, (3 * n_docs) // 4, n_docs + 1]
+
+    def stage(i: int) -> None:
+        stage_single_file_drop(
+            docs.filter(
+                (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+            ),
+            src_dir,
+            f"drop{i}.parquet",
+        )
+
+    norm = normalize_strict(F.col("text"))
+    seen: list[tuple[int, int]] = []  # (batch_id, row_count)
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        seen.append((batch_id, batch.count()))
+        ann = batch.select(
+            F.md5(norm).alias("digest"),
+            F.struct(
+                F.col("n_chars").cast("long").alias("n_chars"),
+                (-F.col("doc_id")).alias("nid"),
+                F.col("source").alias("source"),
+            ).alias("b"),
+        )
+        surv = ann.groupBy("digest").agg(F.max("b").alias("b"))
+        if os.path.isdir(state_dir):
+            prev = batch.sparkSession.read.parquet(state_dir)
+            surv = prev.unionByName(surv).groupBy("digest").agg(F.max("b").alias("b"))
+        swap_state_write(surv, state_dir)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise RuntimeError(
+                    "pipeline_checkpoint_resume: drain did not finish in 300s"
+                )
+        finally:
+            q.stop()
+
+    _SP = "spark.sql.shuffle.partitions"
+    prev_sp = spark.conf.get(_SP, None)
+    spark.conf.set(_SP, "8")
+    try:
+        for i in range(3):
+            stage(i)
+        drain()
+        first = list(seen)
+        if len(first) < 2:
+            raise RuntimeError(
+                f"first drain took {len(first)} non-empty batches; need >= 2"
+            )
+        stage(3)  # the late drop lands between refreshes
+        drain()
+        second = seen[len(first):]
+    finally:
+        if prev_sp is None:
+            spark.conf.unset(_SP)
+        else:
+            spark.conf.set(_SP, prev_sp)
+
+    # exactly-once, both halves: ONE new batch, with exactly the new
+    # file's rows, and its batch id CONTINUES the checkpoint's sequence
+    if len(second) != 1:
+        raise RuntimeError(
+            f"resume drain ran {len(second)} non-empty batches, expected 1: {seen}"
+        )
+    n_late = n_docs - bounds[3]
+    if second[0][1] != n_late:
+        raise RuntimeError(
+            f"resume batch processed {second[0][1]} rows, expected {n_late}"
+        )
+    if second[0][0] <= max(b for b, _ in first):
+        raise RuntimeError(f"batch ids reset across drains: {seen}")
+
+    state = spark.read.parquet(state_dir)
+    return (
+        state.select(
+            F.col("b.source").alias("source"),
+            F.col("b.n_chars").alias("n_chars"),
+            (-F.col("b.nid")).cast("long").alias("keeper_id"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("keeper_id").alias("min_keeper_id"),
+        )
+        .orderBy("source")
+    )

@@ -91,7 +91,7 @@ _LAT, _LON = _coords_sql("c_custkey")
     SELECT probe_id, cand_id, dist_m FROM (
         SELECT probe_id, cand_id,
                CAST(floor({_haversine_m_sql('plat', 'plon', 'clat', 'clon')}
-                          + 0.5 + 1e-9) AS BIGINT) AS dist_m
+                          + 0.500000001e0) AS BIGINT) AS dist_m
         FROM cand
     ) WHERE dist_m <= {int(_RADIUS_M)}
     """,
@@ -198,7 +198,7 @@ def geo_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN pv IS NULL THEN nv
                     WHEN nv IS NULL THEN pv
                     ELSE pv + (nv - pv) * (hour_s - ph) / (nh - ph)
-               END * 1000 + 0.5 + 1e-9) AS BIGINT) AS interp_millicents
+               END * 1000 + 0.500000001e0) AS BIGINT) AS interp_millicents
     FROM anchored
     """,
 )

@@ -199,13 +199,13 @@ _NJ_MIN_JACC_E4 = 2000
     SELECT i.pa, i.pb,
            CAST(i.i AS BIGINT) AS n_common,
            CAST(floor(CAST(i.i AS DOUBLE) * 10000
-                      / (da.d + db.d - i.i) + 0.5 + 1e-9) AS BIGINT)
+                      / (da.d + db.d - i.i) + 0.500000001e0) AS BIGINT)
                AS jaccard_e4
     FROM inter i
     JOIN deg da ON da.src = i.pa
     JOIN deg db ON db.src = i.pb
     WHERE floor(CAST(i.i AS DOUBLE) * 10000 / (da.d + db.d - i.i)
-                + 0.5 + 1e-9) >= {_NJ_MIN_JACC_E4}
+                + 0.500000001e0) >= {_NJ_MIN_JACC_E4}
     ORDER BY pa, pb
     """,
 )

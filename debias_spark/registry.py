@@ -104,6 +104,8 @@ DEFERRED_NEW_KEYS: list[str] = [
 # staleness class, closed mechanically like the other two).  Dict order
 # is re-proof priority.
 CHANGED_SINCE_CHECK: dict[str, int] = {
+    # --- r8 entries below all drained green in CORRECTNESS_r08 (kept
+    # for the audit trail; changed_pending skips them mechanically) ---
     # r7 two-pass equal-width rewrite (2ab17f2); last driver check r4
     "lineitem_weighted_median_price": 8,
     # r8: operators/prefixsum NULL-safe bucket id + pmod window const
@@ -117,6 +119,20 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     "embedding_mmr_rerank": 8,
     "embedding_matryoshka_rerank": 8,
     "bpe_encode_corpus": 8,
+    # --- r9: floor-eps respell batch 2 (the r8-advice transcendental
+    # sites: llm_ops8/13/17/21/25, relational_ext20/36) ---
+    "text_bigram_lm_score": 9,
+    "text_readability_flesch": 9,
+    "text_zipf_slope": 9,
+    "text_kl_divergence_lang": 9,
+    "text_trigram_diversity": 9,
+    "docs_trigram_renyi_entropy": 9,
+    "geo_grid_radius_join": 9,
+    "timeseries_linear_interp": 9,
+    "graph_neighbor_jaccard": 9,
+    # r9: Z65 state key widened to full md5 (r8 advice) + state write
+    # digest-prefix-partitioned instead of coalesce(1) (r8 verdict #2)
+    "pipeline_incremental_refresh": 9,
 }
 
 
@@ -177,8 +193,13 @@ def _correctness_evidence() -> dict[str, tuple[int, int, dict]]:
 
 def _record_green(rec: dict, has_oracle: bool) -> bool:
     """The driver's green criterion: value-hash match for oracled keys;
-    rows-observed for rows-only-by-design keys (err == 'no_oracle')."""
-    if rec.get("err") == "no_oracle" or not has_oracle:
+    rows-observed for rows-only-by-design keys.  The branch is chosen by
+    what the spec demands NOW, not by how the record was checked: a
+    rows-only (err == 'no_oracle') record for a key that has since
+    GAINED an oracle is NOT green — the key re-enters the window for a
+    hash proof without anyone remembering CHANGED_SINCE_CHECK (r8 advice:
+    this staleness class is detectable from the artifacts alone)."""
+    if not has_oracle:
         rows = rec.get("spark_rows")
         return rec.get("err") in (None, "no_oracle") and isinstance(rows, int) and rows >= 0
     return bool(

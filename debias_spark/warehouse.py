@@ -47,3 +47,45 @@ def prune_stale_siblings(
                 continue
     except OSError:
         pass
+
+
+def swap_state_write(frame, state_dir: str) -> None:
+    """Atomically replace a state directory: parallel multi-file write to
+    ``<state_dir>.staging`` (the frame keeps whatever partitioning its
+    producing plan left — never coalesce(1), the r8 verdict's
+    single-writer bottleneck), then rename-swap so readers never see a
+    half-written state.  Shared by the incremental-pipeline keys
+    (Z65/Z68/Z71); at 100 TB this becomes MERGE INTO a transactional
+    table (X73's contract) and the swap disappears."""
+    import os
+    import shutil
+
+    staging = state_dir + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    frame.write.parquet(staging)
+    old = state_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(state_dir):
+        os.rename(state_dir, old)
+    os.rename(staging, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def stage_single_file_drop(df, src_dir: str, name: str, mtime: float | None = None) -> None:
+    """Write ``df`` as ONE parquet file ``<src_dir>/<name>`` (a staged
+    landing-zone drop for the file-stream pipeline keys), optionally
+    pinning its mtime so FileStreamSource's oldest-first ordering
+    replays a chosen arrival order."""
+    import os
+    import shutil
+
+    tmp = os.path.join(src_dir + f".tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    dst = os.path.join(src_dir, name)
+    shutil.move(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    if mtime is not None:
+        os.utime(dst, (mtime, mtime))

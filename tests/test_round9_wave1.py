@@ -1,0 +1,196 @@
+"""Round-9 wave 1 tests (Y66-Y70, X163-X164, Z68): side contracts the
+oracles cannot see — state-directory layout, accounting identities,
+autotune decisions, plan assertions, determinism.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from debias_spark.registry import load_all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all_queries()
+
+
+def test_drift_monitor_accounting_closes(spark, specs):
+    rows = specs["pipeline_survivor_drift_monitor"].fn(spark, SF).collect()
+    assert rows, "empty drift report"
+    for r in rows:
+        assert r.n_kept + r.n_added == r.n_b, r
+        assert r.n_kept + r.n_removed == r.n_a, r
+        assert 0 <= r.turnover_bp <= 10000, r
+        # generation A is a subset of the corpus: its survivor count for a
+        # lang can never exceed generation B's total docs plus removals
+        assert r.n_a <= r.n_b + r.n_removed, r
+
+
+def test_substring_spans_bounds(spark, specs):
+    rows = specs["docs_substring_dup_spans"].fn(spark, SF).collect()
+    assert rows, "no duplicated spans found (corpus draws from a shared pool)"
+    for r in rows:
+        assert r.n_spans >= 1, r
+        # every span covers at least one full gram
+        assert r.dup_chars >= 20, r
+        assert 0 < r.dup_frac_bp <= 10000, r
+
+
+def test_epoch_plan_budget_and_caps(spark, specs):
+    rows = specs["corpus_repeat_epoch_plan"].fn(spark, SF).collect()
+    assert len(rows) == 20  # src0..src19
+    budget = 3 * sum(r.toks for r in rows)
+    assert sum(r.alloc_tokens for r in rows) <= budget
+    for r in rows:
+        assert r.alloc_tokens >= 0, r
+        if r.capped:
+            # a capped source never exceeds the 4-epoch ceiling
+            assert r.epochs_e4 <= 4 * 10000, r
+    # weights ascend with the source index, so so should allocations
+    by_w = sorted(rows, key=lambda r: r.w)
+    assert by_w[0].alloc_tokens < by_w[-1].alloc_tokens
+
+
+def test_rendezvous_beats_modulo(spark, specs):
+    rows = specs["docs_shard_rendezvous_stability"].fn(spark, SF).collect()
+    assert {r.shard_from for r in rows} == {0, 1, 2, 3}
+    total = sum(r.n_docs for r in rows)
+    moved_hrw = sum(r.n_moved_hrw for r in rows)
+    moved_mod = sum(r.n_moved_mod for r in rows)
+    # HRW moves ~1/5 of docs on 4->5; modulo moves ~4/5 — the whole point
+    assert moved_hrw < moved_mod
+    assert moved_hrw <= total // 2
+    assert moved_mod >= total // 2
+
+
+def test_ann_autotune_picks_one_config(spark, specs):
+    rows = specs["ann_recall_autotune"].fn(spark, SF).collect()
+    assert rows, "chosen index returned no results"
+    chosen = {r.chosen_planes for r in rows}
+    assert len(chosen) == 1 and chosen <= {2, 4}
+    bp = {r.chosen_recall_bp for r in rows}
+    assert len(bp) == 1 and 0 <= bp.pop() <= 10000
+    # per query at most k results
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert max(per_q.values()) <= 3
+
+
+def test_kanonymity_suppression_monotone(spark, specs):
+    rows = {r.level: r for r in specs["events_kanonymity_generalization"].fn(spark, SF).collect()}
+    assert set(rows) == {"L0_type_date_hour", "L1_type_date", "L2_type"}
+    # coarsening can only merge classes: suppressed rows never increase
+    assert (
+        rows["L0_type_date_hour"].n_rows_suppressed
+        >= rows["L1_type_date"].n_rows_suppressed
+        >= rows["L2_type"].n_rows_suppressed
+    )
+    assert rows["L2_type"].n_small_classes <= rows["L1_type_date"].n_small_classes
+
+
+def test_join_autotune_branches_and_plan(spark, specs):
+    # the key itself asserts the physical plan matches the choice; here we
+    # pin that both branches are actually exercised at test SFs
+    rows = specs["diag_join_strategy_autotune"].fn(spark, SF).collect()
+    assert rows
+    assert {r.customer_path for r in rows} == {"smj"}
+    assert {r.nation_path for r in rows} == {"broadcast"}
+
+
+def test_incremental_neardup_state_layout(spark, specs):
+    from debias_spark.queries.io_roundtrip import _WAREHOUSE
+
+    out = specs["pipeline_incremental_neardup"].fn(spark, SF).collect()
+    assert out, "empty rollup"
+    tag = os.path.basename(SF) + "_" + spark.sparkContext.applicationId
+    band_dir = os.path.join(_WAREHOUSE, f"z68_bands_{tag}")
+    sig_dir = os.path.join(_WAREHOUSE, f"z68_sigs_{tag}")
+    pay_dir = os.path.join(_WAREHOUSE, f"z68_payload_{tag}")
+    # band state is hive-partitioned by band_id, all 4 bands present
+    bands = {os.path.basename(p) for p in glob.glob(band_dir + "/band_id=*")}
+    assert bands == {f"band_id={b}" for b in range(4)}
+    # DROPPED docs stay in the band/sig state (they keep suppressing),
+    # so the signature state covers every doc with a non-empty shingle
+    # set — kept or dropped
+    sigs = spark.read.parquet(sig_dir)
+    n_sig = sigs.count()
+    assert sigs.select("id").distinct().count() == n_sig
+    pay = spark.read.parquet(pay_dir)
+    n_pay = pay.count()
+    n_dropped = pay.filter("dropped").count()
+    assert n_sig <= n_pay  # empty-shingle docs have payload but no signature
+    assert n_dropped == sum(r.n_dropped for r in out)
+    assert n_pay - n_dropped == sum(r.n_docs for r in out)
+    # dropped docs' signatures are still present in state
+    dropped_ids = {r.id for r in pay.filter("dropped").select("id").collect()}
+    sig_ids = {r.id for r in sigs.select("id").collect()}
+    assert dropped_ids <= sig_ids
+
+
+def test_incremental_neardup_restores_shuffle_conf(spark, specs):
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    specs["pipeline_incremental_neardup"].fn(spark, SF).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions", None) == prev
+
+
+def test_band_autotune_pool_and_choice(spark, specs):
+    rows = {r.bands: r for r in specs["dedup_band_autotune"].fn(spark, SF).collect()}
+    assert set(rows) == {2, 4, 8}
+    # loosest layout is the truth pool: recall 10000 by construction
+    assert rows[8].recall_bp == 10000
+    # candidate volume grows with band count (more, shorter bands)
+    assert rows[2].n_cand <= rows[4].n_cand <= rows[8].n_cand
+    assert sum(1 for r in rows.values() if r.chosen == 1) == 1
+    for r in rows.values():
+        assert r.n_verified <= r.n_cand, r
+        assert 0 <= r.precision_bp <= 10000 or r.n_cand == 0, r
+
+
+def test_gzip_scan_rollups_agree(spark, specs):
+    rows = specs["source_gzip_unsplittable_scan"].fn(spark, SF).collect()
+    gz = {(r.lang): (r.n_docs, r.sum_chars) for r in rows if r.fmt == "gzip"}
+    pl = {(r.lang): (r.n_docs, r.sum_chars) for r in rows if r.fmt == "plain"}
+    assert gz == pl and gz  # both roundtrips carried identical data
+
+
+def test_subsample_ci_brackets_mean(spark, specs):
+    r = specs["stats_subsample_ci"].fn(spark, SF).collect()[0]
+    assert r.n_replicas == 32
+    assert r.ci_lo_cents <= r.ci_hi_cents
+    assert r.spread_cents == r.ci_hi_cents - r.ci_lo_cents
+    # 80% subsample means hug the full mean; the CI must bracket it
+    assert r.ci_lo_cents <= r.mean_cents <= r.ci_hi_cents
+
+
+def test_subsample_ci_deterministic(spark, specs):
+    fn = specs["stats_subsample_ci"].fn
+    assert fn(spark, SF).collect() == fn(spark, SF).collect()
+
+
+def test_checkpoint_resume_deterministic(spark, specs):
+    # the key self-asserts the exactly-once contract (one new batch, the
+    # new file's exact row count, continuing batch ids); here: stability
+    fn = specs["pipeline_checkpoint_resume"].fn
+    a = sorted(map(tuple, fn(spark, SF).collect()))
+    b = sorted(map(tuple, fn(spark, SF).collect()))
+    assert a == b and a
+
+
+def test_encoding_advisor_decisions(spark, specs):
+    rows = {r.col_name: r for r in specs["diag_encoding_advisor"].fn(spark, SF).collect()}
+    assert set(rows) == {"o_orderpriority", "o_orderstatus", "o_custkey", "o_orderkey"}
+    # 5 priorities / 3 statuses over >=1k rows -> dictionary class
+    assert rows["o_orderpriority"].encoding == "dict"
+    assert rows["o_orderstatus"].encoding == "dict"
+    # a unique key can be neither dict nor RLE
+    assert rows["o_orderkey"].encoding == "plain"
+    assert rows["o_orderkey"].distinct_bp == 10000
+    for r in rows.values():
+        assert r.n_runs <= r.n_rows and r.n_distinct <= r.n_rows, r

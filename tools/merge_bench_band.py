@@ -20,7 +20,16 @@ Output schema = bench.py's BENCH_full schema plus:
                   slow-band anchor round 7 chose deliberately, so ratio
                   gates never flatter a fast-band fluke), failures (-1)
                   preserved if any run failed
+    "value_sum_of_max": sum of the per-key MAX anchors — an upper bound
+                  that structurally exceeds value_band's max (it mixes
+                  each key's slowest run); kept for the tripwire's
+                  per-key math, never for headline comparison
 bench.py's tripwire reads band max as the baseline (load_prev_bench).
+
+The headline "value" is the NEWEST run's measured total (a real
+wall-clock number inside value_band), not the sum of per-key maxes —
+r8 advice: a sum-of-maxes headline always reads as out-of-band to any
+consumer comparing it against value_band.
 """
 
 from __future__ import annotations
@@ -65,7 +74,11 @@ def merge(paths: list[str]) -> dict:
         {
             "queries": queries,
             "queries_n": len(queries),
-            "value": round(sum(v for v in queries.values() if v >= 0), 4),
+            # headline = the newest run's real measured total (inside
+            # value_band); the sum-of-max-anchors upper bound is kept
+            # under its own honest name
+            "value": round(float(runs[-1].get("value", -1)), 4),
+            "value_sum_of_max": round(sum(v for v in queries.values() if v >= 0), 4),
             "value_band": [round(min(totals), 4), round(max(totals), 4)] if totals else [],
             "band": band,
             "runs_n": len(runs),
@@ -83,7 +96,8 @@ def main() -> None:
     with open(out, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(
-        f"{out}: {payload['queries_n']} keys, anchor total {payload['value']}s, "
+        f"{out}: {payload['queries_n']} keys, newest-run total {payload['value']}s "
+        f"(sum-of-max anchors {payload['value_sum_of_max']}s), "
         f"band {payload['value_band']}, runs {payload['runs_n']}"
     )
 
