@@ -120,3 +120,31 @@ NORMALIZE_STRICT_DUCK = (
     "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9 ]', '', 'g'),"
     " ' +', ' ', 'g'))"
 )
+
+
+def word_ngrams_frame(docs, n: int, id_col: str = "doc_id", text_col: str = "text"):
+    """DISTINCT (id, gram) rows of n-token windows per document — the
+    contamination-audit gram build (Y12), factored out so the bloom
+    prefilter variant (Y72) provably screens the IDENTICAL gram set.
+    Windows come from lead() over token positions (codegen; the trailing
+    lead(n-1) null filter drops windows that run off the document)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from debias_spark.operators.dedup import word_tokens
+
+    ex = docs.select(
+        id_col, F.posexplode(word_tokens(F.col(text_col))).alias("pos", "t")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    return (
+        ex.select(
+            id_col,
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("t", n - 1).over(w).alias("_tl"),
+        )
+        .filter(F.col("_tl").isNotNull())
+        .drop("_tl")
+        .distinct()
+    )

@@ -1,0 +1,93 @@
+"""Round-9 wave 4 (Y72): bloom-filter decontamination prefilter — the
+100 TB shape Y12's docstring promises ("the broadcast becomes a
+bloom-filter prefilter plus this exact join for survivors"), made real
+as pure expressions: a bit array built from the eval gram set, probed
+with two md5-derived hashes per train gram, the survivors exact-joined.
+
+Reference parity: the reference has no dedup/decontamination at all;
+this is the standard contamination screen for web-scale training
+corpora (eval set small, corpus enormous — the broadcast join's hash
+table is replaced by a few KB of bloom bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.queries.llm_ops7 import _EVAL_MAX_ID, NGRAM_AUDIT_ORACLE
+from debias_spark.registry import register
+
+_M_BITS = 1 << 17  # bloom width: 131072 bits = 2048 longs (~16 KB)
+_GRAM_N = 8
+_EVAL_CAP = 500_000  # hard bound on the collected eval gram set
+
+# two independent 60-bit hashes from one md5: hex chars [1..15] and
+# [16..30] (the same H60 doctrine the dedup family uses)
+_H1 = f"CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT) % {_M_BITS}"
+_H2 = f"CAST(conv(substr(md5(gram), 16, 15), 16, 10) AS BIGINT) % {_M_BITS}"
+
+
+@register("docs_decontam_bloom_prefilter", "Y72", oracle=NGRAM_AUDIT_ORACLE)
+def docs_decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y12's contamination audit behind a BLOOM PREFILTER: the eval
+    set's distinct 8-token grams (bounded — eval benchmarks are small by
+    nature; hard-capped here) build a 131072-bit / 2-hash bloom filter
+    driver-side, shipped to executors as a 2048-long literal array; each
+    train gram probes the bits with two md5-derived hashes as PURE
+    Catalyst expressions (shiftright + bitwise-and on the array
+    elements — no UDF, no broadcast hash table), and only bloom
+    survivors reach the exact broadcast join.  Blooms have NO false
+    negatives, so the final result is bit-identical to Y12's — proven by
+    hashing against Y12's EXACT oracle text — while false positives die
+    in the exact join.
+
+    At 100 TB this is THE decontamination plan: the corpus-side scan
+    carries a ~16 KB bit array instead of a multi-GB broadcast, the
+    prefilter runs inside whole-stage codegen, and the exact join sees
+    only the (tiny) candidate stream.  The in-code selectivity assert
+    pins that the prefilter actually filtered (a bloom sized too small
+    degrades to a pass-through, silently un-doing the plan)."""
+    import hashlib
+
+    from debias_spark.operators.text import word_ngrams_frame
+
+    docs = table(spark, sf_dir, "documents")
+    grams = word_ngrams_frame(docs, _GRAM_N)
+    eval_grams = (
+        grams.filter(F.col("doc_id") < _EVAL_MAX_ID).select("gram").distinct()
+    )
+    # bounded driver-side collect: the eval set DEFINES the filter (same
+    # class as the BPE merge-table collects); capped loudly
+    eset = [r.gram for r in eval_grams.collect()]
+    if len(eset) > _EVAL_CAP:
+        raise RuntimeError(
+            f"eval gram set {len(eset)} exceeds the {_EVAL_CAP} bloom cap"
+        )
+    words = [0] * (_M_BITS // 64)
+    for g in eset:
+        hx = hashlib.md5(g.encode("utf-8")).hexdigest()
+        for h in (int(hx[:15], 16) % _M_BITS, int(hx[15:30], 16) % _M_BITS):
+            words[h // 64] |= 1 << (h % 64)
+    # signed-long wrap: Spark array<bigint> literals are signed 64-bit
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bits = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    member = (
+        f"((shiftright(element_at({bits}, CAST({{h}} div 64 AS INT) + 1),"
+        f" CAST({{h}} % 64 AS INT)) & 1) = 1)"
+    )
+    train = grams.filter(F.col("doc_id") >= _EVAL_MAX_ID)
+    pre = train.filter(
+        F.expr(member.format(h=_H1)) & F.expr(member.format(h=_H2))
+    )
+    n_train, n_pre = train.count(), pre.count()
+    assert n_pre < n_train, (
+        f"bloom prefilter passed everything ({n_pre}/{n_train}) — "
+        "filter width degraded to a pass-through"
+    )
+    return (
+        pre.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"), F.min("gram").alias("sample_gram"))
+    )

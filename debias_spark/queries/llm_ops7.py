@@ -40,10 +40,10 @@ def bpe_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVAL_MAX_ID = 20  # docs below this id play the held-out benchmark set
 
 
-@register(
-    "docs_contamination_ngram_audit",
-    "Y12",
-    oracle=f"""
+# shared by Y12 and the bloom-prefilter variant Y72 (llm_ops34): the
+# prefilter must provably compute the IDENTICAL result, so both keys
+# hash against the same oracle text
+NGRAM_AUDIT_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id,
                {_DUCK_ALL_TOKENS} AS t
@@ -67,8 +67,10 @@ _EVAL_MAX_ID = 20  # docs below this id play the held-out benchmark set
     FROM grams g JOIN eval_grams e ON e.gram = g.gram
     WHERE g.doc_id >= {_EVAL_MAX_ID}
     GROUP BY g.doc_id
-    """,
-)
+    """
+
+
+@register("docs_contamination_ngram_audit", "Y12", oracle=NGRAM_AUDIT_ORACLE)
 def docs_contamination_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination audit against a DERIVED eval set: the
     benchmark docs' (doc_id < 20) distinct 8-token windows are joined
@@ -81,27 +83,12 @@ def docs_contamination_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFram
     exact join for survivors — same plan skeleton.  Output: contaminated
     doc ids with hit counts and a deterministic sample gram."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from debias_spark.catalog import table as _table
-    from debias_spark.operators.dedup import word_tokens
+    from debias_spark.operators.text import word_ngrams_frame
 
     d = _table(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos", "t")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, 8)]
-    grams = (
-        ex.select(
-            "doc_id",
-            F.concat_ws(" ", *parts).alias("gram"),
-            F.lead("t", 7).over(w).alias("_t7"),
-        )
-        .filter(F.col("_t7").isNotNull())
-        .drop("_t7")
-        .distinct()
-    )
+    grams = word_ngrams_frame(d, 8)
     eval_grams = (
         grams.filter(F.col("doc_id") < _EVAL_MAX_ID).select("gram").distinct()
     )

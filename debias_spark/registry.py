@@ -131,8 +131,13 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     "timeseries_linear_interp": 9,
     "graph_neighbor_jaccard": 9,
     # r9: Z65 state key widened to full md5 (r8 advice) + state write
-    # digest-prefix-partitioned instead of coalesce(1) (r8 verdict #2)
+    # parallelized off the merge partitioning instead of coalesce(1)
+    # (r8 verdict #2)
     "pipeline_incremental_refresh": 9,
+    # r9: gram build factored into operators.text.word_ngrams_frame so
+    # Y72's bloom prefilter provably screens the identical gram set
+    # (value-identical; re-proven at 3 SFs + equality test vs Y72)
+    "docs_contamination_ngram_audit": 9,
 }
 
 

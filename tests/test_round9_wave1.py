@@ -194,3 +194,35 @@ def test_encoding_advisor_decisions(spark, specs):
     assert rows["o_orderkey"].distinct_bp == 10000
     for r in rows.values():
         assert r.n_runs <= r.n_rows and r.n_distinct <= r.n_rows, r
+
+
+def test_bloom_prefilter_equals_exact_audit(spark, specs):
+    # the bloom path must produce the IDENTICAL rows as Y12's exact screen
+    exact = sorted(map(tuple, specs["docs_contamination_ngram_audit"].fn(spark, SF).collect()))
+    bloom = sorted(map(tuple, specs["docs_decontam_bloom_prefilter"].fn(spark, SF).collect()))
+    assert exact == bloom and exact
+
+
+def test_quarantine_routing_accounting(spark, specs):
+    rows = specs["pipeline_quarantine_dead_letter"].fn(spark, SF).collect()
+    routes = {r.route for r in rows}
+    assert "kept" in routes and any(r.startswith("quarantined:") for r in routes)
+    total = sum(r.n_docs for r in rows)
+    assert total == 500  # every doc routed exactly once at sf0.001
+
+
+def test_referential_integrity_zero_violations(spark, specs):
+    rows = {r.constraint_name: r for r in specs["diag_referential_integrity_audit"].fn(spark, SF).collect()}
+    assert set(rows) == {
+        "lineitem_orphans", "orders_childless", "orders_bad_custkey", "lineitem_dup_pk",
+    }
+    for r in rows.values():
+        assert r.n_violations <= r.n_checked, r
+
+
+def test_execute_immediate_filters_reach_plan(spark, specs):
+    from debias_spark.plans import scan_pushed_filters
+
+    df = specs["sql_execute_immediate_pack"].fn(spark, SF)
+    rows = df.collect()
+    assert rows and all(r.o_orderpriority != "5-LOW" for r in rows)
