@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
+from debias_spark.operators.dedup import H60_SQL
 from debias_spark.queries.llm_ops7 import _EVAL_MAX_ID, NGRAM_AUDIT_ORACLE
 from debias_spark.registry import register
 
@@ -23,9 +24,9 @@ _M_BITS = 1 << 17  # bloom width: 131072 bits = 2048 longs (~16 KB)
 _GRAM_N = 8
 _EVAL_CAP = 500_000  # hard bound on the collected eval gram set
 
-# two independent 60-bit hashes from one md5: hex chars [1..15] and
-# [16..30] (the same H60 doctrine the dedup family uses)
-_H1 = f"CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT) % {_M_BITS}"
+# two independent 60-bit hashes from one md5: hex chars [1..15] (the
+# canonical H60_SQL spelling, reused verbatim) and [16..30]
+_H1 = H60_SQL.format(x="gram") + f" % {_M_BITS}"
 _H2 = f"CAST(conv(substr(md5(gram), 16, 15), 16, 10) AS BIGINT) % {_M_BITS}"
 
 
@@ -54,13 +55,18 @@ def docs_decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     from debias_spark.operators.text import word_ngrams_frame
 
     docs = table(spark, sf_dir, "documents")
-    grams = word_ngrams_frame(docs, _GRAM_N)
-    eval_grams = (
-        grams.filter(F.col("doc_id") < _EVAL_MAX_ID).select("gram").distinct()
-    )
+    # the gram frame feeds three consumers (eval collect, train stats,
+    # final join) above a window + shuffle chain: checkpoint once
+    grams = word_ngrams_frame(docs, _GRAM_N).localCheckpoint(eager=True)
     # bounded driver-side collect: the eval set DEFINES the filter (same
     # class as the BPE merge-table collects); capped loudly
-    eset = [r.gram for r in eval_grams.collect()]
+    eset = [
+        r.gram
+        for r in grams.filter(F.col("doc_id") < _EVAL_MAX_ID)
+        .select("gram")
+        .distinct()
+        .collect()
+    ]
     if len(eset) > _EVAL_CAP:
         raise RuntimeError(
             f"eval gram set {len(eset)} exceeds the {_EVAL_CAP} bloom cap"
@@ -73,21 +79,28 @@ def docs_decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     # signed-long wrap: Spark array<bigint> literals are signed 64-bit
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     bits = "array(" + ",".join(f"{w}L" for w in words) + ")"
-    member = (
-        f"((shiftright(element_at({bits}, CAST({{h}} div 64 AS INT) + 1),"
-        f" CAST({{h}} % 64 AS INT)) & 1) = 1)"
+    # ONE bits literal in the plan: both probes run inside a forall over
+    # the two hash expressions (md5 evaluated twice, not four times)
+    member = F.expr(
+        f"forall(array({_H1}, {_H2}), h ->"
+        f" (shiftright(element_at({bits}, CAST(h div 64 AS INT) + 1),"
+        f" CAST(h % 64 AS INT)) & 1) = 1)"
     )
     train = grams.filter(F.col("doc_id") >= _EVAL_MAX_ID)
-    pre = train.filter(
-        F.expr(member.format(h=_H1)) & F.expr(member.format(h=_H2))
-    )
-    n_train, n_pre = train.count(), pre.count()
-    assert n_pre < n_train, (
-        f"bloom prefilter passed everything ({n_pre}/{n_train}) — "
-        "filter width degraded to a pass-through"
-    )
+    # selectivity guard in ONE aggregate pass (not two count jobs); a
+    # raise, not assert — the guard must survive python -O
+    st = train.agg(
+        F.count("*").alias("n_train"), F.sum(member.cast("long")).alias("n_pre")
+    ).collect()[0]
+    if st.n_train > 0 and st.n_pre >= st.n_train:
+        raise RuntimeError(
+            f"bloom prefilter passed everything ({st.n_pre}/{st.n_train}) — "
+            "filter width degraded to a pass-through"
+        )
+    eval_grams = spark.createDataFrame([(g,) for g in eset], "gram string")
     return (
-        pre.join(F.broadcast(eval_grams), "gram")
+        train.filter(member)
+        .join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"), F.min("gram").alias("sample_gram"))
     )

@@ -24,17 +24,17 @@ from debias_spark.registry import register
 _MIN_CHARS = 180  # gate 1: documents shorter than this quarantine as 'short'
 _WS_MAX_PCT = 20  # gate 2: whitespace above this percent -> 'ws_heavy'
 
-# first-match-wins reason, spelled once and shared by both engines
-_REASON_DUCK = f"""CASE
-    WHEN CAST(n_chars AS BIGINT) < {_MIN_CHARS} THEN 'short'
+# first-match-wins reason: ONE template, instantiated per engine with
+# only the integer-div operator differing (a transcription error in a
+# hand-maintained copy would only surface at the SFs where that arm
+# fires — sf0.1 for ws_heavy)
+_REASON_TPL = """CASE
+    WHEN CAST(n_chars AS BIGINT) < {min_chars} THEN 'short'
     WHEN (length(text) - length(replace(text, ' ', ''))) * 100
-         // greatest(length(text), 1) >= {_WS_MAX_PCT} THEN 'ws_heavy'
+         {intdiv} greatest(length(text), 1) >= {ws_pct} THEN 'ws_heavy'
     ELSE NULL END"""
-_REASON_SPARK = f"""CASE
-    WHEN CAST(n_chars AS BIGINT) < {_MIN_CHARS} THEN 'short'
-    WHEN (length(text) - length(replace(text, ' ', ''))) * 100
-         div greatest(length(text), 1) >= {_WS_MAX_PCT} THEN 'ws_heavy'
-    ELSE NULL END"""
+_REASON_DUCK = _REASON_TPL.format(min_chars=_MIN_CHARS, ws_pct=_WS_MAX_PCT, intdiv="//")
+_REASON_SPARK = _REASON_TPL.format(min_chars=_MIN_CHARS, ws_pct=_WS_MAX_PCT, intdiv="div")
 
 
 @register(
@@ -73,12 +73,16 @@ def pipeline_quarantine_dead_letter(spark: SparkSession, sf_dir: str) -> DataFra
     for d in (keep_dir, dlq_dir):
         shutil.rmtree(d, ignore_errors=True)
 
+    # checkpoint A/B (interleaved, sf0.1, min-of-3): WITH 0.68-0.85s vs
+    # recompute 0.76-1.0s — the narrow 4-column cache beats re-scanning
+    # text for the second write, a (small) exception to the cheap-
+    # projection rule because BOTH consumers re-read the wide text col
     routed = docs.select(
         "doc_id",
         "lang",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.expr(_REASON_SPARK).alias("reason"),
-    ).localCheckpoint(eager=True)  # one classification feeds both writes
+    ).localCheckpoint(eager=True)
     routed.filter(F.col("reason").isNull()).drop("reason").write.parquet(keep_dir)
     routed.filter(F.col("reason").isNotNull()).write.parquet(dlq_dir)
 

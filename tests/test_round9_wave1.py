@@ -211,13 +211,18 @@ def test_quarantine_routing_accounting(spark, specs):
     assert total == 500  # every doc routed exactly once at sf0.001
 
 
-def test_referential_integrity_zero_violations(spark, specs):
+def test_referential_integrity_ground_truth(spark, specs):
     rows = {r.constraint_name: r for r in specs["diag_referential_integrity_audit"].fn(spark, SF).collect()}
     assert set(rows) == {
         "lineitem_orphans", "orders_childless", "orders_bad_custkey", "lineitem_dup_pk",
     }
-    for r in rows.values():
-        assert r.n_violations <= r.n_checked, r
+    # known ground truth of the synthetic testdata: the FK chains are
+    # clean, but childless orders and duplicated (orderkey, linenumber)
+    # pairs genuinely exist — the audit must FIND them, not report <=
+    assert rows["lineitem_orphans"].n_violations == 0
+    assert rows["orders_bad_custkey"].n_violations == 0
+    assert rows["orders_childless"].n_violations > 0
+    assert rows["lineitem_dup_pk"].n_violations > 0
 
 
 def test_execute_immediate_filters_reach_plan(spark, specs):
@@ -226,3 +231,17 @@ def test_execute_immediate_filters_reach_plan(spark, specs):
     df = specs["sql_execute_immediate_pack"].fn(spark, SF)
     rows = df.collect()
     assert rows and all(r.o_orderpriority != "5-LOW" for r in rows)
+    # the docstring's claim: dynamic SQL plans like static SQL — the
+    # USING parameters land as pushable scan filters
+    pushed = " ".join(scan_pushed_filters(df))
+    assert "o_totalprice" in pushed and "o_orderpriority" in pushed, pushed
+
+
+def test_quarantine_ws_heavy_arm_fires_at_sf01(spark, specs):
+    # sf0.001/sf0.01 have zero ws_heavy docs, so only sf0.1 exercises the
+    # second CASE arm — pin it there so a transcription error in either
+    # engine's spelling cannot hide behind the smaller SFs
+    rows = specs["pipeline_quarantine_dead_letter"].fn(
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    assert any(r.route == "quarantined:ws_heavy" for r in rows), rows
