@@ -119,9 +119,14 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage four doc_id-ordered drops with ascending mtimes so the file
     # stream replays the production arrival order (fixture prep: the
-    # count only slices the staging files, it is not part of the query)
-    n_docs = docs.count()
-    bounds = [0, n_docs // 4, n_docs // 2, (3 * n_docs) // 4, n_docs + 1]
+    # 1-row min/max only slices the staging files, it is not part of the
+    # query).  Bounds come from the ID RANGE, not the row count — a
+    # sparse/offset id space (the 4x stress replicas) would otherwise
+    # leave slices empty or drop ids beyond count+1 entirely
+    mm = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    lo, hi = mm.lo, mm.hi + 1
+    span = hi - lo
+    bounds = [lo, lo + span // 4, lo + span // 2, lo + (3 * span) // 4, hi]
     t0 = time.time() - 3600
     for i in range(4):
         stage_single_file_drop(
@@ -306,8 +311,11 @@ def pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         shutil.rmtree(d, ignore_errors=True)
 
-    n_docs = docs.count()  # fixture staging only
-    bounds = [0, n_docs // 4, n_docs // 2, (3 * n_docs) // 4, n_docs + 1]
+    # fixture staging only: id-RANGE quartiles (robust to sparse ids)
+    mm = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    lo, hi = mm.lo, mm.hi + 1
+    span = hi - lo
+    bounds = [lo, lo + span // 4, lo + span // 2, lo + (3 * span) // 4, hi]
 
     def stage(i: int) -> None:
         stage_single_file_drop(
@@ -384,7 +392,7 @@ def pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"resume drain ran {len(second)} non-empty batches, expected 1: {seen}"
         )
-    n_late = n_docs - bounds[3]
+    n_late = docs.filter(F.col("doc_id") >= bounds[3]).count()
     if second[0][1] != n_late:
         raise RuntimeError(
             f"resume batch processed {second[0][1]} rows, expected {n_late}"

@@ -89,6 +89,14 @@ REPRESENTATIVE = [
     ("orders_temporal_split_leakage", "one per-(split, custkey) pre-aggregation; leaky set broadcast back; no Expand in the rollup (rule-7 shape)"),
     ("docs_importance_resample", "deterministic weighted-acceptance coin as a pure projection: sampling is a scan, only the source rollup shuffles"),
     ("events_decayed_engagement", "integer shift decay in the scan projection; mergeable per-user sums; top-10 via TakeOrdered, no global sort"),
+    # round-9 wave
+    ("docs_decontam_bloom_prefilter", "bloom bits as one literal array probed in-scan (forall over two h60 hashes); exact broadcast join sees only bloom survivors"),
+    ("stats_subsample_ci", "32 affine-coin replicas via map-side explode feed ONE mergeable aggregate onto 32 rows; no resample, no resort"),
+    ("docs_substring_dup_spans", "fused position generator (text never leaves the stage); only 16-hex gram keys shuffle; per-doc island windows"),
+    ("diag_join_strategy_autotune", "measured dim counts choose the operators: nation broadcasts, customer sort-merges, both asserted in this plan"),
+    ("diag_reused_exchange_proof", "self-join on own aggregate: one lineitem exchange, second branch wired to ReusedExchange"),
+    ("docs_shard_rendezvous_stability", "per-doc 5-way explode + struct-max argmax; no window over the corpus, join width = doc_id"),
+    ("diag_encoding_advisor", "segment-partitioned run-length windows (no global-order window); distinct counts in their own aggregate, no Expand"),
 ]
 
 
