@@ -19,6 +19,7 @@ import debias_spark.queries.relational_ext43  # noqa: F401  X165/X166/X167 subsa
 import debias_spark.queries.llm_ops34  # noqa: F401  Y72 bloom decontamination prefilter (round 9)
 import debias_spark.queries.pipeline_e2e3  # noqa: F401  Z72 dead-letter quarantine (round 9)
 import debias_spark.queries.relational_ext44  # noqa: F401  X168/X169 referential-integrity audit, EXECUTE IMMEDIATE (round 9)
+import debias_spark.queries.llm_ops35  # noqa: F401  MM11 shot boundaries (round 9)
 import debias_spark.queries.relational_ext12  # noqa: F401  X86-X87 skyline, interval overlap (round 4)
 import debias_spark.queries.relational_ext13  # noqa: F401  X91-X92 k-core, EWMA forecast (round 4)
 import debias_spark.queries.llm_ops9  # noqa: F401  Y19 block dedup (round 4)

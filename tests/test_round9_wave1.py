@@ -245,3 +245,17 @@ def test_quarantine_ws_heavy_arm_fires_at_sf01(spark, specs):
         spark, "/root/testdata/sf0.1"
     ).collect()
     assert any(r.route == "quarantined:ws_heavy" for r in rows), rows
+
+
+def test_shot_boundaries_invariants(spark, specs):
+    rows = specs["multimodal_shot_boundaries"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_shots <= r.n_frames, r
+        if r.n_frames == 1:
+            assert r.max_diff is None and r.mean_diff_e2 is None, r
+        else:
+            assert r.max_diff >= 0 and r.mean_diff_e2 >= 0, r
+    # the shared-pool corpus has real frame-to-frame variation: at least
+    # one asset must show a cut
+    assert any(r.n_shots > 1 for r in rows)
