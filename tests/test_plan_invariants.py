@@ -561,3 +561,50 @@ def test_shard_balance_single_aggregate_shuffle(spark, sf_dir):
     # shuffle row-proportional data
     df = q("docs_shard_token_balance", spark, sf_dir)
     assert_max_exchanges(df, 3)  # partial->final agg, window, sort
+
+
+# --- round-9 keys: the SCALE.md claims for the new wave, asserted ---
+
+
+def test_subsample_ci_single_rollup_shuffle(spark, sf_dir):
+    # 32 replicas ride ONE mergeable grouped aggregation: the whole plan
+    # holds at most 3 shuffle exchanges (replica rollup, the 32-row
+    # order-statistics agg, the final-mean agg) — no resample, no resort
+    assert_max_exchanges(q("stats_subsample_ci", spark, sf_dir), 3)
+
+
+def test_rendezvous_uses_no_window(spark, sf_dir):
+    # argmax is a struct-max AGGREGATE, never a window over the corpus
+    plan = executed_plan(q("docs_shard_rendezvous_stability", spark, sf_dir))
+    assert "Window" not in plan, plan[:1500]
+
+
+def test_encoding_advisor_has_no_expand(spark, sf_dir):
+    # distinct counts live in their own aggregates (rule 7): the mixed
+    # countDistinct Expand shape must never reappear
+    assert count_nodes(q("diag_encoding_advisor", spark, sf_dir), "Expand") == 0
+
+
+def test_bloom_prefilter_single_broadcast(spark, sf_dir):
+    # exactly ONE BroadcastHashJoin (the exact survivor join); the bloom
+    # probe itself is a Filter expression, not a join
+    df = q("docs_decontam_bloom_prefilter", spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins == ["BroadcastHashJoin"], joins
+    assert "forall" in executed_plan(df)
+
+
+def test_shot_boundaries_window_is_per_asset(spark, sf_dir):
+    # one window, partitioned by doc_id — never a global-order window
+    plan = executed_plan(q("multimodal_shot_boundaries", spark, sf_dir))
+    assert count_nodes(q("multimodal_shot_boundaries", spark, sf_dir), "Window") == 1
+    assert "windowspecdefinition(doc_id" in plan.replace("#", "").replace("L", ""), (
+        plan[:1500]
+    )
+
+
+def test_epoch_plan_zero_collect_shape(spark, sf_dir):
+    # the bounded source table re-joins two 1-row broadcast aggregates:
+    # no join wider than a broadcast appears anywhere
+    joins = join_strategies(q("corpus_repeat_epoch_plan", spark, sf_dir))
+    assert all(j in ("BroadcastHashJoin", "BroadcastNestedLoopJoin") for j in joins), joins
