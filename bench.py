@@ -168,6 +168,9 @@ def write_full_map(
         "queries_n": len(per_query),
         "suspect_contention": suspects,
         "sf": sf,
+        # wall-clock stamp: merge_bench_band orders runs by this, so the
+        # "newest-run total" headline cannot be a stale run passed last
+        "ts": time.time(),
     }
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")

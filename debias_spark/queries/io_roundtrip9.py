@@ -71,11 +71,16 @@ def source_gzip_unsplittable_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         pl = spark.read.schema(docs.schema).json(pl_dir)
         n_gz = gz.rdd.getNumPartitions()
         n_pl = pl.rdd.getNumPartitions()
-        assert n_gz == 1, f"gzip json scan split into {n_gz} partitions"
-        assert n_pl >= 2, (
-            f"plain json scan stayed at {n_pl} partition(s) under a "
-            f"{_MAX_SPLIT}-byte split size"
-        )
+        # raise, not assert: the 1-vs-many split fact IS what this key
+        # exists to pin, and a bare assert strips to a no-op under
+        # python -O (r9 advice — Y72's guards already use raise)
+        if n_gz != 1:
+            raise RuntimeError(f"gzip json scan split into {n_gz} partitions")
+        if n_pl < 2:
+            raise RuntimeError(
+                f"plain json scan stayed at {n_pl} partition(s) under a "
+                f"{_MAX_SPLIT}-byte split size"
+            )
 
         def rollup(df: DataFrame, fmt: str) -> DataFrame:
             return df.groupBy("lang").agg(

@@ -321,9 +321,11 @@ _W_EXPR_SPARK = "CAST(substring(source, 4, 8) AS BIGINT) + 1"
            CAST(a.alloc1 + CASE WHEN a.capped THEN 0
                            ELSE l.leftover * a.w // nullif(l.w_unc, 0) END
                AS BIGINT) AS alloc_tokens,
+           -- nullif on the token supply too (r9 advice): a zero-token
+           -- source must be NULL in BOTH engines, not a DuckDB // 0 crash
            CAST((a.alloc1 + CASE WHEN a.capped THEN 0
                             ELSE l.leftover * a.w // nullif(l.w_unc, 0) END)
-               * 10000 // a.toks AS BIGINT) AS epochs_e4,
+               * 10000 // nullif(a.toks, 0) AS BIGINT) AS epochs_e4,
            CAST(CASE WHEN a.capped THEN 1 ELSE 0 END AS BIGINT) AS capped
     FROM a1 a, left_ l ORDER BY a.source
     """,
@@ -386,7 +388,7 @@ def corpus_repeat_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "(alloc1 + (CASE WHEN capped THEN 0"
                 " ELSE leftover * w div nullif(w_unc, 0) END))"
-                " * 10000 div toks"
+                " * 10000 div nullif(toks, 0)"
             ).alias("epochs_e4"),
             F.col("capped").cast("long").alias("capped"),
         )

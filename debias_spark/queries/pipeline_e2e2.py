@@ -105,16 +105,24 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     src_dir = _sink_dir(spark, sf_dir, "z68_src")  # prunes stale z68_src_*
     base = os.path.basename(src_dir)
+    # prune prefix = known stem + sf tag (exactly what _sink_dir uses):
+    # re-deriving it by splitting the full dir name assumed the appId has
+    # no underscore, which YARN appIds (application_<ts>_<n>) break —
+    # stale siblings would then never prune (r9 advice)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     band_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_bands"))
     sig_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_sigs"))
     pay_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_payload"))
     ckpt_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_ckpt"))
     shutil.rmtree(src_dir, ignore_errors=True)
     os.makedirs(src_dir)
-    for d in (band_dir, sig_dir, pay_dir, ckpt_dir):
-        prune_stale_siblings(
-            _WAREHOUSE, os.path.basename(d).rsplit("_", 1)[0] + "_", os.path.basename(d)
-        )
+    for stem, d in (
+        ("z68_bands", band_dir),
+        ("z68_sigs", sig_dir),
+        ("z68_payload", pay_dir),
+        ("z68_ckpt", ckpt_dir),
+    ):
+        prune_stale_siblings(_WAREHOUSE, f"{stem}_{tag}_", os.path.basename(d))
         shutil.rmtree(d, ignore_errors=True)
 
     # stage four doc_id-ordered drops with ascending mtimes so the file
@@ -301,14 +309,14 @@ def pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     src_dir = _sink_dir(spark, sf_dir, "z71_src")
     base = os.path.basename(src_dir)
+    # known-stem prune prefix (see Z68 above — the appId may contain '_')
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     state_dir = os.path.join(_WAREHOUSE, base.replace("z71_src", "z71_state"))
     ckpt_dir = os.path.join(_WAREHOUSE, base.replace("z71_src", "z71_ckpt"))
     shutil.rmtree(src_dir, ignore_errors=True)
     os.makedirs(src_dir)
-    for d in (state_dir, ckpt_dir):
-        prune_stale_siblings(
-            _WAREHOUSE, os.path.basename(d).rsplit("_", 1)[0] + "_", os.path.basename(d)
-        )
+    for stem, d in (("z71_state", state_dir), ("z71_ckpt", ckpt_dir)):
+        prune_stale_siblings(_WAREHOUSE, f"{stem}_{tag}_", os.path.basename(d))
         shutil.rmtree(d, ignore_errors=True)
 
     # fixture staging only: id-RANGE quartiles (robust to sparse ids)

@@ -174,7 +174,7 @@ def diag_join_strategy_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # close the loop: the REMEDY must be visible in the physical plan
     got = join_strategies(result)
     for node in {cust_node, nat_node}:
-        assert node in got, (
-            f"autotune chose {node} but the plan has {got}"
-        )
+        # raise, not assert: in-key proof guards must survive python -O
+        if node not in got:
+            raise RuntimeError(f"autotune chose {node} but the plan has {got}")
     return result

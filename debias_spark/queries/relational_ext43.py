@@ -176,10 +176,12 @@ def diag_reused_exchange_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = _x166_frame(spark, sf_dir)
     probe.collect()  # bounded: 1 row; forces the adaptive final plan
     plan = executed_plan(probe)
-    assert "ReusedExchange" in plan, (
-        "expected the self-join to reuse the aggregate's exchange; plan:\n"
-        + plan[:2000]
-    )
+    # raise, not assert: in-key proof guards must survive python -O
+    if "ReusedExchange" not in plan:
+        raise RuntimeError(
+            "expected the self-join to reuse the aggregate's exchange; plan:\n"
+            + plan[:2000]
+        )
     return _x166_frame(spark, sf_dir)
 
 
@@ -255,9 +257,15 @@ def diag_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _ENC_COLS:
         # distinct count in its OWN aggregate: mixing countDistinct with
         # plain aggregates plans an Expand (rule 7 — one row replica per
-        # aggregate family through the shuffle)
-        nd = orders.select(F.col(c).alias("v")).distinct().agg(
-            F.count("*").alias("n_distinct")
+        # aggregate family through the shuffle).  NULLs are filtered
+        # BEFORE the distinct so this matches the oracle's
+        # count(DISTINCT c), which never counts the NULL group (r9
+        # advice: a NULL-bearing column would otherwise diverge by +1).
+        nd = (
+            orders.select(F.col(c).alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+            .agg(F.count("*").alias("n_distinct"))
         )
         stats = (
             chgs.agg(

@@ -138,6 +138,20 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     # Y72's bloom prefilter provably screens the identical gram set
     # (value-identical; re-proven at 3 SFs + equality test vs Y72)
     "docs_contamination_ngram_audit": 9,
+    # --- r10: the five r9 ADVICE fixes (all value-identical on the
+    # current NULL-free / non-empty-source fixtures, re-proven anyway) ---
+    # X167: NULL filter before the distinct count (cross-engine parity)
+    "diag_encoding_advisor": 10,
+    # Y69: nullif(toks, 0) on the epochs_e4 divisor, both engines
+    "corpus_repeat_epoch_plan": 10,
+    # Z68/Z71: prune prefix built from known stem + sf tag, not by
+    # splitting the appId-suffixed dir name
+    "pipeline_incremental_neardup": 10,
+    "pipeline_checkpoint_resume": 10,
+    # Z70/X164/X166: in-key proof guards assert -> raise (python -O safe)
+    "source_gzip_unsplittable_scan": 10,
+    "diag_join_strategy_autotune": 10,
+    "diag_reused_exchange_proof": 10,
 }
 
 

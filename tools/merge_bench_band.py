@@ -45,6 +45,11 @@ def merge(paths: list[str]) -> dict:
             runs.append(json.load(fh))
     if not runs:
         raise SystemExit("no input runs")
+    # "newest run" must mean newest by MEASUREMENT TIME, not by CLI
+    # argument order (r9 advice: a caller passing runs out of order would
+    # silently publish a stale total as the headline).  bench.py stamps
+    # "ts"; runs missing it keep their relative CLI order (stable sort).
+    runs.sort(key=lambda r: float(r.get("ts", 0)))
     # a band across runs at different scales (or protocols) is meaningless
     # and would silently poison the tripwire baseline: refuse to merge
     for field in ("sf", "reps", "metric"):
@@ -69,7 +74,16 @@ def merge(paths: list[str]) -> dict:
         band[k] = [round(min(ok), 4), round(max(ok), 4)]
     totals = [float(r.get("value", -1)) for r in runs if float(r.get("value", -1)) >= 0]
     suspects = sorted({s for r in runs for s in r.get("suspect_contention", [])})
+    if not totals:
+        raise SystemExit(
+            "every input run has a failed total (value < 0) — nothing to anchor"
+        )
     base = dict(runs[-1])  # metric/unit/reps/sf from the newest run
+    newest_total = float(runs[-1].get("value", -1))
+    if newest_total < 0:
+        # a failed newest run must not publish a negative headline while
+        # value_band stays populated: fall back to the in-band max
+        newest_total = max(totals)
     base.update(
         {
             "queries": queries,
@@ -77,7 +91,7 @@ def merge(paths: list[str]) -> dict:
             # headline = the newest run's real measured total (inside
             # value_band); the sum-of-max-anchors upper bound is kept
             # under its own honest name
-            "value": round(float(runs[-1].get("value", -1)), 4),
+            "value": round(newest_total, 4),
             "value_sum_of_max": round(sum(v for v in queries.values() if v >= 0), 4),
             "value_band": [round(min(totals), 4), round(max(totals), 4)] if totals else [],
             "band": band,
