@@ -262,6 +262,18 @@ def ann_cosine_topk(
     )
 
 
+def ivf_pinned_centroids(k: int = 8, dim: int = 64, seed: int = 11) -> list[list[float]]:
+    """Deterministic PINNED centroids for the value-oracled IVF twin
+    (Y5b): in production the IVF index definition persists the centroids
+    a prior k-means fit produced and every later assignment/probe uses
+    those frozen literals — this generator stands in for that persisted
+    artifact (seeded, rounded to 6 decimals so the DuckDB oracle embeds
+    the identical floats), exactly how ``hyperplanes`` pins the sign-LSH
+    index (H8b)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((k, dim)).round(6).tolist()
+
+
 def kmeans_fit_sample(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -122,6 +122,51 @@ NORMALIZE_STRICT_DUCK = (
 )
 
 
+# ---------------------------------------------------------------------------
+# X53 quality gate, factored so the corpus-build capstone (Z75) provably
+# applies the IDENTICAL keep/drop rule chain the standalone key pins.
+# ---------------------------------------------------------------------------
+
+def quality_features(text: Column) -> tuple[Column, Column]:
+    """(n_tokens, n_punct) — the two measured features of the X53 quality
+    rule chain (n_chars comes from the table column)."""
+    n_tokens = F.size(F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+    return n_tokens, n_punct
+
+
+def quality_verdict(n_chars: Column, n_tokens: Column, n_punct: Column) -> Column:
+    """First-match-wins quality verdict (length -> word-shape ->
+    punctuation density) over pre-computed feature columns.  The DuckDB
+    twin is ``QUALITY_VERDICT_DUCK``; keep the two in lockstep."""
+    return (
+        F.when(n_chars < 30, "too_short")
+        .when(
+            (n_tokens == 0)
+            | (n_chars * 1.0 / F.greatest(n_tokens, F.lit(1)) > 12),
+            "long_words",
+        )
+        .when(n_punct * 1.0 / F.greatest(n_chars, F.lit(1)) > 0.1, "punct_heavy")
+        .otherwise("keep")
+    )
+
+
+# DuckDB spellings over column expressions {x} / feature names
+QUALITY_TOKENS_DUCK = (
+    "len(list_filter(string_split_regex(lower({x}), '\\s+'), x -> x <> ''))"
+)
+QUALITY_PUNCT_DUCK = "length(regexp_replace({x}, '[^.,!?;:]', '', 'g'))"
+QUALITY_VERDICT_DUCK = """CASE
+                 WHEN {n_chars} < 30 THEN 'too_short'
+                 WHEN {n_tokens} = 0
+                   OR {n_chars} * 1.0 / greatest({n_tokens}, 1) > 12
+                   THEN 'long_words'
+                 WHEN {n_punct} * 1.0 / greatest({n_chars}, 1) > 0.1
+                   THEN 'punct_heavy'
+                 ELSE 'keep'
+               END"""
+
+
 def word_ngrams_frame(docs, n: int, id_col: str = "doc_id", text_col: str = "text"):
     """DISTINCT (id, gram) rows of n-token windows per document — the
     contamination-audit gram build (Y12), factored out so the bloom

@@ -9,6 +9,9 @@ register FIRST so any per-round key cap or time cutoff lands on keys that
 already have green CORRECTNESS_r01 rows, never on unproven ones.
 """
 
+import debias_spark.queries.llm_ops36  # noqa: F401  Y5b pinned-centroid IVF, Y73 substring scrubber (round 10)
+import debias_spark.queries.pipeline_e2e4  # noqa: F401  Z73 state compaction, Z74 quarantine replay (round 10)
+import debias_spark.queries.pipeline_e2e5  # noqa: F401  Z75 corpus-build capstone (round 10)
 import debias_spark.queries.llm_ops31  # noqa: F401  Y66/Y68/Y69/Y70 drift monitor, substring spans, epoch plan, rendezvous shards (round 9)
 import debias_spark.queries.llm_ops32  # noqa: F401  Y67 ANN recall autotune (round 9)
 import debias_spark.queries.pipeline_e2e2  # noqa: F401  Z68 incremental near-dup refresh (round 9)

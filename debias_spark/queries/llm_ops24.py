@@ -9,16 +9,14 @@ chunks, Y7 offset-bins, Y55 packs GREEDILY by size).
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
+from debias_spark.operators.packing import PACK_CAP as _CAP
+from debias_spark.operators.packing import PACK_SHARD as _SHARD
+from debias_spark.operators.packing import nfd_pack, nfd_pack_duck_ctes
 from debias_spark.registry import register
-
-_CAP = 512  # context-window token budget per bin
-_SHARD = 100  # docs per shard (doc_id // _SHARD)
 
 
 @register(
@@ -31,25 +29,9 @@ _SHARD = 100  # docs per shard (doc_id // _SHARD)
                CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
                                     x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents
-    ), seq AS MATERIALIZED (
-        SELECT doc_id, shard, n_tokens,
-               row_number() OVER (PARTITION BY shard
-                                  ORDER BY n_tokens DESC, doc_id) AS rn
-        FROM t WHERE n_tokens > 0
-    ), pack AS (
-        SELECT doc_id, shard, n_tokens, rn,
-               0::BIGINT AS bin_id,
-               {_CAP} - n_tokens AS remaining
-        FROM seq WHERE rn = 1
-        UNION ALL
-        SELECT s.doc_id, s.shard, s.n_tokens, s.rn,
-               CASE WHEN s.n_tokens > p.remaining
-                    THEN p.bin_id + 1 ELSE p.bin_id END,
-               CASE WHEN s.n_tokens > p.remaining
-                    THEN {_CAP} - s.n_tokens
-                    ELSE p.remaining - s.n_tokens END
-        FROM pack p JOIN seq s ON s.shard = p.shard AND s.rn = p.rn + 1
-    )
+    ), t2 AS (
+        SELECT doc_id, shard, n_tokens FROM t WHERE n_tokens > 0
+    ), {nfd_pack_duck_ctes("t2", _CAP)}
     SELECT doc_id, n_tokens,
            CAST(shard * 10000 + bin_id AS BIGINT) AS pack_id
     FROM pack ORDER BY doc_id
@@ -67,7 +49,9 @@ def docs_pack_nextfit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard (applyInPandas) — exactly the per-partition-imperative escape
     hatch — and the DuckDB oracle replays EVERY bin decision with a
     recursive CTE over the same ordering (helper CTEs joined, never
-    correlated — the X136 doctrine).
+    correlated — the X136 doctrine).  The packer lives in
+    operators/packing.py so the corpus-build capstone (Z75) provably
+    packs with the IDENTICAL policy.
 
     Scale shape: shards are independent (one shuffle on shard id), each
     is a bounded 100-doc loop; pack ids are globally unique via the
@@ -84,29 +68,4 @@ def docs_pack_nextfit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tokens") > 0)
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["n_tokens", "doc_id"], ascending=[False, True]
-        ).reset_index(drop=True)
-        bin_id, remaining = 0, _CAP
-        bins = []
-        first = True
-        for n in pdf["n_tokens"]:
-            if first:
-                remaining = _CAP - int(n)
-                first = False
-            elif int(n) > remaining:
-                bin_id += 1
-                remaining = _CAP - int(n)
-            else:
-                remaining -= int(n)
-            bins.append(bin_id)
-        pdf["pack_id"] = pdf["shard"] * 10000 + pd.Series(bins, dtype="int64")
-        return pdf[["doc_id", "n_tokens", "pack_id"]]
-
-    return (
-        t.groupBy("shard")
-        .applyInPandas(pack, schema="doc_id long, n_tokens long, pack_id long")
-        .orderBy("doc_id")
-    )
+    return nfd_pack(t, _CAP).orderBy("doc_id")

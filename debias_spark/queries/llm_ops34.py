@@ -24,10 +24,36 @@ _M_BITS = 1 << 17  # bloom width: 131072 bits = 2048 longs (~16 KB)
 _GRAM_N = 8
 _EVAL_CAP = 500_000  # hard bound on the collected eval gram set
 
-# two independent 60-bit hashes from one md5: hex chars [1..15] (the
-# canonical H60_SQL spelling, reused verbatim) and [16..30]
-_H1 = H60_SQL.format(x="gram") + f" % {_M_BITS}"
-_H2 = f"CAST(conv(substr(md5(gram), 16, 15), 16, 10) AS BIGINT) % {_M_BITS}"
+def bloom_bits_literal(grams: list[str], m_bits: int = _M_BITS) -> str:
+    """Build the bloom bit array driver-side from a bounded gram set and
+    return it as a Spark ``array(...)`` literal of signed longs — the
+    ~16 KB replacement for a broadcast hash table.  Shared by Y72 and the
+    corpus-build capstone (Z75) so both provably probe the same filter."""
+    import hashlib
+
+    words = [0] * (m_bits // 64)
+    for g in grams:
+        hx = hashlib.md5(g.encode("utf-8")).hexdigest()
+        for h in (int(hx[:15], 16) % m_bits, int(hx[15:30], 16) % m_bits):
+            words[h // 64] |= 1 << (h % 64)
+    # signed-long wrap: Spark array<bigint> literals are signed 64-bit
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return "array(" + ",".join(f"{w}L" for w in words) + ")"
+
+
+def bloom_member(bits: str, m_bits: int = _M_BITS) -> F.Column:
+    """Pure-expression bloom probe over a ``gram`` column: two md5-derived
+    hashes test their bits in the literal array — no UDF, no broadcast
+    hash table, runs inside whole-stage codegen.  ONE bits literal in the
+    plan: both probes run inside a forall over the two hash expressions
+    (md5 evaluated twice, not four times)."""
+    h1 = H60_SQL.format(x="gram") + f" % {m_bits}"
+    h2 = f"CAST(conv(substr(md5(gram), 16, 15), 16, 10) AS BIGINT) % {m_bits}"
+    return F.expr(
+        f"forall(array({h1}, {h2}), h ->"
+        f" (shiftright(element_at({bits}, CAST(h div 64 AS INT) + 1),"
+        f" CAST(h % 64 AS INT)) & 1) = 1)"
+    )
 
 
 @register("docs_decontam_bloom_prefilter", "Y72", oracle=NGRAM_AUDIT_ORACLE)
@@ -50,8 +76,6 @@ def docs_decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     only the (tiny) candidate stream.  The in-code selectivity assert
     pins that the prefilter actually filtered (a bloom sized too small
     degrades to a pass-through, silently un-doing the plan)."""
-    import hashlib
-
     from debias_spark.operators.text import word_ngrams_frame
 
     docs = table(spark, sf_dir, "documents")
@@ -71,21 +95,8 @@ def docs_decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         raise RuntimeError(
             f"eval gram set {len(eset)} exceeds the {_EVAL_CAP} bloom cap"
         )
-    words = [0] * (_M_BITS // 64)
-    for g in eset:
-        hx = hashlib.md5(g.encode("utf-8")).hexdigest()
-        for h in (int(hx[:15], 16) % _M_BITS, int(hx[15:30], 16) % _M_BITS):
-            words[h // 64] |= 1 << (h % 64)
-    # signed-long wrap: Spark array<bigint> literals are signed 64-bit
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bits = "array(" + ",".join(f"{w}L" for w in words) + ")"
-    # ONE bits literal in the plan: both probes run inside a forall over
-    # the two hash expressions (md5 evaluated twice, not four times)
-    member = F.expr(
-        f"forall(array({_H1}, {_H2}), h ->"
-        f" (shiftright(element_at({bits}, CAST(h div 64 AS INT) + 1),"
-        f" CAST(h % 64 AS INT)) & 1) = 1)"
-    )
+    bits = bloom_bits_literal(eset, _M_BITS)
+    member = bloom_member(bits, _M_BITS)
     train = grams.filter(F.col("doc_id") >= _EVAL_MAX_ID)
     # selectivity guard in ONE aggregate pass (not two count jobs); a
     # raise, not assert — the guard must survive python -O

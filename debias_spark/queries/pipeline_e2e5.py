@@ -1,0 +1,294 @@
+"""Round-10 capstone (Z75): ONE end-to-end corpus-build pipeline key that
+chains the proven stages in a single engine-native run —
+
+    quality filterchain (X53 rule chain, operators/text.quality_verdict)
+ -> exact dedup, keep-first (Z7 normalized-digest policy)
+ -> MinHash near-dup screen (Z68's banded >= 26/32 predicate)
+ -> decontamination (Y72 bloom prefilter + Y12 exact confirm)
+ -> NFD sequence packing (Y55 policy, operators/packing.nfd_pack)
+ -> shard MANIFEST written to a sink and value-oracled on the READBACK.
+
+The reference's whole program is one such chain (scan -> annotate ->
+sink, call-debias.py:177-196); this is its LLM-training-data analog and
+the composition proof for the operator registry: every stage is the
+SHARED implementation its standalone key pins (imported, not respelled),
+and the DuckDB oracle replays the entire chain — gate expressions,
+digest policy, 32-hash banding, 8-gram screen, recursive bin packing —
+in one WITH RECURSIVE chain over the same parquet.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debias_spark.catalog import table
+from debias_spark.operators.packing import PACK_CAP, PACK_SHARD, nfd_pack, nfd_pack_duck_ctes
+from debias_spark.operators.text import (
+    NORMALIZE_STRICT_DUCK,
+    QUALITY_PUNCT_DUCK,
+    QUALITY_TOKENS_DUCK,
+    QUALITY_VERDICT_DUCK,
+)
+from debias_spark.queries.io_roundtrip import _sink_dir
+from debias_spark.queries.llm_ops import _minhash_ctes
+from debias_spark.queries.llm_ops7 import _DUCK_ALL_TOKENS, _EVAL_MAX_ID
+from debias_spark.queries.pipeline_e2e2 import (
+    _EST_MIN_MATCHES,
+    _MATCH_TERMS_DUCK,
+    _NB,
+    _NH,
+)
+from debias_spark.registry import register
+
+_GRAM_N = 8  # decontamination gram width (the Y12/Y72 constant)
+_EVAL_CAP = 500_000  # hard bound on the collected eval gram set (Y72)
+
+_VERDICT_DUCK = QUALITY_VERDICT_DUCK.format(
+    n_chars="n_chars", n_tokens="n_tokens", n_punct="n_punct"
+)
+_NEARDUP_CTES, _ = _minhash_ctes(_NH, _NB, source="s1")
+
+# token 8-gram windows over a (doc_id, text) CTE — the Y12 oracle
+# spelling (llm_ops7.py), parameterized by source CTE
+_GRAMS_DUCK = """SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+{w}], ' ')
+                       FOR i IN range(1, greatest(len(t) - {w}, 0) + 1)])
+                   AS gram
+        FROM (SELECT doc_id, {toks} AS t FROM {src})
+    )""".format(w=_GRAM_N - 1, toks=_DUCK_ALL_TOKENS, src="{src}")
+
+
+@register(
+    "pipeline_corpus_build",
+    "Z75",
+    oracle=f"""
+    WITH RECURSIVE pool AS MATERIALIZED (
+        SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id >= {_EVAL_MAX_ID}
+    ), qf AS (
+        SELECT doc_id, text, {_VERDICT_DUCK} AS verdict
+        FROM (
+            SELECT doc_id, text, n_chars,
+                   {QUALITY_TOKENS_DUCK.format(x="text")} AS n_tokens,
+                   {QUALITY_PUNCT_DUCK.format(x="text")} AS n_punct
+            FROM pool
+        )
+    ), q AS MATERIALIZED (
+        SELECT doc_id, text FROM qf WHERE verdict = 'keep'
+    ), reps AS (
+        SELECT min(doc_id) AS doc_id FROM (
+            SELECT doc_id, md5({NORMALIZE_STRICT_DUCK.format(x="text")}) AS dg
+            FROM q
+        ) GROUP BY dg
+    ), s1 AS MATERIALIZED (
+        SELECT q.doc_id, q.text FROM q JOIN reps USING (doc_id)
+    ), {_NEARDUP_CTES}, cand2 AS (
+        SELECT DISTINCT n.id, i.id AS j
+        FROM banded n JOIN banded i
+          ON i.band_id = n.band_id AND i.band_hash = n.band_hash
+         AND i.id < n.id
+    ), dropped AS (
+        SELECT DISTINCT c.id FROM cand2 c
+        JOIN sig a ON a.id = c.id JOIN sig b ON b.id = c.j
+        WHERE ({_MATCH_TERMS_DUCK}) >= {_EST_MIN_MATCHES}
+    ), s2 AS MATERIALIZED (
+        SELECT s1.doc_id, s1.text FROM s1
+        LEFT JOIN dropped d ON d.id = s1.doc_id WHERE d.id IS NULL
+    ), g2 AS ({_GRAMS_DUCK.format(src="s2")}
+    ), eg AS (
+        SELECT DISTINCT gram FROM ({_GRAMS_DUCK.format(src=f"(SELECT doc_id, text FROM documents WHERE doc_id < {_EVAL_MAX_ID})")})
+    ), contam AS (
+        SELECT DISTINCT g2.doc_id FROM g2 JOIN eg USING (gram)
+    ), s3 AS MATERIALIZED (
+        SELECT s2.doc_id, s2.text FROM s2
+        LEFT JOIN contam c USING (doc_id) WHERE c.doc_id IS NULL
+    ), t2 AS (
+        SELECT doc_id, shard, n_tokens FROM (
+            SELECT doc_id, doc_id // {PACK_SHARD} AS shard,
+                   CAST({QUALITY_TOKENS_DUCK.format(x="text")} AS BIGINT)
+                       AS n_tokens
+            FROM s3
+        ) WHERE n_tokens > 0
+    ), {nfd_pack_duck_ctes("t2", PACK_CAP)}, bins AS (
+        SELECT shard, bin_id, count(*) AS n_docs_bin,
+               sum(n_tokens) AS tok_bin, min(doc_id) AS mindoc_bin
+        FROM pack GROUP BY shard, bin_id
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_docs_bin) AS BIGINT) AS n_docs,
+           CAST(sum(tok_bin) AS BIGINT) AS sum_tokens,
+           CAST(min(mindoc_bin) AS BIGINT) AS min_doc_id
+    FROM bins GROUP BY shard ORDER BY shard
+    """,
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone: a full corpus build in one engine-native run over
+    the training pool (doc_id >= {eval}; below it is the held-out eval
+    set).  Stage by stage, each the SHARED implementation its standalone
+    key pins:
+
+    1. QUALITY (X53): first-match-wins rule chain, keep only 'keep' —
+       operators/text.quality_verdict, a codegen projection.
+    2. EXACT DEDUP (Z7): md5(normalize_strict(text)) digest, keep-first
+       (min doc_id per digest) — the exchange carries 16-byte digests +
+       ids, then one semi-join brings survivor text back.
+    3. NEAR-DUP (Z68 predicate): 32-hash MinHash, 4 bands; a doc drops
+       iff an EARLIER quality+exact survivor collides in >= 1 band with
+       >= 26/32 matching signature components (estimated Jaccard 0.8) —
+       banded candidates, never all-pairs.
+    4. DECONTAMINATION (Y72+Y12): the eval set's distinct 8-grams build
+       the 16 KB bloom bit-array probed as a pure expression; bloom
+       survivors hit the exact broadcast join; any hit drops the doc.
+    5. PACK (Y55): next-fit-decreasing 512-token bins per 100-doc shard
+       via operators/packing.nfd_pack.
+    6. MANIFEST: per-shard (bins, docs, tokens, min doc id), WRITTEN to
+       a parquet sink and returned from the READBACK — the oracle hash
+       proves the shipped artifact, not an in-memory frame.
+
+    Scale shape: text crosses a shuffle exactly twice (the exact-dedup
+    semi-join and the pack shard exchange); everything else moves
+    digests, signatures, band rows, or gram hashes.  The eval gram
+    collect is bounded by contract (raise-capped); centroid-free,
+    collect-free otherwise.  This is the reference's scan -> transform
+    -> sink program (call-debias.py:177-196) at training-corpus
+    semantics."""
+    from debias_spark.operators.dedup import (
+        bands_from_sig,
+        minhash_sig_wide,
+        word_shingles,
+        word_tokens,
+    )
+    from debias_spark.operators.text import (
+        normalize_strict,
+        quality_features,
+        quality_verdict,
+        word_ngrams_frame,
+    )
+    from debias_spark.queries.llm_ops34 import bloom_bits_literal, bloom_member
+
+    docs = table(spark, sf_dir, "documents")
+    pool = docs.filter(F.col("doc_id") >= _EVAL_MAX_ID).select(
+        "doc_id", "text", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+    # 1. quality gate (pure projection)
+    n_tokens, n_punct = quality_features(F.col("text"))
+    q = (
+        pool.select(
+            "doc_id",
+            "text",
+            quality_verdict(
+                F.col("n_chars"), n_tokens, n_punct
+            ).alias("verdict"),
+        )
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id", "text")
+    )
+
+    # 2. exact dedup keep-first: digest aggregate (16-byte shuffle key),
+    # then a semi-join restores survivor rows — text moves once
+    reps = (
+        q.select("doc_id", F.md5(normalize_strict(F.col("text"))).alias("dg"))
+        .groupBy("dg")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = q.join(reps, "doc_id", "semi").localCheckpoint(eager=True)
+
+    # 3. near-dup screen over the exact survivors (the Z68 predicate)
+    sh = s1.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = minhash_sig_wide(sh, _NH).localCheckpoint(eager=True)
+    banded = bands_from_sig(sig, _NH, _NB)
+    idx = banded.select(
+        F.col("id").alias("j"),
+        F.col("band_id").alias("j_band"),
+        F.col("band_hash").alias("j_hash"),
+    )
+    cand = (
+        banded.join(
+            idx,
+            (F.col("j_band") == F.col("band_id"))
+            & (F.col("j_hash") == F.col("band_hash"))
+            & (F.col("j") < F.col("id")),
+        )
+        .select("id", "j")
+        .distinct()
+    )
+    jside = sig.select(
+        F.col("id").alias("j"), *[F.col(f"h{k}").alias(f"g{k}") for k in range(_NH)]
+    )
+    match_terms = " + ".join(
+        f"(CASE WHEN h{k} = g{k} THEN 1 ELSE 0 END)" for k in range(_NH)
+    )
+    dropped = (
+        cand.join(sig, "id")
+        .join(jside, "j")
+        .filter(F.expr(f"({match_terms}) >= {_EST_MIN_MATCHES}"))
+        .select("id")
+        .distinct()
+    )
+    s2 = s1.join(
+        dropped.withColumnRenamed("id", "doc_id"), "doc_id", "anti"
+    ).localCheckpoint(eager=True)
+
+    # 4. decontamination: bloom prefilter + exact confirm (Y72's plan)
+    eval_grams = (
+        word_ngrams_frame(docs.filter(F.col("doc_id") < _EVAL_MAX_ID), _GRAM_N)
+        .select("gram")
+        .distinct()
+    )
+    eset = [r.gram for r in eval_grams.collect()]
+    if len(eset) > _EVAL_CAP:
+        raise RuntimeError(
+            f"eval gram set {len(eset)} exceeds the {_EVAL_CAP} bloom cap"
+        )
+    member = bloom_member(bloom_bits_literal(eset))
+    eval_df = spark.createDataFrame([(g,) for g in eset], "gram string")
+    contam = (
+        word_ngrams_frame(s2, _GRAM_N)
+        .filter(member)
+        .join(F.broadcast(eval_df), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = s2.join(contam, "doc_id", "anti")
+
+    # 5. pack survivors into 512-token NFD bins per 100-doc shard
+    t2 = s3.select(
+        "doc_id",
+        F.expr(f"doc_id div {PACK_SHARD}").alias("shard"),
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    packed = nfd_pack(t2, PACK_CAP)
+
+    # 6. manifest -> sink -> readback (two-level agg: no countDistinct
+    # Expand; bins first, then the shard rollup)
+    bins = packed.groupBy(
+        F.expr("pack_id div 10000").alias("shard"), "pack_id"
+    ).agg(
+        F.count("*").alias("n_docs_bin"),
+        F.sum("n_tokens").alias("tok_bin"),
+        F.min("doc_id").alias("mindoc_bin"),
+    )
+    manifest = bins.groupBy("shard").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_docs_bin").alias("n_docs"),
+        F.sum("tok_bin").alias("sum_tokens"),
+        F.min("mindoc_bin").alias("min_doc_id"),
+    )
+    sink = _sink_dir(spark, sf_dir, "z75_manifest")
+    shutil.rmtree(sink, ignore_errors=True)
+    manifest.write.parquet(sink)
+    out = spark.read.parquet(sink)
+    if out.isEmpty():
+        raise RuntimeError("corpus build produced an empty shard manifest")
+    return out.select(
+        "shard", "n_bins", "n_docs", "sum_tokens", "min_doc_id"
+    ).orderBy("shard")

@@ -172,34 +172,33 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_quality_filterchain",
-    "X53",
-    oracle="""
+def _x53_oracle() -> str:
+    from debias_spark.operators.text import (
+        QUALITY_PUNCT_DUCK,
+        QUALITY_TOKENS_DUCK,
+        QUALITY_VERDICT_DUCK,
+    )
+
+    verdict = QUALITY_VERDICT_DUCK.format(
+        n_chars="n_chars", n_tokens="n_tokens", n_punct="n_punct"
+    )
+    return f"""
     WITH toks AS (
         SELECT doc_id, lang, n_chars,
-               len(list_filter(string_split_regex(lower(text), '\\s+'),
-                               x -> x <> '')) AS n_tokens,
-               length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+               {QUALITY_TOKENS_DUCK.format(x="text")} AS n_tokens,
+               {QUALITY_PUNCT_DUCK.format(x="text")} AS n_punct
         FROM documents
     ), flagged AS (
-        SELECT doc_id, lang,
-               CASE
-                 WHEN n_chars < 30 THEN 'too_short'
-                 WHEN n_tokens = 0
-                   OR n_chars * 1.0 / greatest(n_tokens, 1) > 12
-                   THEN 'long_words'
-                 WHEN n_punct * 1.0 / greatest(n_chars, 1) > 0.1
-                   THEN 'punct_heavy'
-                 ELSE 'keep'
-               END AS verdict
+        SELECT doc_id, lang, {verdict} AS verdict
         FROM toks
     )
     SELECT lang, verdict, count(*) AS n_docs
     FROM flagged GROUP BY lang, verdict
     ORDER BY lang, verdict
-    """,
-)
+    """
+
+
+@register("docs_quality_filterchain", "X53", oracle=_x53_oracle())
 def docs_quality_filterchain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed quality gate: the keep/drop decision a training-data
     pipeline makes per document, as ONE first-match-wins rule chain
@@ -208,27 +207,15 @@ def docs_quality_filterchain(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions over the scan — no joins, no windows, one rollup shuffle;
     integer ratios compared via exact arithmetic.  The individual rules
     are the text_gopher_rules/text_quality_score building blocks; this key
-    is their composition, which is what actually ships."""
+    is their composition, which is what actually ships.  The rule chain
+    lives in operators/text.py (quality_verdict) so the corpus-build
+    capstone (Z75) provably applies the IDENTICAL gate."""
+    from debias_spark.operators.text import quality_features, quality_verdict
+
     d = table(spark, sf_dir, "documents")
-    n_tokens = F.size(
-        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-    )
-    n_punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
-    verdict = (
-        F.when(F.col("n_chars") < 30, "too_short")
-        .when(
-            (F.col("n_tokens") == 0)
-            | (
-                F.col("n_chars") * 1.0 / F.greatest(F.col("n_tokens"), F.lit(1))
-                > 12
-            ),
-            "long_words",
-        )
-        .when(
-            F.col("n_punct") * 1.0 / F.greatest(F.col("n_chars"), F.lit(1)) > 0.1,
-            "punct_heavy",
-        )
-        .otherwise("keep")
+    n_tokens, n_punct = quality_features(F.col("text"))
+    verdict = quality_verdict(
+        F.col("n_chars"), F.col("n_tokens"), F.col("n_punct")
     )
     return (
         d.select(

