@@ -52,19 +52,26 @@ def _count_parquet_files(root: str) -> int:
     "pipeline_state_compaction",
     "Z73",
     oracle=f"""
-    WITH {_CTES}, pairs AS (
-        SELECT DISTINCT n.band_id AS band_id, n.id AS id, i.id AS j
-        FROM banded n JOIN banded i
-          ON i.band_id = n.band_id AND i.band_hash = n.band_hash
-         AND i.id < n.id
-    ), per_doc AS (
-        SELECT band_id, id, count(*) AS m FROM pairs GROUP BY band_id, id
+    WITH {_CTES}, bucket AS (
+        SELECT band_id, band_hash, count(*) AS cnt, min(id) AS min_id
+        FROM banded GROUP BY band_id, band_hash
+    ), pairs_by_band AS (
+        SELECT band_id,
+               CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS n_pairs
+        FROM bucket WHERE cnt >= 2 GROUP BY band_id
+    ), match_by_band AS (
+        SELECT g.band_id,
+               CAST(count(*) AS BIGINT) AS n_docs_with_match,
+               CAST(min(g.id) AS BIGINT) AS min_doc
+        FROM banded g JOIN bucket b
+          ON b.band_id = g.band_id AND b.band_hash = g.band_hash
+        WHERE g.id > b.min_id
+        GROUP BY g.band_id
     )
-    SELECT CAST(band_id AS INT) AS band_id,
-           CAST(sum(m) AS BIGINT) AS n_pairs,
-           CAST(count(*) AS BIGINT) AS n_docs_with_match,
-           CAST(min(id) AS BIGINT) AS min_doc
-    FROM per_doc GROUP BY band_id ORDER BY band_id
+    SELECT CAST(p.band_id AS INT) AS band_id, p.n_pairs,
+           m.n_docs_with_match, m.min_doc
+    FROM pairs_by_band p JOIN match_by_band m USING (band_id)
+    ORDER BY band_id
     """,
 )
 def pipeline_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,31 +156,35 @@ def pipeline_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"compacted state differs: {missing} rows lost, {extra} rows added"
         )
 
-    # probe rollup FROM THE COMPACTED STATE (the value-oracled output)
-    left = comp.select("band_id", "band_hash", F.col("id"))
-    right = comp.select(
-        F.col("band_id").alias("b2"),
-        F.col("band_hash").alias("h2"),
-        F.col("id").alias("j"),
+    # probe rollup FROM THE COMPACTED STATE (the value-oracled output).
+    # Bucket-statistics spelling, NEVER pair enumeration: each doc has
+    # exactly one band_hash per band, so within a band every colliding
+    # pair lives in exactly one (band_hash) bucket — n_pairs is
+    # sum C(cnt, 2) and docs-with-an-earlier-collider is sum (cnt - 1),
+    # both computable from one bucket aggregate.  The 4x scale-stress
+    # caught the self-join spelling at 11.5x (pairs grow quadratically
+    # in dup-bucket size); this one is O(state) whatever the dup density.
+    bucket = comp.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("cnt"), F.min("id").alias("min_id")
     )
-    pairs = (
-        left.join(
-            right,
-            (F.col("b2") == F.col("band_id"))
-            & (F.col("h2") == F.col("band_hash"))
-            & (F.col("j") < F.col("id")),
-        )
-        .select("band_id", "id", "j")
-        .distinct()
+    pairs_by_band = (
+        bucket.filter(F.col("cnt") >= 2)
+        .groupBy("band_id")
+        .agg(F.sum(F.expr("cnt * (cnt - 1) div 2")).alias("n_pairs"))
     )
-    per_doc = pairs.groupBy("band_id", "id").agg(F.count("*").alias("m"))
-    return (
-        per_doc.groupBy("band_id")
+    # the join keys equal the aggregate's grouping: the bucket exchange
+    # is reused, no extra shuffle for the match side
+    match_by_band = (
+        comp.join(bucket, ["band_id", "band_hash"])
+        .filter(F.col("id") > F.col("min_id"))
+        .groupBy("band_id")
         .agg(
-            F.sum("m").alias("n_pairs"),
             F.count("*").alias("n_docs_with_match"),
             F.min("id").alias("min_doc"),
         )
+    )
+    return (
+        pairs_by_band.join(match_by_band, "band_id")
         .select(
             F.col("band_id").cast("int").alias("band_id"),
             "n_pairs",

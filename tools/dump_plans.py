@@ -97,6 +97,10 @@ REPRESENTATIVE = [
     ("diag_reused_exchange_proof", "self-join on own aggregate: one lineitem exchange, second branch wired to ReusedExchange"),
     ("docs_shard_rendezvous_stability", "per-doc 5-way explode + struct-max argmax; no window over the corpus, join width = doc_id"),
     ("diag_encoding_advisor", "segment-partitioned run-length windows (no global-order window); distinct counts in their own aggregate, no Expand"),
+    # round 10
+    ("similarity_ann_ivf_pinned", "pinned-centroid IVF: literal centroids broadcast in the plan, expression-level argmax (DuckDB fold parity), cell equi-join probe"),
+    ("docs_substring_dedup_rewrite", "keep-first scrubber: one gk-window decides cuts, per-doc island/segment windows, ordered-struct concat rebuild — no Python, no cross join"),
+    ("pipeline_state_compaction", "probe rollup reads the COMPACTED band dir (partition-pruned parquet), banded equi self-join, two-level aggregate"),
 ]
 
 
