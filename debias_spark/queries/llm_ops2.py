@@ -524,7 +524,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: k-means centroids (deterministic Lloyd's on a seeded,
     bounded sample, fitted driver-side with numpy) partition the corpus into
-    cells; probes score only their own cell.  Same shape as the sign-LSH
+    cells; probes score only their own cell.  Rows-only BECAUSE the fit is
+    engine-internal; the pinned-centroid twin `similarity_ann_ivf_pinned`
+    (llm_ops36.py, Y5b) value-oracles the identical assignment + probe
+    math with the centroids frozen as literals.  Same shape as the sign-LSH
     variant with learned instead of random partitions — the standard trade:
     better cell balance, one extra (bounded) fit pass.  The corpus is
     materialized once (localCheckpoint) and feeds the fit sample, the cell

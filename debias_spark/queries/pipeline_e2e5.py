@@ -191,14 +191,20 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 2. exact dedup keep-first: digest aggregate (16-byte shuffle key),
-    # then a semi-join restores survivor rows — text moves once
+    # then a semi-join restores survivor rows — text moves once.
+    # NO localCheckpoint on s1/s2 despite multiple consumers: both carry
+    # the text column, and materializing text-wide frames measured WORSE
+    # than recomputing the narrow upstream at both 1x and 4x (SCALE.md
+    # round-10 A/B: 4x with checkpoints 60-83s, without 42-54s) — the
+    # reuse-count doctrine yields to measurement when the cached rows
+    # are wide and the recompute is scan+codegen.
     reps = (
         q.select("doc_id", F.md5(normalize_strict(F.col("text"))).alias("dg"))
         .groupBy("dg")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = q.join(reps, "doc_id", "semi").localCheckpoint(eager=True)
+    s1 = q.join(reps, "doc_id", "semi")
 
     # 3. near-dup screen over the exact survivors (the Z68 predicate)
     sh = s1.select(
@@ -234,9 +240,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id")
         .distinct()
     )
-    s2 = s1.join(
-        dropped.withColumnRenamed("id", "doc_id"), "doc_id", "anti"
-    ).localCheckpoint(eager=True)
+    s2 = s1.join(dropped.withColumnRenamed("id", "doc_id"), "doc_id", "anti")
 
     # 4. decontamination: bloom prefilter + exact confirm (Y72's plan)
     eval_grams = (
