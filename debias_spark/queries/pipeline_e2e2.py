@@ -91,16 +91,25 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode (history is signatures, 32 ints/doc, and band rows, 4
     ints/doc — never text); the index join is banded (never all-pairs)
     and the state appends are hive-partitioned by band_id so a batch's
-    probe reads prune to colliding bands.  At 100 TB the band state
-    becomes a bucketed table keyed (band_id, band_hash) — same join, a
-    narrower scan; the verification stays a 32-column integer compare
-    with no floats anywhere."""
+    probe reads prune to colliding bands.  The band state is COMPACTED
+    mid-stream (after batch 2, staging+rename swap — the Z73 operation
+    fused into the loop), so per-batch appends never accumulate small
+    files without bound; the post-compaction batches probing the
+    rewritten dir and still hash-matching the oracle IS the
+    results-unchanged proof.  At 100 TB the band state becomes a
+    bucketed table keyed (band_id, band_hash) — same join, a narrower
+    scan; the verification stays a 32-column integer compare with no
+    floats anywhere."""
     from debias_spark.operators.dedup import (
         bands_from_sig,
         minhash_sig_wide,
         word_shingles,
     )
-    from debias_spark.warehouse import prune_stale_siblings, stage_single_file_drop
+    from debias_spark.warehouse import (
+        compact_partitioned_state,
+        prune_stale_siblings,
+        stage_single_file_drop,
+    )
 
     docs = table(spark, sf_dir, "documents")
     src_dir = _sink_dir(spark, sf_dir, "z68_src")  # prunes stale z68_src_*
@@ -210,6 +219,20 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_banded.write.mode("append").partitionBy("band_id").parquet(band_dir)
         b_sig.write.mode("append").parquet(sig_dir)
         payload.write.mode("append").parquet(pay_dir)
+        # MID-STREAM COMPACTION (the r9 watch item: per-batch appends
+        # accumulate small files per band partition without bound):
+        # after the 2nd batch the band state is rewritten to one file
+        # per band via a staging+rename swap (Z73's operation, fused
+        # into the loop that grows the state).  The later batches then
+        # probe the COMPACTED dir — the final value-oracle hash IS the
+        # probe-results-unchanged proof; the guard pins that compaction
+        # actually shrank the state (raise: survives python -O)
+        if len(batches) == 2:
+            before, after = compact_partitioned_state(ss, band_dir, "band_id", _NB)
+            if after > before:
+                raise RuntimeError(
+                    f"band-state compaction grew the file count: {before} -> {after}"
+                )
 
     _SP = "spark.sql.shuffle.partitions"
     prev_sp = spark.conf.get(_SP, None)

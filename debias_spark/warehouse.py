@@ -71,6 +71,39 @@ def swap_state_write(frame, state_dir: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def compact_partitioned_state(
+    spark, state_dir: str, partition_col: str, n_partitions: int
+) -> tuple[int, int]:
+    """Rewrite an append-only hive-partitioned state dir into few files
+    per partition (one shuffle on the partition key) via a staging +
+    rename swap, so readers never see a half-compacted state.  Returns
+    (files_before, files_after) for the caller's proof guard.  This is
+    Z73's maintenance operation packaged for the streaming loops whose
+    state grows by per-batch appends (Z68); at 100 TB it runs as a
+    background job per partition range against a transactional table."""
+    import os
+    import shutil
+
+    def nfiles(root: str) -> int:
+        n = 0
+        for _, _, files in os.walk(root):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = nfiles(state_dir)
+    staging = state_dir + ".compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.read.parquet(state_dir).repartition(
+        n_partitions, partition_col
+    ).write.partitionBy(partition_col).parquet(staging)
+    old = state_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(state_dir, old)
+    os.rename(staging, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return before, nfiles(state_dir)
+
+
 def stage_single_file_drop(df, src_dir: str, name: str, mtime: float | None = None) -> None:
     """Write ``df`` as ONE parquet file ``<src_dir>/<name>`` (a staged
     landing-zone drop for the file-stream pipeline keys), optionally
