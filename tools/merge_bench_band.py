@@ -50,6 +50,26 @@ def merge(paths: list[str]) -> dict:
     # silently publish a stale total as the headline).  bench.py stamps
     # "ts"; runs missing it keep their relative CLI order (stable sort).
     runs.sort(key=lambda r: float(r.get("ts", 0)))
+    # contended-run gate (mechanical, not curated): a run where bench's
+    # own tripwire flagged >15% of keys as suspect_contention is a
+    # contended host snapshot, not a band sample — its per-key maxes
+    # would poison every anchor.  Drop such runs loudly, as long as at
+    # least two clean runs remain (otherwise keep everything: a band
+    # from one run is worse than a wide honest band).
+    def _contended(r: dict) -> bool:
+        n = max(len(r.get("queries") or {}), 1)
+        return len(r.get("suspect_contention") or []) > 0.15 * n
+
+    clean = [r for r in runs if not _contended(r)]
+    if len(clean) >= 2 and len(clean) < len(runs):
+        for r in runs:
+            if _contended(r):
+                print(
+                    f"dropping contended run (ts={r.get('ts')}, total="
+                    f"{r.get('value')}s, {len(r.get('suspect_contention') or [])} "
+                    "suspect keys > 15% of the sweep)",
+                )
+        runs = clean
     # a band across runs at different scales (or protocols) is meaningless
     # and would silently poison the tripwire baseline: refuse to merge
     for field in ("sf", "reps", "metric"):
