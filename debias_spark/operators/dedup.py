@@ -60,7 +60,9 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     for h in range(num_hashes):
         a = (2_654_435_761 * (h + 1)) % MINHASH_P
         b = (40_503 * (h + 1) + 12_345) % MINHASH_P
-        assert a != 0, h
+        if a == 0:  # degenerate permutation would zero a signature lane;
+            # raise (not assert) so the guard survives python -O
+            raise ValueError(f"minhash permutation {h} degenerated to a=0")
         out.append((a, b))
     return out
 

@@ -285,7 +285,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle: one replica per aggregate family).  Measured 1.82s -> 0.87s
     at sf0.1, interleaved min-of-3, outputs exactly equal."""
     ev = table(spark, sf_dir, "events")
-    pairs = ev.select("event_type", "user_id").distinct()
+    # NULL user_id filtered BEFORE the distinct so the exact count matches
+    # the oracle's count(DISTINCT user_id), which never counts the NULL
+    # group (the X167 latent-divergence class, r9 advice — swept in r10)
+    pairs = (
+        ev.select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+    )
     agg = pairs.groupBy("event_type").agg(
         F.count("*").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.01).alias("acd"),

@@ -160,6 +160,12 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     "docs_quality_filterchain": 10,
     "docs_pack_nextfit_decreasing": 10,
     "docs_decontam_bloom_prefilter": 10,
+    # r10 sweep of the X167 latent class across every .distinct()+count
+    # site: H13 was the one other instance (NULL user_id would count in
+    # Spark's distinct-pairs count but not the oracle's count(DISTINCT));
+    # Z51 checked consistent (both engines count the NULL row), the
+    # pagerank/bloom-bucket distincts feed joins, not counts
+    "agg_approx_distinct": 10,
 }
 
 

@@ -1,0 +1,85 @@
+"""merge_bench_band contracts: timestamp-ordered headline (r9 advice),
+failed-newest fallback, and the r10 mechanical contended-run gate."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.merge_bench_band import merge  # noqa: E402
+
+
+def _run(tmp_path, name, ts, total, queries, suspects=()):
+    p = tmp_path / name
+    p.write_text(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "reps": 3,
+                "sf": 0.1,
+                "ts": ts,
+                "queries": queries,
+                "queries_n": len(queries),
+                "suspect_contention": list(suspects),
+            }
+        )
+    )
+    return str(p)
+
+
+Q = {f"k{i}": 0.5 + i * 0.01 for i in range(20)}
+
+
+def test_headline_is_newest_by_timestamp_not_cli_order(tmp_path):
+    newest = _run(tmp_path, "a.json", ts=300, total=111.0, queries=Q)
+    oldest = _run(tmp_path, "b.json", ts=100, total=999.0, queries=Q)
+    # newest passed FIRST on the CLI: the old code would publish 999.0
+    out = merge([newest, oldest])
+    assert out["value"] == 111.0
+    assert out["value_band"] == [111.0, 999.0]
+
+
+def test_failed_newest_falls_back_to_band_max(tmp_path):
+    ok = _run(tmp_path, "a.json", ts=100, total=120.0, queries=Q)
+    failed = _run(tmp_path, "b.json", ts=200, total=-1, queries=Q)
+    out = merge([ok, failed])
+    assert out["value"] == 120.0  # never a negative headline
+    assert out["value_band"] == [120.0, 120.0]
+
+
+def test_all_failed_refuses(tmp_path):
+    failed = _run(tmp_path, "a.json", ts=100, total=-1, queries=Q)
+    with pytest.raises(SystemExit):
+        merge([failed, failed])
+
+
+def test_contended_run_dropped_when_two_clean_remain(tmp_path, capsys):
+    clean1 = _run(tmp_path, "a.json", ts=100, total=100.0, queries=Q)
+    clean2 = _run(tmp_path, "b.json", ts=200, total=105.0, queries=Q)
+    hot = _run(
+        tmp_path, "c.json", ts=300, total=160.0, queries=Q,
+        suspects=[f"k{i}" for i in range(4)],  # 4/20 = 20% > 15%
+    )
+    out = merge([clean1, clean2, hot])
+    assert out["runs_n"] == 2
+    assert out["value_band"] == [100.0, 105.0]
+    assert out["value"] == 105.0  # newest CLEAN run
+    assert "dropping contended run" in capsys.readouterr().out
+
+
+def test_contended_runs_kept_when_too_few_clean(tmp_path):
+    clean = _run(tmp_path, "a.json", ts=100, total=100.0, queries=Q)
+    hot = _run(
+        tmp_path, "b.json", ts=200, total=160.0, queries=Q,
+        suspects=[f"k{i}" for i in range(4)],
+    )
+    # only one clean run: a band from one run is worse than a wide band
+    out = merge([clean, hot])
+    assert out["runs_n"] == 2
+    assert out["value_band"] == [100.0, 160.0]
