@@ -74,6 +74,16 @@ def test_ivf_pinned_topk_cardinality(spark, sf_dir):
         assert len(set(cands)) == len(cands), (qs, cands)
 
 
+def test_corpus_build_is_deterministic(spark, sf_dir):
+    """Two runs over the same input must produce the IDENTICAL manifest:
+    the NFD packer is a per-shard python fold, the near-dup screen a
+    pure predicate, the decontam screen a static set — nothing may
+    depend on partitioning or execution order."""
+    a = sorted(map(tuple, q("pipeline_corpus_build", spark, sf_dir).collect()))
+    b = sorted(map(tuple, q("pipeline_corpus_build", spark, sf_dir).collect()))
+    assert a == b
+
+
 def test_quarantine_replay_partitions_corpus(spark, sf_dir):
     rows = q("pipeline_quarantine_replay", spark, sf_dir).collect()
     n_docs = table(spark, sf_dir, "documents").count()
