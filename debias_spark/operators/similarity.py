@@ -313,18 +313,27 @@ def kmeans_fit_sample(
     return centers.tolist()
 
 
-def assign_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+def assign_cell(
+    vec_col: Column, centroids: list[list[float]], score_round: int | None = None
+) -> Column:
     """Nearest-centroid cell id (0-based) as a codegen-friendly expression:
     argmax_j (v . c_j - |c_j|^2 / 2), the squared-distance argmin identity,
     with ties to the lowest cell.  Centroids are literal arrays, i.e.
-    broadcast to every task for free in the plan itself."""
+    broadcast to every task for free in the plan itself.  ``score_round``
+    rounds each per-centroid score to that many decimals BEFORE the
+    argmax: a cross-engine oracle must apply the same rounding on its
+    side, so a near-tie argmax can never diverge on accumulation order
+    (SIMD/FMA) between engines (r10 advice)."""
     scores = []
     for j, c in enumerate(centroids):
         c_col = F.array(*[F.lit(float(v)) for v in c])
         half_sq = float(sum(v * v for v in c) / 2.0)
+        s = dot(vec_col, c_col) - F.lit(half_sq)
+        if score_round is not None:
+            s = F.round(s, score_round)
         scores.append(
             F.struct(
-                (dot(vec_col, c_col) - F.lit(half_sq)).alias("s"),
+                s.alias("s"),
                 F.lit(-j).alias("ni"),
             )
         )

@@ -33,16 +33,21 @@ from debias_spark.registry import register
 # ---------------------------------------------------------------------------
 
 _IVF_K, _IVF_DIM, _IVF_TOPK = 8, 64, 3
+_SCORE_ROUND = 6  # decimals for the pre-argmax score rounding (both engines)
 
 
 def _ivf_pinned_oracle() -> str:
     from debias_spark.operators.similarity import ivf_pinned_centroids
 
     cents = ivf_pinned_centroids(_IVF_K, _IVF_DIM)
+    # per-centroid scores rounded to _SCORE_ROUND decimals BEFORE the
+    # argmax, mirroring assign_cell(score_round=...) exactly: a near-tie
+    # cell can then never diverge on accumulation order between engines
     scores = ", ".join(
-        "list_dot_product(v, [{}]::DOUBLE[]) - {}".format(
+        "round(list_dot_product(v, [{}]::DOUBLE[]) - {}, {})".format(
             ",".join(repr(c) for c in cent),
             repr(float(sum(c * c for c in cent) / 2.0)),
+            _SCORE_ROUND,
         )
         for cent in cents
     )
@@ -80,10 +85,11 @@ def similarity_ann_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a production IVF index actually is after its one-time fit
     persists.  Cell = argmax_j (v . c_j - |c_j|^2 / 2) with ties to the
     lowest cell (assign_cell, the expression-level spec — a SEQUENTIAL
-    double fold, the identical operation order DuckDB's
-    list_dot_product runs, so the argmax is replayed bit-for-bit);
-    probes (vec_id < 10) score only their own cell; top-3 by rounded
-    cosine with cand_id tiebreak.
+    double fold matching DuckDB's list_dot_product operation order, with
+    each per-centroid score ROUNDED to 6 decimals before the argmax in
+    BOTH engines so a near-tie cell can never diverge on accumulation
+    order, r10 advice); probes (vec_id < 10) score only their own cell;
+    top-3 by rounded cosine with cand_id tiebreak.
 
     This upgrades the IVF family out of rows-only residue (r9 verdict
     gap #2): Y5 keeps pinning the fit-is-engine-internal variant, this
@@ -105,7 +111,9 @@ def similarity_ann_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("v"),
         l2_norm(F.col("embedding")).alias("nrm"),
-        assign_cell(F.col("embedding"), cents).alias("cell"),
+        assign_cell(F.col("embedding"), cents, score_round=_SCORE_ROUND).alias(
+            "cell"
+        ),
     ).localCheckpoint(eager=True)
     probes = cells.filter(F.col("cand_id") < 10).select(
         F.col("cand_id").alias("query_id"),

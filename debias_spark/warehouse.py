@@ -76,7 +76,13 @@ def compact_partitioned_state(
 ) -> tuple[int, int]:
     """Rewrite an append-only hive-partitioned state dir into few files
     per partition (one shuffle on the partition key) via a staging +
-    rename swap, so readers never see a half-compacted state.  Returns
+    rename swap, so readers never see a HALF-compacted state.  The swap
+    is two renames, not one atomic replace: between `state_dir -> .old`
+    and `.staging -> state_dir` the target briefly does not exist, so
+    this assumes a SINGLE writer and no concurrent reader (true for the
+    foreachBatch loops that call it — Spark serializes batches).  A
+    multi-reader deployment needs a transactional table format instead
+    of directory swaps.  Returns
     (files_before, files_after) for the caller's proof guard.  This is
     Z73's maintenance operation packaged for the streaming loops whose
     state grows by per-batch appends (Z68); at 100 TB it runs as a

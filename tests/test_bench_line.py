@@ -59,6 +59,10 @@ def test_merge_bench_band(tmp_path):
     sys.path.insert(0, "/root/repo/tools")
     from merge_bench_band import merge
 
+    # 6 stable filler keys keep the one suspect key at 1/8 = 12.5% of the
+    # sweep, below the contended-run gate's 15% drop threshold (the gate
+    # itself is spec'd by tests/test_merge_bench_band.py).
+    fill = {f"q_fill_{i}": 0.5 for i in range(6)}
     runs = []
     for i, (qa, qb) in enumerate([(1.0, 2.0), (1.2, 1.8), (1.1, -1.0)]):
         p = tmp_path / f"b{i}.json"
@@ -69,8 +73,8 @@ def test_merge_bench_band(tmp_path):
                     "unit": "sec",
                     "reps": 3,
                     "sf": 0.1,
-                    "value": qa + max(qb, 0),
-                    "queries": {"qa": qa, "qb": qb},
+                    "value": qa + max(qb, 0) + sum(fill.values()),
+                    "queries": {"qa": qa, "qb": qb, **fill},
                     "suspect_contention": ["qa"] if i == 1 else [],
                 }
             )

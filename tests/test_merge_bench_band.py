@@ -83,3 +83,54 @@ def test_contended_runs_kept_when_too_few_clean(tmp_path):
     out = merge([clean, hot])
     assert out["runs_n"] == 2
     assert out["value_band"] == [100.0, 160.0]
+
+def test_refuses_merged_artifact_as_input(tmp_path):
+    raw = _run(tmp_path, "a.json", ts=100, total=100.0, queries=Q)
+    merged_art = tmp_path / "merged.json"
+    merged_art.write_text(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": 105.0,
+                "unit": "sec",
+                "reps": 3,
+                "sf": 0.1,
+                "ts": 200,
+                "queries": Q,
+                "runs_n": 3,
+                "value_band": [100.0, 110.0],
+                "suspect_contention": list(Q)[:5],
+            }
+        )
+    )
+    with pytest.raises(SystemExit, match="already a merged band artifact"):
+        merge([raw, str(merged_art)])
+
+
+def test_compare_prev_symmetric_floor_ratios(tmp_path):
+    from tools.merge_bench_band import compare_prev
+
+    prev = {
+        "queries": {"qa": 1.2, "qb": 2.4, "q_gone": 5.0, "q_fail": -1.0},
+        "band": {"qa": [1.0, 1.2], "qb": [2.0, 2.4]},
+    }
+    merged = {
+        "queries": {"qa": 1.3, "qb": 2.2, "q_new": 0.5, "q_fail": 1.0},
+        "band": {"qa": [1.1, 1.3], "qb": [1.8, 2.2], "q_new": [0.5, 0.5]},
+    }
+    cmpd = compare_prev(prev, merged)
+    # shared = qa, qb only (q_gone absent new side, q_fail failed prev side)
+    assert cmpd["shared_keys_n"] == 2
+    assert cmpd["floor_total_prev"] == 3.0  # 1.0 + 2.0 (band FLOORS)
+    assert cmpd["floor_total_new"] == 2.9  # 1.1 + 1.8
+    assert abs(cmpd["floor_vs_floor_ratio"] - 2.9 / 3.0) < 1e-3
+    # per-key floor ratios: 1.1/1.0=1.1, 1.8/2.0=0.9 -> median 1.0
+    assert abs(cmpd["median_key_floor_ratio"] - 1.0) < 1e-6
+
+
+def test_compare_prev_no_shared_keys():
+    from tools.merge_bench_band import compare_prev
+
+    assert compare_prev({"queries": {"x": 1.0}}, {"queries": {"y": 1.0}}) == {
+        "shared_keys_n": 0
+    }

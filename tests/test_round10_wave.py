@@ -52,12 +52,20 @@ def test_corpus_build_subset_of_quality_keepers(spark, sf_dir):
 
 def test_substring_rewrite_accounting(spark, sf_dir):
     rows = q("docs_substring_dedup_rewrite", spark, sf_dir).collect()
-    n_docs = table(spark, sf_dir, "documents").count()
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    # independent per-doc length (not the query's own L column): the
+    # rewrite must conserve characters — kept + removed = original
+    orig_len = {
+        r.doc_id: r.L
+        for r in docs.select("doc_id", F.length("text").alias("L")).collect()
+    }
     assert len(rows) == n_docs  # every doc gets a rewrite row
     assert any(r.removed_chars > 0 for r in rows), "no spans cut anywhere"
     empty_digest = "d41d8cd98f00b204"  # md5('') prefix
     for r in rows:
-        assert r.new_len >= 0 and r.new_len + r.removed_chars >= r.new_len, r
+        assert r.new_len >= 0, r
+        assert r.new_len + r.removed_chars == orig_len[r.doc_id], r
         assert (r.n_spans == 0) == (r.removed_chars == 0), r
         if r.new_len == 0 and r.removed_chars > 0:
             assert r.new_digest == empty_digest, r

@@ -45,6 +45,16 @@ def merge(paths: list[str]) -> dict:
             runs.append(json.load(fh))
     if not runs:
         raise SystemExit("no input runs")
+    # merge inputs must be RAW bench runs: a previously-merged artifact
+    # carries the union of all its runs' suspect_contention keys, so
+    # re-feeding it would misclassify it as contended and silently drop it
+    # (r10 advice).  Refuse loudly instead.
+    for p, r in zip(paths, runs):
+        if "runs_n" in r or "value_band" in r:
+            raise SystemExit(
+                f"{p} is already a merged band artifact (carries runs_n/"
+                "value_band) — merge only raw BENCH_full runs"
+            )
     # "newest run" must mean newest by MEASUREMENT TIME, not by CLI
     # argument order (r9 advice: a caller passing runs out of order would
     # silently publish a stale total as the headline).  bench.py stamps
@@ -122,11 +132,67 @@ def merge(paths: list[str]) -> dict:
     return base
 
 
+def compare_prev(prev: dict, merged: dict) -> dict:
+    """Symmetric round-over-round comparison (r10 verdict item 4).
+
+    The clean-run vs prev-band-MAX ratio the tripwire uses can flatter the
+    new round (it compares this round's floor against last round's worst
+    sample).  Record the symmetric numbers alongside it: band-floor vs
+    band-floor totals over the SHARED keys, and the median per-key
+    floor/floor ratio, so SCALE.md claims carry both automatically.
+    """
+
+    def _floor(art: dict, k: str) -> float:
+        b = (art.get("band") or {}).get(k)
+        if b:
+            return float(b[0])
+        return float(art["queries"][k])
+
+    shared = [
+        k
+        for k, v in merged.get("queries", {}).items()
+        if v >= 0 and float(prev.get("queries", {}).get(k, -1)) >= 0
+    ]
+    if not shared:
+        return {"shared_keys_n": 0}
+    new_floors = {k: _floor(merged, k) for k in shared}
+    prev_floors = {k: _floor(prev, k) for k in shared}
+    ratios = sorted(
+        new_floors[k] / prev_floors[k] for k in shared if prev_floors[k] > 0
+    )
+    mid = len(ratios) // 2
+    median = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return {
+        "shared_keys_n": len(shared),
+        "floor_total_prev": round(sum(prev_floors.values()), 4),
+        "floor_total_new": round(sum(new_floors.values()), 4),
+        "floor_vs_floor_ratio": round(
+            sum(new_floors.values()) / sum(prev_floors.values()), 4
+        ),
+        "median_key_floor_ratio": round(median, 4),
+    }
+
+
 def main() -> None:
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    prev_path = None
+    if "--prev" in argv:
+        i = argv.index("--prev")
+        prev_path = argv[i + 1]
+        del argv[i : i + 2]
+    if len(argv) < 2:
         raise SystemExit(__doc__)
-    out, inputs = sys.argv[1], sys.argv[2:]
+    out, inputs = argv[0], argv[1:]
     payload = merge(inputs)
+    if prev_path:
+        with open(prev_path) as fh:
+            prev = json.load(fh)
+        payload["prev_compare"] = compare_prev(prev, payload)
+        print(f"prev_compare vs {prev_path}: {payload['prev_compare']}")
     with open(out, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(

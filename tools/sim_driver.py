@@ -7,7 +7,7 @@ key.  Prints a cumulative-time table so we can see (a) whether the r01
 50-key cutoff is explainable as a wall-clock budget and (b) which keys to
 shave.
 
-Usage: python tools/sim_driver.py [sf_dir] [--tuned]
+Usage: python tools/sim_driver.py [sf_dir] [--tuned] [--only k1,k2,...]
 """
 
 from __future__ import annotations
@@ -44,6 +44,12 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if "--only" in sys.argv:
+        wanted = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        missing = wanted - set(qs)
+        if missing:
+            raise SystemExit(f"--only keys not in registry: {sorted(missing)}")
+        qs = {k: v for k, v in qs.items() if k in wanted}
 
     t0 = time.perf_counter()
     rows = []
