@@ -10,6 +10,8 @@ already have green CORRECTNESS_r01 rows, never on unproven ones.
 """
 
 import debias_spark.queries.llm_ops36  # noqa: F401  Y5b pinned-centroid IVF, Y73 substring scrubber (round 10)
+import debias_spark.queries.llm_ops37  # noqa: F401  Y74 composed IVF-PQ ANN search (round 11)
+import debias_spark.queries.pipeline_e2e6  # noqa: F401  Z76 incremental corpus build (round 11)
 import debias_spark.queries.pipeline_e2e4  # noqa: F401  Z73 state compaction, Z74 quarantine replay (round 10)
 import debias_spark.queries.pipeline_e2e5  # noqa: F401  Z75 corpus-build capstone (round 10)
 import debias_spark.queries.llm_ops31  # noqa: F401  Y66/Y68/Y69/Y70 drift monitor, substring spans, epoch plan, rendezvous shards (round 9)

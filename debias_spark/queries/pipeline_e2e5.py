@@ -62,10 +62,10 @@ _GRAMS_DUCK = """SELECT DISTINCT doc_id, gram FROM (
     )""".format(w=_GRAM_N - 1, toks=_DUCK_ALL_TOKENS, src="{src}")
 
 
-@register(
-    "pipeline_corpus_build",
-    "Z75",
-    oracle=f"""
+# shared with the incremental twin (Z76, pipeline_e2e6.py): batch and
+# incremental corpus builds MUST produce the identical manifest, so they
+# carry the identical oracle
+CORPUS_BUILD_ORACLE = f"""
     WITH RECURSIVE pool AS MATERIALIZED (
         SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars
         FROM documents WHERE doc_id >= {_EVAL_MAX_ID}
@@ -124,8 +124,10 @@ _GRAMS_DUCK = """SELECT DISTINCT doc_id, gram FROM (
            CAST(sum(tok_bin) AS BIGINT) AS sum_tokens,
            CAST(min(mindoc_bin) AS BIGINT) AS min_doc_id
     FROM bins GROUP BY shard ORDER BY shard
-    """,
-)
+    """
+
+
+@register("pipeline_corpus_build", "Z75", oracle=CORPUS_BUILD_ORACLE)
 def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE capstone: a full corpus build in one engine-native run over
     the training pool (doc_id >= {eval}; below it is the held-out eval
