@@ -101,6 +101,8 @@ REPRESENTATIVE = [
     ("similarity_ann_ivf_pinned", "pinned-centroid IVF: literal centroids broadcast in the plan, expression-level argmax (DuckDB fold parity), cell equi-join probe"),
     ("docs_substring_dedup_rewrite", "keep-first scrubber: one gk-window decides cuts, per-doc island/segment windows, ordered-struct concat rebuild — no Python, no cross join"),
     ("pipeline_state_compaction", "probe rollup reads the COMPACTED band dir (partition-pruned parquet), banded equi self-join, two-level aggregate"),
+    # round 11
+    ("similarity_ann_ivfpq", "composed IVF-PQ: literal centroids + broadcast codebook/LUT, cell equi-join candidates scored from 8 codes, exact cosine on the 32-row shortlist only"),
 ]
 
 
