@@ -145,8 +145,8 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     # Y69: nullif(toks, 0) on the epochs_e4 divisor, both engines
     "corpus_repeat_epoch_plan": 10,
     # Z68/Z71: prune prefix built from known stem + sf tag, not by
-    # splitting the appId-suffixed dir name
-    "pipeline_incremental_neardup": 10,
+    # splitting the appId-suffixed dir name (r10, drained green);
+    # Z68 bumped to 11 below for the compaction threshold gate
     "pipeline_checkpoint_resume": 10,
     # Z70/X164/X166: in-key proof guards assert -> raise (python -O safe)
     "source_gzip_unsplittable_scan": 10,
@@ -166,6 +166,23 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     # Z51 checked consistent (both engines count the NULL row), the
     # pagerank/bloom-bucket distincts feed joins, not counts
     "agg_approx_distinct": 10,
+    # --- r11: verdict-item closes (all re-proven green at sf0.01
+    # locally via the full driver-sim sweep; queued for the driver's
+    # own re-stamp) ---
+    # Z20/H9e (+Y61, which embeds the H9e oracle): verified/edges CTEs
+    # materialized so the WITH RECURSIVE closure stops re-evaluating the
+    # minhash chain per iteration (2.1s -> 0.2s; values identical)
+    "dedup_pipeline_survivors": 11,
+    "dedup_clusters": 11,
+    "dedup_keep_best_quality": 11,
+    # Y5b: per-centroid scores rounded to 6 decimals before the argmax
+    # in BOTH engines (near-tie accumulation-order robustness)
+    "similarity_ann_ivf_pinned": 11,
+    # Z68: in-loop compaction gated on a per-partition file-count
+    # threshold (default 64; local 4-batch drain no longer compacts)
+    "pipeline_incremental_neardup": 11,
+    # (Z75's oracle moved to the shared CORPUS_BUILD_ORACLE constant —
+    # byte-identical string, function untouched; no re-proof needed)
 }
 
 

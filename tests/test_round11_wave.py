@@ -167,6 +167,16 @@ def test_incremental_corpus_build_state_layout(spark, specs):
     assert spark.read.parquet(sig_dir).count() > 0
 
 
+def test_incremental_corpus_build_shares_batch_oracle(specs):
+    # the equivalence claim is structural: BOTH keys register the SAME
+    # oracle string, so the driver proves increments == one-shot build
+    assert (
+        specs["pipeline_corpus_build_incremental"].oracle
+        == specs["pipeline_corpus_build"].oracle
+    )
+    assert specs["pipeline_corpus_build"].oracle  # and it is a real oracle
+
+
 def test_incremental_corpus_build_restores_shuffle_conf(spark, specs):
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     specs["pipeline_corpus_build_incremental"].fn(spark, SF).collect()
