@@ -143,8 +143,69 @@ def main() -> None:
 
     total = round(sum(v for v in per_query.values() if v >= 0), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    write_full_map(per_query, total, float(sf), suspects)
-    print(render_line(per_query, total, float(sf), suspects))
+    ctx = contention_context(per_query, suspects)
+    write_full_map(per_query, total, float(sf), suspects, ctx)
+    print(render_line(per_query, total, float(sf), suspects, ctx))
+
+
+def contention_context(
+    per_query: dict[str, float], suspects: list[str]
+) -> dict[str, float]:
+    """Host-drift context for the single-run snapshot (r11 verdict: the
+    per-round BENCH_r{N}.json is the noisiest view of the round — r11's
+    snapshot read as a 47% neardup regression that the band artifact
+    proved was pure contention).  Two fields make the snapshot
+    self-describing:
+
+      suspect_share     fraction of benched keys still over the tripwire
+                        after their re-run (>0.15 is merge_bench_band's
+                        contended-run drop threshold)
+      floor_ratio_prev  this run's total over the previous round's
+                        per-key band-FLOOR total, shared keys only — a
+                        value near the floor ratio of an uncontended day
+                        (~1.0-1.1 on this host) means drift, not code
+    """
+    ok = [v for v in per_query.values() if v >= 0]
+    ctx: dict[str, float] = {
+        "suspect_share": round(len(suspects) / max(len(per_query), 1), 4)
+    }
+    floors = load_prev_floor()
+    shared = [k for k, v in per_query.items() if v >= 0 and floors.get(k, 0) > 0]
+    if shared and ok:
+        ctx["floor_ratio_prev"] = round(
+            sum(per_query[k] for k in shared) / sum(floors[k] for k in shared), 4
+        )
+        ctx["floor_shared_n"] = len(shared)
+    return ctx
+
+
+def load_prev_floor() -> dict[str, float]:
+    """Per-key band FLOOR (min across the previous round's closed-tree
+    runs) from the newest round-anchored full artifact; single-value keys
+    fall back to their anchor."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in reversed(sorted(glob.glob(os.path.join(here, "BENCH_full_r*.json")))):
+        try:
+            with open(path) as fh:
+                payload = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        queries = payload.get("queries") or {}
+        if not queries:
+            continue
+        band = payload.get("band") or {}
+        floors = {}
+        for k, v in queries.items():
+            try:
+                lo = float(band[k][0]) if k in band else float(v)
+            except (TypeError, ValueError, IndexError):
+                continue
+            if lo > 0:
+                floors[k] = lo
+        return floors
+    return {}
 
 
 def write_full_map(
@@ -152,6 +213,7 @@ def write_full_map(
     total: float,
     sf: float,
     suspects: list[str],
+    ctx: dict[str, float] | None = None,
 ) -> None:
     """Write the COMPLETE per-key map to BENCH_full.json next to this
     script.  The driver captures only the stdout line, whose LINE_BUDGET
@@ -172,6 +234,7 @@ def write_full_map(
         # "newest-run total" headline cannot be a stale run passed last
         "ts": time.time(),
     }
+    payload.update(ctx or {})
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
         with open(path, "w") as fh:
@@ -194,11 +257,13 @@ def render_line(
     total: float,
     sf: float,
     suspects: list[str] | None = None,
+    ctx: dict[str, float] | None = None,
 ) -> str:
     def dump(obj) -> str:
         return json.dumps(obj, separators=(",", ":"))
 
     suspects = suspects or []
+    ctx = ctx or {}
     ordered = sorted(
         per_query.items(), key=lambda kv: (kv[1] >= 0, -kv[1])
     )  # failures (v<0) first, then slowest-first
@@ -220,6 +285,7 @@ def render_line(
                 "omitted_sec": round(sum(s for s in omitted.values() if s >= 0), 3),
                 "suspect_contention": suspects,
                 "sf": sf,
+                **ctx,
             }
         )
         if len(candidate) > LINE_BUDGET:
@@ -235,6 +301,7 @@ def render_line(
                 "queries_n": len(per_query),
                 "suspect_contention": suspects,
                 "sf": sf,
+                **ctx,
             }
         )
     return line

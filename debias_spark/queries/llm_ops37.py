@@ -29,7 +29,8 @@ from debias_spark.registry import register
 
 # Y41 proves the 4-entry codebook assignment; the SEARCH needs a richer
 # quantizer to be useful — 16 codes/subspace (4 bits x 8 subspaces =
-# 64-bit codes) and a 16-deep shortlist, the small-index IVFPQ shape
+# 64-bit codes) and a _SHORT(=32)-deep shortlist, the small-index IVFPQ
+# shape
 _PQ_CODES = 16  # codebook entries per subspace (first 16 vectors)
 _SHORT = 32  # PQ shortlist size per query (asymmetric-distance top-N)
 _TOPK = 3  # exact-rerank output size (matches Y5b/H8 for comparability)
@@ -119,6 +120,176 @@ def _ivfpq_oracle() -> str:
     """
 
 
+def pq_codebook(emb: DataFrame) -> dict[int, list[float]]:
+    """The pinned PQ codebook: the first ``_PQ_CODES`` vectors' values,
+    collected ONCE — a collect bounded by the contract itself (16 rows) —
+    so encode/LUT stages can inline it as literals."""
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _PQ_CODES)
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .collect()
+    )
+    if len(cb_rows) < _PQ_CODES:
+        raise RuntimeError(
+            f"corpus has {len(cb_rows)} vectors below id {_PQ_CODES}; the "
+            "pinned PQ codebook contract needs all of them"
+        )
+    return {int(r.vec_id): [float(x) for x in r.v] for r in cb_rows}
+
+
+def _cw(book: dict[int, list[float]], code: int, j: int) -> list[float]:
+    return book[code][j * _PQ_DIMS : (j + 1) * _PQ_DIMS]
+
+
+def pq_index_frame(emb: DataFrame, book: dict[int, list[float]]) -> DataFrame:
+    """One corpus scan -> the PERSISTED INDEX ROW ``(vec_id, nrm, cell,
+    codes)``: norm, IVF cell (pinned centroids, Y5b rounding), and the 8
+    PQ codes (Y41 assignment against the 16 literal codewords — a pure
+    projection, zero shuffles).  8 small ints + 2 scalars per vector —
+    never the 64 doubles; at 100 TB this narrow frame IS the RAM-resident
+    index, and it is what the incremental variant appends per drop."""
+    from debias_spark.operators.similarity import assign_cell, ivf_pinned_centroids, l2_norm
+
+    cents = ivf_pinned_centroids(_IVF_K, _IVF_DIM)
+    vcol = F.transform("embedding", lambda x: x.cast("double"))
+
+    def _sqd_lit(sv, cw: list[float]):
+        # left-to-right fold, identical operation order to the DuckDB
+        # list_sum comprehension (the Y41 bit-for-bit doctrine)
+        return F.aggregate(
+            F.zip_with(sv, F.array(*[F.lit(x) for x in cw]), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _d_e4(sv, cw: list[float]):
+        return F.floor(_sqd_lit(sv, cw) * 10000 + F.lit(_EPS)).cast("long")
+
+    def _code_expr(j: int):
+        sv = F.slice(vcol, j * _PQ_DIMS + 1, _PQ_DIMS)
+        # lexicographic struct-min = argmin with lowest-code tie-break
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(_d_e4(sv, _cw(book, c, j)).alias("d"), F.lit(c).alias("c"))
+                    for c in range(_PQ_CODES)
+                ]
+            )
+        ).getField("c")
+
+    return emb.select(
+        "vec_id",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        assign_cell(F.col("embedding"), cents, score_round=_SCORE_ROUND).alias("cell"),
+        F.array(*[_code_expr(j) for j in range(_PQ_SUBSPACES)]).alias("codes"),
+    )
+
+
+def ivfpq_search(
+    spark: SparkSession, emb: DataFrame, index: DataFrame, book: dict[int, list[float]]
+) -> DataFrame:
+    """The search half of the IVF-PQ composition, over ANY index frame of
+    shape ``(vec_id, nrm, cell, codes)`` — the one-shot key passes a
+    checkpointed scan, the incremental key passes persisted state;
+    bit-for-bit identical results either way.  Full vectors come from
+    ``emb`` and are read ONLY for the probe rows and the per-query
+    ``_SHORT`` shortlist; every join pins its small side with
+    ``F.broadcast`` by construction (never AQE statistics — r11 advice),
+    so the corpus never shuffles for a join."""
+    from debias_spark.operators.similarity import dot
+
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    coded = index.select(
+        F.col("vec_id").alias("cand_id"),
+        "cell",
+        F.posexplode("codes").alias("j", "code"),
+    )
+    # per-query asymmetric-distance LUT: NQ x 8 x 16 rows, broadcast;
+    # the query side is data, so its distances ride a tiny frame join
+    # against the literal codebook re-shaped as a frame
+    cb_df = spark.createDataFrame(
+        [(j, c, _cw(book, c, j)) for j in range(_PQ_SUBSPACES) for c in range(_PQ_CODES)],
+        "j int, code int, cv array<double>",
+    )
+    probes = (
+        vecs.filter(F.col("vec_id") < _NQ)
+        .join(
+            F.broadcast(
+                index.filter(F.col("vec_id") < _NQ).select("vec_id", "nrm", "cell")
+            ),
+            "vec_id",
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q"),
+            F.col("nrm").alias("qn"),
+            "cell",
+        )
+    )
+    qsub = probes.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBSPACES - 1))).alias("qj"),
+        F.col("q").alias("v"),
+    ).select(
+        "query_id",
+        "qj",
+        F.expr(f"slice(v, qj * {_PQ_DIMS} + 1, {_PQ_DIMS})").alias("sv"),
+    )
+    sqd_q = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qsub.join(F.broadcast(cb_df), qsub["qj"] == cb_df["j"]).select(
+        "query_id",
+        "j",
+        "code",
+        F.floor(sqd_q * 10000 + F.lit(_EPS)).cast("long").alias("qd_e4"),
+    )
+    ad = (
+        coded.join(F.broadcast(probes.select("query_id", "cell")), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .join(F.broadcast(lut), ["query_id", "j", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("qd_e4").alias("ad_e4"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy("ad_e4", "cand_id")
+    short = (
+        ad.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= _SHORT)
+        .select("query_id", "cand_id", "ad_e4")
+    )
+    # exact rerank: the shortlist (<= NQ x _SHORT rows) and everything
+    # derived from it stay the BROADCAST side against the two corpus
+    # scans (index for nrm, vecs for the real vectors)
+    cand = F.broadcast(short).join(
+        index.select(F.col("vec_id").alias("cand_id"), "nrm"), "cand_id"
+    )
+    exact = (
+        F.broadcast(cand)
+        .join(vecs.select(F.col("vec_id").alias("cand_id"), "v"), "cand_id")
+        .join(F.broadcast(probes.select("query_id", "q", "qn")), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "ad_e4",
+            F.round(
+                dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4
+            ).alias("sim"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _TOPK)
+        .select("query_id", "cand_id", "sim", "ad_e4")
+    )
+
+
 @register("similarity_ann_ivfpq", "Y74", oracle=_ivfpq_oracle())
 def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ search: coarse probe -> PQ asymmetric-distance
@@ -148,150 +319,22 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
        so the oracle hash proves the PQ arithmetic, not just the final
        ordering.
 
-    Scale shape: ONE corpus scan assigns cells AND codes — the codebook
-    is collected once by pinned-index contract (16 rows) and inlined as
-    literals, so the encode is a pure projection with zero shuffles
-    (the same move ivf_pinned_centroids makes for the coarse level);
-    probes and the per-query LUT broadcast; the only corpus-side
-    exchange in the whole search is the (query, cand) AD aggregate over
-    the matched cell-mates, which map-side combines.  At 100 TB the
-    codes table IS the index — 64 bits/vector — and this plan reads
-    full vectors for _SHORT rows per query regardless of corpus size."""
-    from debias_spark.operators.similarity import (
-        assign_cell,
-        dot,
-        ivf_pinned_centroids,
-        l2_norm,
-    )
-
-    cents = ivf_pinned_centroids(_IVF_K, _IVF_DIM)
+    Scale shape: ONE corpus scan assigns norm, cell AND codes — the
+    codebook is collected once by pinned-index contract (16 rows) and
+    inlined as literals, so the encode is a pure projection with zero
+    shuffles (the same move ivf_pinned_centroids makes for the coarse
+    level).  The checkpointed frame is the NARROW index row (vec_id,
+    nrm, cell, codes) — 8 small ints + 2 scalars, never the 64 doubles
+    (r11 verdict: the eager full-vector checkpoint drove a 2.4x bench
+    band under co-tenant memory pressure).  Probes and the per-query
+    LUT broadcast; the only corpus-side exchange in the whole search is
+    the (query, cand) AD aggregate over the matched cell-mates, which
+    map-side combines; full vectors are re-read from the source for
+    probe rows and the _SHORT-row shortlist only, behind pinned
+    F.broadcast joins.  At 100 TB the codes table IS the index —
+    64 bits/vector — and this plan reads full vectors for _SHORT rows
+    per query regardless of corpus size."""
     emb = table(spark, sf_dir, "embeddings")
-    # the codebook is a persisted index artifact by contract (first
-    # _PQ_CODES vectors' subvectors): pull it ONCE — a collect bounded
-    # by the contract itself (16 rows) — and inline it as literals, the
-    # same move ivf_pinned_centroids makes for the coarse quantizer.
-    # PQ ENCODING then becomes a pure projection (struct-min argmin per
-    # subspace over 16 literal codewords): no codebook join, no window
-    # exchange — the encode pass adds ZERO shuffles to the corpus scan.
-    cb_rows = (
-        emb.filter(F.col("vec_id") < _PQ_CODES)
-        .select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-        )
-        .collect()
-    )
-    if len(cb_rows) < _PQ_CODES:
-        raise RuntimeError(
-            f"corpus has {len(cb_rows)} vectors below id {_PQ_CODES}; the "
-            "pinned PQ codebook contract needs all of them"
-        )
-    book = {int(r.vec_id): [float(x) for x in r.v] for r in cb_rows}
-
-    def _cw(code: int, j: int) -> list[float]:
-        return book[code][j * _PQ_DIMS : (j + 1) * _PQ_DIMS]
-
-    def _sqd_lit(sv, cw: list[float]):
-        # left-to-right fold, identical operation order to the DuckDB
-        # list_sum comprehension (the Y41 bit-for-bit doctrine)
-        return F.aggregate(
-            F.zip_with(sv, F.array(*[F.lit(x) for x in cw]), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def _d_e4(sv, cw: list[float]):
-        return F.floor(_sqd_lit(sv, cw) * 10000 + F.lit(_EPS)).cast("long")
-
-    def _code_expr(j: int):
-        sv = F.expr(f"slice(v, {j * _PQ_DIMS + 1}, {_PQ_DIMS})")
-        # lexicographic struct-min = argmin with lowest-code tie-break
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(_d_e4(sv, _cw(c, j)).alias("d"), F.lit(c).alias("c"))
-                    for c in range(_PQ_CODES)
-                ]
-            )
-        ).getField("c")
-
-    # one scan: double-cast vector, norm, IVF cell, and the 8 PQ codes —
-    # feeds the candidate side, the probe side, and the exact rerank
-    base = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-        assign_cell(F.col("embedding"), cents, score_round=_SCORE_ROUND).alias(
-            "cell"
-        ),
-    ).localCheckpoint(eager=True)
-    coded = base.select(
-        F.col("vec_id").alias("cand_id"),
-        "cell",
-        F.posexplode(F.array(*[_code_expr(j) for j in range(_PQ_SUBSPACES)])).alias(
-            "j", "code"
-        ),
-    )
-    # per-query asymmetric-distance LUT: NQ x 8 x 16 rows, broadcast;
-    # the query side is data, so its distances ride a tiny frame join
-    # against the literal codebook re-shaped as a frame
-    cb_df = spark.createDataFrame(
-        [(j, c, _cw(c, j)) for j in range(_PQ_SUBSPACES) for c in range(_PQ_CODES)],
-        "j int, code int, cv array<double>",
-    )
-    qsub = base.filter(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBSPACES - 1))).alias("qj"),
-        "v",
-    ).select(
-        "query_id",
-        "qj",
-        F.expr(f"slice(v, qj * {_PQ_DIMS} + 1, {_PQ_DIMS})").alias("sv"),
-    )
-    sqd_q = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    lut = qsub.join(F.broadcast(cb_df), qsub["qj"] == cb_df["j"]).select(
-        "query_id",
-        "j",
-        "code",
-        F.floor(sqd_q * 10000 + F.lit(_EPS)).cast("long").alias("qd_e4"),
-    )
-    probes = base.filter(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("q"),
-        F.col("nrm").alias("qn"),
-        "cell",
-    )
-    ad = (
-        coded.join(F.broadcast(probes.select("query_id", "cell")), "cell")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .join(F.broadcast(lut), ["query_id", "j", "code"])
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("qd_e4").alias("ad_e4"))
-    )
-    w_short = Window.partitionBy("query_id").orderBy("ad_e4", "cand_id")
-    short = (
-        ad.withColumn("rn", F.row_number().over(w_short))
-        .filter(F.col("rn") <= _SHORT)
-        .select("query_id", "cand_id", "ad_e4")
-    )
-    exact = (
-        short.join(probes.select("query_id", "q", "qn"), "query_id")
-        .join(base.select(F.col("vec_id").alias("cand_id"), "v", "nrm"), "cand_id")
-        .select(
-            "query_id",
-            "cand_id",
-            "ad_e4",
-            F.round(
-                dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4
-            ).alias("sim"),
-        )
-    )
-    w_top = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return (
-        exact.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= _TOPK)
-        .select("query_id", "cand_id", "sim", "ad_e4")
-    )
+    book = pq_codebook(emb)
+    index = pq_index_frame(emb, book).localCheckpoint(eager=True)
+    return ivfpq_search(spark, emb, index, book)

@@ -179,10 +179,20 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     # in BOTH engines (near-tie accumulation-order robustness)
     "similarity_ann_ivf_pinned": 11,
     # Z68: in-loop compaction gated on a per-partition file-count
-    # threshold (default 64; local 4-batch drain no longer compacts)
-    "pipeline_incremental_neardup": 11,
+    # threshold (r11, drained green in CORRECTNESS_r11); r12 relaxed the
+    # guard to raise only on after > before (== is a legal no-op) — see
+    # the r12 block below for the bump to 12
     # (Z75's oracle moved to the shared CORPUS_BUILD_ORACLE constant —
     # byte-identical string, function untouched; no re-proof needed)
+    # --- r12: verdict-item closes ---
+    # Y74: checkpoint narrowed to the (vec_id, nrm, cell, codes) index
+    # row + every rerank join pinned with F.broadcast (r11 advice);
+    # search factored into ivfpq_search for the incremental twin
+    "similarity_ann_ivfpq": 12,
+    # Z68: compaction guard relaxed to raise only on after > before
+    # (after == before is a legal no-op on already-compact state; the
+    # oracle-visible dataflow is untouched)
+    "pipeline_incremental_neardup": 12,
 }
 
 

@@ -92,6 +92,41 @@ def test_merge_bench_band(tmp_path):
     assert merged["value_band"][0] <= merged["value_band"][1]
 
 
+def test_contention_context_fields_in_line(tmp_path, monkeypatch):
+    """The snapshot line must carry suspect_share and (when a band
+    artifact exists) floor_ratio_prev so a contended-host run can't read
+    as a code regression (r11 verdict item 6)."""
+    import bench
+
+    artifact = {
+        "queries": {"qa": 2.0, "qb": 2.0},
+        "band": {"qa": [1.0, 2.0], "qb": [2.0, 2.0]},
+    }
+    (tmp_path / "BENCH_full_r98.json").write_text(json.dumps(artifact))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda _p: str(tmp_path / "bench.py")
+    )
+    pq = {"qa": 1.5, "qb": 3.0, "qc": 0.2}  # qc has no prior floor
+    ctx = bench.contention_context(pq, suspects=["qb"])
+    assert ctx["suspect_share"] == round(1 / 3, 4)
+    # floors are the band MINs: (1.5 + 3.0) / (1.0 + 2.0)
+    assert ctx["floor_ratio_prev"] == 1.5
+    assert ctx["floor_shared_n"] == 2
+    d = json.loads(bench.render_line(pq, 4.7, 0.1, ["qb"], ctx))
+    assert d["suspect_share"] == ctx["suspect_share"]
+    assert d["floor_ratio_prev"] == 1.5
+
+
+def test_contention_context_without_prior_band(tmp_path, monkeypatch):
+    import bench
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda _p: str(tmp_path / "bench.py")
+    )
+    ctx = bench.contention_context({"qa": 1.0}, suspects=[])
+    assert ctx == {"suspect_share": 0.0}
+
+
 def test_load_prev_bench_uses_band_max(tmp_path, monkeypatch):
     import bench
 

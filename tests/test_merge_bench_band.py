@@ -134,3 +134,34 @@ def test_compare_prev_no_shared_keys():
     assert compare_prev({"queries": {"x": 1.0}}, {"queries": {"y": 1.0}}) == {
         "shared_keys_n": 0
     }
+
+
+def test_compare_prev_all_zero_prev_floors():
+    """Degenerate prev (every shared floor 0) must report, not crash with
+    IndexError/ZeroDivisionError (r11 advice)."""
+    from tools.merge_bench_band import compare_prev
+
+    prev = {"queries": {"qa": 0.0, "qb": 0.0}, "band": {"qa": [0.0, 0.0]}}
+    merged = {"queries": {"qa": 1.0, "qb": 2.0}}
+    cmpd = compare_prev(prev, merged)
+    assert cmpd["shared_keys_n"] == 2
+    assert "note" in cmpd
+    assert "floor_vs_floor_ratio" not in cmpd
+
+
+def test_main_trailing_prev_prints_usage(tmp_path, monkeypatch, capsys):
+    """`--prev` as the last CLI arg is a usage error, not an IndexError
+    (r11 advice)."""
+    import sys
+
+    import pytest
+
+    from tools.merge_bench_band import main
+
+    monkeypatch.setattr(
+        sys, "argv", ["merge_bench_band.py", "out.json", "in.json", "--prev"]
+    )
+    with pytest.raises(SystemExit) as exc:
+        main()
+    assert "IndexError" not in str(exc.value)
+    assert "merge" in str(exc.value).lower() or "bench" in str(exc.value).lower()

@@ -160,6 +160,13 @@ def compare_prev(prev: dict, merged: dict) -> dict:
     ratios = sorted(
         new_floors[k] / prev_floors[k] for k in shared if prev_floors[k] > 0
     )
+    if not ratios or sum(prev_floors.values()) <= 0:
+        # degenerate prev (every shared floor 0): no ratio is computable —
+        # report the share count with a note instead of crashing (r11 advice)
+        return {
+            "shared_keys_n": len(shared),
+            "note": "prev floors are all zero; ratios not computable",
+        }
     mid = len(ratios) // 2
     median = (
         ratios[mid]
@@ -182,6 +189,8 @@ def main() -> None:
     prev_path = None
     if "--prev" in argv:
         i = argv.index("--prev")
+        if i + 1 >= len(argv):  # trailing --prev with no path: usage, not IndexError
+            raise SystemExit(__doc__)
         prev_path = argv[i + 1]
         del argv[i : i + 2]
     if len(argv) < 2:
