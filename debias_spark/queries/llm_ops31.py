@@ -503,3 +503,110 @@ def docs_shard_rendezvous_stability(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("shard_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# Y76: cross-source attribution of exact-substring duplication (round 12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_substring_dup_source_matrix",
+    "Y76",
+    oracle=f"""
+    WITH mx AS (
+        SELECT max(length(text)) AS m FROM documents
+    ), dims AS (
+        SELECT unnest(range(1, (SELECT m FROM mx) - {_SPAN_K - 2})) AS i
+    ), g AS MATERIALIZED (
+        SELECT doc_id, source,
+               substr(md5(substr(text, CAST(i AS INT), {_SPAN_K})), 1, 16) AS gk
+        FROM documents JOIN dims ON i <= length(text) - {_SPAN_K - 1}
+        WHERE length(text) >= {_SPAN_K}
+    ), ps AS MATERIALIZED (
+        SELECT gk, source,
+               CAST(count(*) AS BIGINT) AS occ,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY gk, source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_grams,
+           CAST(sum(a.occ) AS BIGINT) AS occ_a,
+           CAST(sum(b.occ) AS BIGINT) AS occ_b,
+           CAST(sum(a.n_docs) AS BIGINT) AS dochits_a,
+           CAST(sum(b.n_docs) AS BIGINT) AS dochits_b
+    FROM ps a JOIN ps b ON a.gk = b.gk AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def docs_substring_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH SOURCE contributed the duplication: Y68 reports per-doc
+    duplicated spans and Y73 rewrites them, but the governance question
+    behind an exact-substring scrub is cross-SOURCE — which pairs of
+    ingest sources share verbatim content, how many gram keys, how many
+    occurrences and docs on each side (r11 verdict item 7; doc-level
+    precedent is Y65's provenance matrix).  Per unordered source pair
+    (source_a < source_b): the count of distinct 20-char gram keys both
+    sources contain, with each side's occurrence and doc-hit totals for
+    those shared grams.
+
+    Scale shape (the Y68 discipline, self-join avoided): the position
+    explode is a fused generator — doc text never leaves the stage; the
+    first shuffle moves (16-hex md5 key, source) pairs only, pre-
+    aggregated per (gk, source) so per-gram state downstream is bounded
+    by the SOURCE CATALOG (tens of rows), never by gram occurrences; the
+    second groups those tiny rows per gk and explodes unordered pairs
+    from the sorted per-source array as a pure expression (no self-join
+    re-scan, no join shuffle); the final matrix aggregate is
+    |sources|^2 rows at most.  All counts exact integers."""
+    docs = table(spark, sf_dir, "documents")
+    pos = docs.filter(F.length("text") >= _SPAN_K).select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(_SPAN_K - 1))
+        ).alias("pos"),
+    )
+    grams = pos.select(
+        "doc_id",
+        "source",
+        F.substring(F.md5(F.expr(f"substring(text, pos, {_SPAN_K})")), 1, 16).alias(
+            "gk"
+        ),
+    )
+    ps = grams.groupBy("gk", "source").agg(
+        F.count("*").alias("occ"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    # per gram: the per-source stat array, sorted by source (struct sort
+    # is lexicographic and source is the leading field), bounded by the
+    # source catalog; unordered pairs explode as an expression
+    gkagg = (
+        ps.groupBy("gk")
+        .agg(F.sort_array(F.collect_list(F.struct("source", "occ", "n_docs"))).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = gkagg.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) ->"
+                " transform(slice(ss, i + 2, size(ss)), y -> struct("
+                "x.source AS source_a, y.source AS source_b,"
+                " x.occ AS occ_pa, y.occ AS occ_pb,"
+                " x.n_docs AS nd_a, y.n_docs AS nd_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_shared_grams"),
+            F.sum("occ_pa").alias("occ_a"),
+            F.sum("occ_pb").alias("occ_b"),
+            F.sum("nd_a").alias("dochits_a"),
+            F.sum("nd_b").alias("dochits_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )

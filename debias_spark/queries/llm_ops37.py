@@ -154,36 +154,57 @@ def pq_index_frame(emb: DataFrame, book: dict[int, list[float]]) -> DataFrame:
 
     cents = ivf_pinned_centroids(_IVF_K, _IVF_DIM)
     vcol = F.transform("embedding", lambda x: x.cast("double"))
-
-    def _sqd_lit(sv, cw: list[float]):
-        # left-to-right fold, identical operation order to the DuckDB
-        # list_sum comprehension (the Y41 bit-for-bit doctrine)
-        return F.aggregate(
-            F.zip_with(sv, F.array(*[F.lit(x) for x in cw]), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def _d_e4(sv, cw: list[float]):
-        return F.floor(_sqd_lit(sv, cw) * 10000 + F.lit(_EPS)).cast("long")
-
-    def _code_expr(j: int):
-        sv = F.slice(vcol, j * _PQ_DIMS + 1, _PQ_DIMS)
-        # lexicographic struct-min = argmin with lowest-code tie-break
-        return F.array_min(
+    # the whole codebook as ONE literal array<array<array<double>>>
+    # (subspace -> code -> codeword), so the encode is a single compact
+    # higher-order expression — LOOPS in generated code, not 128
+    # unrolled fold expressions.  The unrolled spelling blew whole-stage
+    # codegen past the JVM method limit and fell back to interpreted
+    # evaluation: 17.8 s for 2,000 rows at sf0.1; this spelling is the
+    # same math (left-to-right zip_with/aggregate fold, floor-e4,
+    # lowest-code tie-break) in milliseconds.
+    cb_all = F.array(
+        *[
             F.array(
                 *[
-                    F.struct(_d_e4(sv, _cw(book, c, j)).alias("d"), F.lit(c).alias("c"))
+                    F.array(*[F.lit(x) for x in _cw(book, c, j)])
                     for c in range(_PQ_CODES)
                 ]
             )
-        ).getField("c")
-
+            for j in range(_PQ_SUBSPACES)
+        ]
+    )
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_SUBSPACES - 1)),
+        lambda j: F.array_min(
+            F.zip_with(
+                F.get(cb_all, j),
+                F.sequence(F.lit(0), F.lit(_PQ_CODES - 1)),
+                lambda cw, c: F.struct(
+                    F.floor(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(vcol, j * _PQ_DIMS + 1, _PQ_DIMS),
+                                cw,
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        * 10000
+                        + F.lit(_EPS)
+                    )
+                    .cast("long")
+                    .alias("d"),
+                    c.alias("c"),
+                ),
+            )
+        ).getField("c"),
+    )
     return emb.select(
         "vec_id",
         l2_norm(F.col("embedding")).alias("nrm"),
         assign_cell(F.col("embedding"), cents, score_round=_SCORE_ROUND).alias("cell"),
-        F.array(*[_code_expr(j) for j in range(_PQ_SUBSPACES)]).alias("codes"),
+        codes.alias("codes"),
     )
 
 
@@ -290,7 +311,13 @@ def ivfpq_search(
     )
 
 
-@register("similarity_ann_ivfpq", "Y74", oracle=_ivfpq_oracle())
+# shared VERBATIM with similarity_ann_ivfpq_incremental (llm_ops38) — the
+# driver then hash-proves static-build == incremental-build, the same
+# shared-oracle identity Z75/Z76 use for the corpus build
+IVFPQ_ORACLE = _ivfpq_oracle()
+
+
+@register("similarity_ann_ivfpq", "Y74", oracle=IVFPQ_ORACLE)
 def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ search: coarse probe -> PQ asymmetric-distance
     shortlist -> exact top-k rerank, every stage the SHARED math of the

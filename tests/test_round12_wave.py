@@ -1,0 +1,119 @@
+"""Round-12 wave tests (Y75 incremental IVF-PQ index maintenance): the
+side contracts the shared value oracle cannot see — engine-side equality
+with the static build, inverted-list state layout, per-drop append
+behavior, and the narrowed Y74 checkpoint's search plan staying
+broadcast-only over a persisted-state index.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debias_spark.registry import load_all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all_queries()
+
+
+@pytest.fixture(scope="module")
+def incr_rows(spark, specs):
+    return specs["similarity_ann_ivfpq_incremental"].fn(spark, SF).collect()
+
+
+def test_incremental_ivfpq_equals_static(spark, specs, incr_rows):
+    """Four per-drop index appends must reproduce the one-shot search
+    bit-for-bit — the engine-side twin of the shared-oracle proof (an
+    index absorbs drops; it is not rebuilt)."""
+    static = sorted(
+        map(tuple, specs["similarity_ann_ivfpq"].fn(spark, SF).collect())
+    )
+    assert sorted(map(tuple, incr_rows)) == static
+
+
+def test_incremental_ivfpq_state_is_inverted_lists(spark, specs, incr_rows):
+    """The persisted state is hive-partitioned by cell (the inverted-list
+    layout) and accumulated across >= 2 drops within at least one cell —
+    proof the index was appended to, not rewritten."""
+    from debias_spark.queries.io_roundtrip import _WAREHOUSE
+
+    app = spark.sparkContext.applicationId
+    dirs = glob.glob(os.path.join(_WAREHOUSE, f"y75_index_sf0.001_{app}"))
+    assert len(dirs) == 1, dirs
+    cells = [d for d in os.listdir(dirs[0]) if d.startswith("cell=")]
+    assert cells, os.listdir(dirs[0])
+    # at least one cell partition holds files from >= 2 append jobs
+    per_cell_files = [
+        len(glob.glob(os.path.join(dirs[0], c, "*.parquet"))) for c in cells
+    ]
+    assert max(per_cell_files) >= 2, per_cell_files
+    # one state row per corpus vector, narrow schema
+    idx = spark.read.parquet(dirs[0])
+    assert set(idx.columns) == {"vec_id", "nrm", "cell", "codes"}
+    n_emb = (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet")).count()
+    )
+    assert idx.count() == n_emb
+    assert idx.select("vec_id").distinct().count() == n_emb
+
+
+def test_incremental_ivfpq_search_plan_broadcast_only(spark, specs, incr_rows):
+    """ivfpq_search over PERSISTED state (not the checkpointed scan) must
+    keep the Y74 plan discipline: no Python, no cartesian, every join a
+    BroadcastHashJoin pinned by construction."""
+    from debias_spark.plans import executed_plan, join_strategies
+
+    df = specs["similarity_ann_ivfpq_incremental"].fn(spark, SF)
+    phys = executed_plan(df)
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+    joins = join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins, joins
+    assert set(joins) == {"BroadcastHashJoin"}, joins
+
+
+def test_compaction_noop_on_already_compact_state(spark, specs, monkeypatch):
+    """The Z68 drain with an env-lowered threshold must survive a
+    compaction firing on an already-compact state (after == before is a
+    no-op, not a failure — r11 advice)."""
+    import debias_spark.queries.pipeline_e2e2 as mod
+
+    # threshold 0: every post-2nd-batch compaction fires, including ones
+    # where the state is already one file per band
+    monkeypatch.setenv("DEBIAS_Z68_COMPACT_FILES", "0")
+    rows = specs["pipeline_incremental_neardup"].fn(spark, SF).collect()
+    assert rows and mod.LAST_COMPACTIONS >= 2
+
+
+def test_dup_source_matrix_plan_no_selfjoin_single_scan(spark, specs):
+    """Y76 must attribute cross-source duplication WITHOUT a gram
+    self-join: one documents scan, zero joins, pair explosion as an
+    expression (per-gram state bounded by the source catalog)."""
+    from debias_spark.plans import executed_plan, join_strategies
+
+    df = specs["docs_substring_dup_source_matrix"].fn(spark, SF)
+    assert join_strategies(df) == [] or join_strategies(df) == set() or not join_strategies(df)
+    phys = executed_plan(df)
+    assert phys.count("Scan parquet") == 1, phys[:2000]
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+
+
+def test_dup_source_matrix_pairs_ordered_and_consistent(spark, specs):
+    """source_a < source_b on every row; shared-gram counts are symmetric
+    by construction so the matrix carries each pair exactly once."""
+    rows = specs["docs_substring_dup_source_matrix"].fn(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert r.occ_a >= r.n_shared_grams and r.occ_b >= r.n_shared_grams
+        assert r.dochits_a >= r.n_shared_grams and r.dochits_b >= r.n_shared_grams
