@@ -43,7 +43,6 @@ from debias_spark.queries.io_roundtrip import _WAREHOUSE, _sink_dir
 from debias_spark.queries.llm_ops7 import _EVAL_MAX_ID
 from debias_spark.queries.pipeline_e2e2 import _EST_MIN_MATCHES, _NB, _NH
 from debias_spark.queries.pipeline_e2e5 import (
-    _EVAL_CAP,
     _GRAM_N,
     CORPUS_BUILD_ORACLE,
 )
@@ -102,7 +101,7 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
         quality_verdict,
         word_ngrams_frame,
     )
-    from debias_spark.queries.llm_ops34 import bloom_bits_literal, bloom_member
+    from debias_spark.queries.llm_ops34 import bloom_member
     from debias_spark.warehouse import prune_stale_siblings, stage_single_file_drop
 
     docs = table(spark, sf_dir, "documents")
@@ -110,18 +109,19 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
     # docs.schema); the refresh body projects what each stage needs
     pool = docs.filter(F.col("doc_id") >= _EVAL_MAX_ID)
 
-    # 4'. static decontamination inputs, built ONCE (the Z75 code path)
-    eval_grams = (
-        word_ngrams_frame(docs.filter(F.col("doc_id") < _EVAL_MAX_ID), _GRAM_N)
-        .select("gram")
-        .distinct()
-    )
-    eset = [r.gram for r in eval_grams.collect()]
-    if len(eset) > _EVAL_CAP:
-        raise RuntimeError(
-            f"eval gram set {len(eset)} exceeds the {_EVAL_CAP} bloom cap"
-        )
-    member = bloom_member(bloom_bits_literal(eset))
+    # 4'. static decontamination inputs, built ONCE (the Z75 memoized
+    # artifacts — shared per corpus across executions AND with Z75)
+    from debias_spark.queries.pipeline_e2e5 import eval_gram_artifacts
+
+    eset, bits = eval_gram_artifacts(spark, sf_dir)
+    member = bloom_member(bits)
+    # the exact-confirm frame is as static as the bloom bits: build it
+    # ONCE here, not once per drop (createDataFrame re-serializes the
+    # whole gram list driver-side on every call — r11 verdict item 1b).
+    # Deliberately NOT checkpointed: as a LocalRelation its broadcast is
+    # a free driver-side send per batch, while a checkpointed RDD frame
+    # would pay a collect job every batch (measured +3.5 s on the drain)
+    eval_df = spark.createDataFrame([(g,) for g in eset], "gram string")
 
     # state + sink directories (app-scoped, stale siblings pruned)
     src_dir = _sink_dir(spark, sf_dir, "z76_src")
@@ -261,7 +261,7 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
         b_sig.write.mode("append").parquet(sig_dir)
 
         # 4. decontamination: static bloom prefilter + exact confirm
-        eval_df = ss.createDataFrame([(g,) for g in eset], "gram string")
+        # (eval_df built once before the drain — static by contract)
         contam = (
             word_ngrams_frame(s2, _GRAM_N)
             .filter(member)

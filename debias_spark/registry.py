@@ -193,6 +193,11 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     # (after == before is a legal no-op on already-compact state; the
     # oracle-visible dataflow is untouched)
     "pipeline_incremental_neardup": 12,
+    # Z75/Z76: static eval-gram artifacts memoized per corpus (built once
+    # per process, keyed by documents-file signature; order-insensitive
+    # consumers) + Z76 builds eval_df once per run, not per drop
+    "pipeline_corpus_build": 12,
+    "pipeline_corpus_build_incremental": 12,
 }
 
 
