@@ -64,6 +64,76 @@ def _max_band_partition_files(band_dir: str) -> int:
     return worst
 
 
+# Skew guard on the band-state candidate join (r11 verdict item 4):
+# boilerplate-heavy corpora concentrate docs in a few (band_id, band_hash)
+# buckets, and the probe-vs-state join then hands ONE task the whole hot
+# bucket's |state| x |probe| fan-out — AQE's skew split cannot help a
+# same-key fan-out, only oversized partitions of distinct keys.  The Z66
+# diagnose->remedy shape with a QUADRATIC work model: measure the hottest
+# bucket in the combined index; a bucket of mx rows does O(mx^2) pair
+# work, so the derived salt is r = ceil((mx / budget)^2) capped at the
+# shuffle width — the linear ceil(mx/budget) rule under-salts exactly when
+# it matters (fixture A/B: mx=8000, linear r=2 gave NO win over plain
+# because two shards collide on few shuffle partitions; r=16 halved the
+# wall).  When r >= 2 the PROBE side salts by hash(id) and the state side
+# EXPLODES across the r shards — every (id, j) pair still meets exactly
+# once (in id's shard), so the candidate set is bit-identical and the hot
+# bucket's work spreads over r tasks.  Budget 0 disables the guard (and
+# its one diagnose aggregation) entirely.
+_SALT_ENV = "DEBIAS_BAND_SALT_BUDGET"
+_SALT_BUDGET_DEFAULT = 4096  # bucket rows one task should carry un-salted
+_SALT_CAP = 32  # matches Z66's shuffle-width cap
+# observability for tests: salt factor derived by the LAST call
+LAST_SALT_R = 0
+
+
+def band_candidates(b_banded: DataFrame, idx: DataFrame) -> DataFrame:
+    """Distinct (id, j) candidate pairs from band-bucket collisions of the
+    drop's band rows against the combined index (state union in-drop),
+    with the autotuned salt guard above.  ``b_banded`` carries (id,
+    band_id, band_hash); ``idx`` carries (j, j_band, j_hash)."""
+    global LAST_SALT_R
+    budget = int(os.environ.get(_SALT_ENV, _SALT_BUDGET_DEFAULT))
+    join_cond = (
+        (F.col("j_band") == F.col("band_id"))
+        & (F.col("j_hash") == F.col("band_hash"))
+        & (F.col("j") < F.col("id"))
+    )
+    r = 1
+    if budget > 0:
+        mx_row = (
+            idx.groupBy("j_band", "j_hash")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .first()
+        )
+        mx = int(mx_row.mx or 0)
+        # quadratic work model: r tasks of (mx/r) x probe work each; and
+        # once triggered, r floors at 2x the shuffle width — a small r
+        # just COLLIDES hot shards onto the same few partitions with no
+        # spread (fixture A/B: r=2/r=4 were no better or worse than
+        # plain; r=16 halved the wall on 8 shuffle partitions)
+        est = -(-(mx * mx) // (budget * budget))
+        if est >= 2:
+            sp = int(
+                b_banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            est = max(est, 2 * sp)
+        r = int(min(_SALT_CAP, max(1, est)))
+    LAST_SALT_R = r
+    if r <= 1:
+        return b_banded.join(idx, join_cond).select("id", "j").distinct()
+    probe = b_banded.withColumn("salt", F.pmod(F.hash("id"), F.lit(r)))
+    state = idx.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(r - 1)))
+    )
+    return (
+        probe.join(state, join_cond & (probe["salt"] == state["salt"]))
+        .select("id", "j")
+        .distinct()
+    )
+
+
 @register(
     "pipeline_incremental_neardup",
     "Z68",
@@ -210,16 +280,7 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("band_id").alias("j_band"),
             F.col("band_hash").alias("j_hash"),
         )
-        cand = (
-            b_banded.join(
-                idx,
-                (F.col("j_band") == F.col("band_id"))
-                & (F.col("j_hash") == F.col("band_hash"))
-                & (F.col("j") < F.col("id")),
-            )
-            .select("id", "j")
-            .distinct()
-        )
+        cand = band_candidates(b_banded, idx)
         sig_all = b_sig
         if os.path.isdir(sig_dir):
             sig_all = ss.read.parquet(sig_dir).unionByName(sig_all)

@@ -41,7 +41,12 @@ from debias_spark.catalog import table
 from debias_spark.operators.packing import PACK_CAP, PACK_SHARD, nfd_pack
 from debias_spark.queries.io_roundtrip import _WAREHOUSE, _sink_dir
 from debias_spark.queries.llm_ops7 import _EVAL_MAX_ID
-from debias_spark.queries.pipeline_e2e2 import _EST_MIN_MATCHES, _NB, _NH
+from debias_spark.queries.pipeline_e2e2 import (
+    _EST_MIN_MATCHES,
+    _NB,
+    _NH,
+    band_candidates,
+)
 from debias_spark.queries.pipeline_e2e5 import (
     _GRAM_N,
     CORPUS_BUILD_ORACLE,
@@ -223,16 +228,9 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
             F.col("band_id").alias("j_band"),
             F.col("band_hash").alias("j_hash"),
         )
-        cand = (
-            b_banded.join(
-                idx,
-                (F.col("j_band") == F.col("band_id"))
-                & (F.col("j_hash") == F.col("band_hash"))
-                & (F.col("j") < F.col("id")),
-            )
-            .select("id", "j")
-            .distinct()
-        )
+        # the Z68 skew-guarded candidate join (salt autotuned from the
+        # measured hottest bucket; bit-identical candidate set)
+        cand = band_candidates(b_banded, idx)
         sig_all = b_sig
         if os.path.isdir(sig_dir):
             sig_all = ss.read.parquet(sig_dir).unionByName(sig_all)

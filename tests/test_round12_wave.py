@@ -117,3 +117,61 @@ def test_dup_source_matrix_pairs_ordered_and_consistent(spark, specs):
         seen.add((r.source_a, r.source_b))
         assert r.occ_a >= r.n_shared_grams and r.occ_b >= r.n_shared_grams
         assert r.dochits_a >= r.n_shared_grams and r.dochits_b >= r.n_shared_grams
+
+
+def test_band_salt_guard_identical_results(spark, specs, monkeypatch):
+    """The salted candidate join must be BIT-IDENTICAL to the plain path
+    (every (id, j) pair meets exactly once, in id's salt shard) — proven
+    by running the whole Z68 key both ways (r11 verdict item 4)."""
+    import debias_spark.queries.pipeline_e2e2 as mod
+
+    monkeypatch.delenv("DEBIAS_BAND_SALT_BUDGET", raising=False)
+    plain = sorted(
+        map(tuple, specs["pipeline_incremental_neardup"].fn(spark, SF).collect())
+    )
+    assert mod.LAST_SALT_R == 1  # normal corpus: no hot bucket, no salt
+    monkeypatch.setenv("DEBIAS_BAND_SALT_BUDGET", "1")
+    salted = sorted(
+        map(tuple, specs["pipeline_incremental_neardup"].fn(spark, SF).collect())
+    )
+    assert mod.LAST_SALT_R >= 2  # budget 1: any colliding bucket forces salt
+    assert salted == plain
+
+
+def test_band_salt_guard_autotune_on_skewed_fixture(spark, tmp_path):
+    """A boilerplate-heavy fixture (one band bucket >= 100x the median)
+    must drive the derived salt factor past 1 at the DEFAULT budget, and
+    the salted candidate set must equal the plain-join candidate set."""
+    from pyspark.sql import functions as F
+
+    import debias_spark.queries.pipeline_e2e2 as mod
+    from debias_spark.operators.dedup import bands_from_sig, minhash_sig_wide, word_shingles
+
+    # 5000 docs sharing one boilerplate text -> one (band, hash) bucket of
+    # 5000 rows per band; 200 unique docs give the cold median
+    rows = [(i, "the same boilerplate disclaimer text repeated everywhere") for i in range(5000)]
+    rows += [(10_000 + i, f"unique document number {i} with its own words {i * 7}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    sh = docs.select("id", word_shingles(F.col("text"), 1).alias("sh")).filter(F.size("sh") > 0)
+    banded = bands_from_sig(minhash_sig_wide(sh, 32), 32, 4)
+    idx = banded.select(
+        F.col("id").alias("j"),
+        F.col("band_id").alias("j_band"),
+        F.col("band_hash").alias("j_hash"),
+    )
+    probe = banded.filter(F.col("id") >= 4000)  # a "drop" probing the rest
+    os.environ.pop("DEBIAS_BAND_SALT_BUDGET", None)
+    salted = mod.band_candidates(probe, idx)
+    assert mod.LAST_SALT_R >= 2, mod.LAST_SALT_R  # autotuned, default budget
+    # plan assertion: the remedy is IN the plan — probe side salted
+    # (pmod over hash), state side exploded across the shards
+    plan = salted._jdf.queryExecution().toString()
+    assert "pmod" in plan and ("explode" in plan or "Generate" in plan), plan[:1500]
+    n_salted = salted.count()
+    os.environ["DEBIAS_BAND_SALT_BUDGET"] = "0"  # guard off -> plain join
+    try:
+        plain = mod.band_candidates(probe, idx)
+        assert mod.LAST_SALT_R == 1
+        assert n_salted == plain.count()
+    finally:
+        os.environ.pop("DEBIAS_BAND_SALT_BUDGET", None)
