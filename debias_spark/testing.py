@@ -86,8 +86,10 @@ def _check_schema_families(spark_df, oracle_sql: str, con) -> None:
             )
 
 
-def compare_to_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
-    """Assert the Spark result matches the DuckDB oracle (raises AssertionError)."""
+def compare_to_oracle(spark_df, oracle_sql: str, sf_dir: str) -> int:
+    """Assert the Spark result matches the DuckDB oracle (raises
+    AssertionError); returns the matched row count so callers recording
+    per-key artifacts (tools/sim_driver.py --out) need no re-execution."""
     con = duck_connection(sf_dir)
     try:
         _check_schema_families(spark_df, oracle_sql, con)
@@ -106,3 +108,4 @@ def compare_to_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     if s_rows != d_rows:
         diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:5]
         raise AssertionError(f"value mismatch; first diffs (spark, duckdb): {diffs}")
+    return len(spark_pdf)
