@@ -10,6 +10,16 @@ from __future__ import annotations
 import pathlib
 
 REPRESENTATIVE = [
+    (
+        "similarity_ann_ivfpq",
+        "IVF-PQ search: narrow checkpointed index, broadcast-pinned rerank"
+        " joins, one map-side-combined AD exchange",
+    ),
+    (
+        "docs_substring_dup_source_matrix",
+        "cross-source gram matrix: one scan, no self-join, pair explosion"
+        " bounded by the source catalog",
+    ),
     ("scan_partitioned_source", "predicate pushdown into the parquet scan"),
     ("join_broadcast_hash", "small dim broadcast: fact side never shuffles"),
     ("join_sortmerge_large", "fact-fact sort-merge join"),
