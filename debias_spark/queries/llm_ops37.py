@@ -45,7 +45,11 @@ _SQD_DUCK = (
 )
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(where: str = "") -> str:
+    """The IVF-PQ search oracle; ``where`` optionally restricts the
+    corpus (e.g. the Y77 tombstone predicate).  The default "" yields a
+    string BYTE-IDENTICAL to the round-11 oracle, so Y74's registered
+    oracle is unchanged."""
     from debias_spark.operators.similarity import ivf_pinned_centroids
 
     cents = ivf_pinned_centroids(_IVF_K, _IVF_DIM)
@@ -63,7 +67,7 @@ def _ivfpq_oracle() -> str:
     sqd_query = _SQD_DUCK.format(a="q.qsv", b="cb.cv")
     return f"""
     WITH e AS MATERIALIZED (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{where}
     ), a AS (
         SELECT vec_id, v, [{scores}] AS s FROM e
     ), c AS MATERIALIZED (

@@ -170,3 +170,52 @@ def similarity_ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFr
             "incremental IVF-PQ state is missing codebook-contract vectors"
         )
     return ivfpq_search(spark, emb, index, book)
+
+
+# ---------------------------------------------------------------------------
+# Y77: tombstone deletes — the third leg of index maintenance
+# ---------------------------------------------------------------------------
+
+# pinned delete request: every 97th vector above the codebook range (the
+# codebook contract ids and the probe set are never delete targets — a
+# real index pins its quantizer artifacts the same way)
+_TOMB_MOD, _TOMB_REM = 97, 3
+_TOMB_DUCK = f" WHERE NOT (vec_id % {_TOMB_MOD} = {_TOMB_REM} AND vec_id >= {_PQ_CODES})"
+
+from debias_spark.queries.llm_ops37 import _ivfpq_oracle  # noqa: E402
+
+
+@register(
+    "similarity_ann_ivfpq_tombstone",
+    "Y77",
+    oracle=_ivfpq_oracle(where=_TOMB_DUCK),
+)
+def similarity_ann_ivfpq_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search under TOMBSTONE DELETES — the removal half of index
+    maintenance (Y75 absorbs inserts; a training corpus also sheds
+    documents: takedowns, licensing expiry, right-to-be-forgotten).  The
+    deletion is merge-on-read, the lakehouse deletion-vector shape: data
+    files and the index build are untouched; a small tombstone set
+    (every 97th vector above the codebook range — a pinned request,
+    spelled identically in the oracle) anti-joins the index rows at read
+    time, and Y74's ivfpq_search runs verbatim over the masked index.
+    The oracle is the Y74 search over the corpus WITHOUT the tombstoned
+    rows, so the hash proves masked-index search == search over a
+    corpus that never contained the deleted vectors: no ghost
+    candidates, no recall borrowed from deleted neighbors.
+
+    Scale shape: the tombstone side is an operationally-bounded delete
+    request (broadcast by that contract); the anti-join adds ZERO
+    exchanges to the search; vectors stay in storage (probes and the
+    shortlist re-read them by id, and a deleted id can never reach the
+    shortlist because it has no index row).  At 100 TB this is a
+    deletion-vector bitmap per index shard, compacted away by the Z73
+    rewrite when tombstones accumulate."""
+    emb = table(spark, sf_dir, "embeddings")
+    book = pq_codebook(emb)
+    index = pq_index_frame(emb, book).localCheckpoint(eager=True)
+    tombs = emb.select("vec_id").filter(
+        (F.col("vec_id") % _TOMB_MOD == _TOMB_REM) & (F.col("vec_id") >= _PQ_CODES)
+    )
+    live = index.join(F.broadcast(tombs), "vec_id", "anti")
+    return ivfpq_search(spark, emb, live, book)
