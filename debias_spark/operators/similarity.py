@@ -326,7 +326,9 @@ def assign_cell(
     (SIMD/FMA) between engines (r10 advice)."""
     scores = []
     for j, c in enumerate(centroids):
-        c_col = F.array(*[F.lit(float(v)) for v in c])
+        # direct Literal (one node), not a CreateArray of 64 element
+        # literals — catalyst folds the tree form on every first compile
+        c_col = F.lit([float(v) for v in c])
         half_sq = float(sum(v * v for v in c) / 2.0)
         s = dot(vec_col, c_col) - F.lit(half_sq)
         if score_round is not None:

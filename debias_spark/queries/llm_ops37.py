@@ -166,14 +166,13 @@ def pq_index_frame(emb: DataFrame, book: dict[int, list[float]]) -> DataFrame:
     # evaluation: 17.8 s for 2,000 rows at sf0.1; this spelling is the
     # same math (left-to-right zip_with/aggregate fold, floor-e4,
     # lowest-code tie-break) in milliseconds.
-    cb_all = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(x) for x in _cw(book, c, j)])
-                    for c in range(_PQ_CODES)
-                ]
-            )
+    # ONE Literal node (nested F.lit), not a CreateArray tree of 1024
+    # element literals: catalyst spent ~25-60 s constant-folding the
+    # tree form on first compile (cold single-key latency); the direct
+    # literal is the same value with nothing to fold
+    cb_all = F.lit(
+        [
+            [_cw(book, c, j) for c in range(_PQ_CODES)]
             for j in range(_PQ_SUBSPACES)
         ]
     )

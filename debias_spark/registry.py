@@ -176,8 +176,8 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     "dedup_clusters": 11,
     "dedup_keep_best_quality": 11,
     # Y5b: per-centroid scores rounded to 6 decimals before the argmax
-    # in BOTH engines (near-tie accumulation-order robustness)
-    "similarity_ann_ivf_pinned": 11,
+    # in BOTH engines (r11, drained green in CORRECTNESS_r11); bumped to
+    # 12 below for the assign_cell literal-node respell
     # Z68: in-loop compaction gated on a per-partition file-count
     # threshold (r11, drained green in CORRECTNESS_r11); r12 relaxed the
     # guard to raise only on after > before (== is a legal no-op) — see
@@ -198,6 +198,9 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     # consumers) + Z76 builds eval_df once per run, not per drop
     "pipeline_corpus_build": 12,
     "pipeline_corpus_build_incremental": 12,
+    # Y5b: assign_cell centroid literals now single Literal nodes (same
+    # folded value; cold-compile cost only) — re-proven green at sf0.01
+    "similarity_ann_ivf_pinned": 12,
 }
 
 
