@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -186,7 +187,14 @@ def load_prev_floor() -> dict[str, float]:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in reversed(sorted(glob.glob(os.path.join(here, "BENCH_full_r*.json")))):
+    # sort by parsed round number, not filename: lexicographic order puts
+    # r9 after r12 (and r99 after r100) across digit-count boundaries
+    def _round_no(p: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    candidates = sorted(glob.glob(os.path.join(here, "BENCH_full_r*.json")), key=_round_no)
+    for path in reversed(candidates):
         try:
             with open(path) as fh:
                 payload = json.load(fh)

@@ -326,9 +326,12 @@ def assign_cell(
     (SIMD/FMA) between engines (r10 advice)."""
     scores = []
     for j, c in enumerate(centroids):
-        # direct Literal (one node), not a CreateArray of 64 element
-        # literals — catalyst folds the tree form on every first compile
-        c_col = F.lit([float(v) for v in c])
+        # F.lit of a 1-D NUMPY array analyzes to ONE true Literal node;
+        # F.lit of a plain python list analyzes to a CreateArray tree of 64
+        # element literals that the optimizer must constant-fold on every
+        # first compile (verified on PySpark 4.1.2 via queryExecution()
+        # .analyzed(): list -> `array(1.0, ...)`, ndarray -> `[1.0,...]`)
+        c_col = F.lit(np.asarray([float(v) for v in c], dtype=np.float64))
         half_sq = float(sum(v * v for v in c) / 2.0)
         s = dot(vec_col, c_col) - F.lit(half_sq)
         if score_round is not None:

@@ -158,36 +158,48 @@ def pq_index_frame(emb: DataFrame, book: dict[int, list[float]]) -> DataFrame:
 
     cents = ivf_pinned_centroids(_IVF_K, _IVF_DIM)
     vcol = F.transform("embedding", lambda x: x.cast("double"))
-    # the whole codebook as ONE literal array<array<array<double>>>
-    # (subspace -> code -> codeword), so the encode is a single compact
+    # the whole codebook as ONE FLAT literal array<double> of
+    # SUBSPACES x CODES x DIMS values, so the encode is a single compact
     # higher-order expression — LOOPS in generated code, not 128
     # unrolled fold expressions.  The unrolled spelling blew whole-stage
     # codegen past the JVM method limit and fell back to interpreted
     # evaluation: 17.8 s for 2,000 rows at sf0.1; this spelling is the
     # same math (left-to-right zip_with/aggregate fold, floor-e4,
     # lowest-code tie-break) in milliseconds.
-    # ONE Literal node (nested F.lit), not a CreateArray tree of 1024
-    # element literals: catalyst spent ~25-60 s constant-folding the
-    # tree form on first compile (cold single-key latency); the direct
-    # literal is the same value with nothing to fold
-    cb_all = F.lit(
-        [
-            [_cw(book, c, j) for c in range(_PQ_CODES)]
-            for j in range(_PQ_SUBSPACES)
-        ]
+    # F.lit of a 1-D NUMPY array analyzes to ONE true Literal node —
+    # F.lit of a (nested) python list analyzes to a CreateArray tree of
+    # 1,024 element literals the optimizer constant-folds on every first
+    # compile (r13: verified via queryExecution().analyzed() on PySpark
+    # 4.1.2; nested ndarrays are unsupported as literals, hence the flat
+    # layout + slice arithmetic below)
+    import numpy as np
+
+    cb_flat = F.lit(
+        np.asarray(
+            [
+                v
+                for j in range(_PQ_SUBSPACES)
+                for c in range(_PQ_CODES)
+                for v in _cw(book, c, j)
+            ],
+            dtype=np.float64,
+        )
     )
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(_PQ_SUBSPACES - 1)),
         lambda j: F.array_min(
-            F.zip_with(
-                F.get(cb_all, j),
+            F.transform(
                 F.sequence(F.lit(0), F.lit(_PQ_CODES - 1)),
-                lambda cw, c: F.struct(
+                lambda c: F.struct(
                     F.floor(
                         F.aggregate(
                             F.zip_with(
                                 F.slice(vcol, j * _PQ_DIMS + 1, _PQ_DIMS),
-                                cw,
+                                F.slice(
+                                    cb_flat,
+                                    (j * _PQ_CODES + c) * _PQ_DIMS + 1,
+                                    _PQ_DIMS,
+                                ),
                                 lambda x, y: (x - y) * (x - y),
                             ),
                             F.lit(0.0),

@@ -118,7 +118,17 @@ def band_candidates(b_banded: DataFrame, idx: DataFrame) -> DataFrame:
             sp = int(
                 b_banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
             )
-            est = max(est, 2 * sp)
+            # the 2x-shuffle-width floor assumes NARROW shuffle widths
+            # (the Z68/Z76 drains run sp=8, floor 16 — the measured
+            # fixture); it is intentionally capped by _SALT_CAP, so at
+            # stock sp=200 any triggered guard yields r=_SALT_CAP: state
+            # replication costs r x, and spreading a hot bucket over 32
+            # of 200 partitions is already near-full task spread — a
+            # floor of 2*sp=400 would pay 12x more state for no extra
+            # parallelism on a 32-thread local runner (value unchanged:
+            # min(2*sp, cap) spelled explicitly instead of via the
+            # outer cap)
+            est = max(est, min(2 * sp, _SALT_CAP))
         r = int(min(_SALT_CAP, max(1, est)))
     LAST_SALT_R = r
     if r <= 1:

@@ -187,8 +187,6 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     # --- r12: verdict-item closes ---
     # Y74: checkpoint narrowed to the (vec_id, nrm, cell, codes) index
     # row + every rerank join pinned with F.broadcast (r11 advice);
-    # search factored into ivfpq_search for the incremental twin
-    "similarity_ann_ivfpq": 12,
     # Z68: compaction guard relaxed to raise only on after > before
     # (after == before is a legal no-op on already-compact state; the
     # oracle-visible dataflow is untouched)
@@ -198,9 +196,15 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     # consumers) + Z76 builds eval_df once per run, not per drop
     "pipeline_corpus_build": 12,
     "pipeline_corpus_build_incremental": 12,
-    # Y5b: assign_cell centroid literals now single Literal nodes (same
-    # folded value; cold-compile cost only) — re-proven green at sf0.01
-    "similarity_ann_ivf_pinned": 12,
+    # r13: the r12 "Literal node" respell was a no-op (F.lit(list) IS
+    # CreateArray on PySpark classic); now genuinely single Literal
+    # nodes via 1-D ndarray lits (assign_cell centroids, flat PQ
+    # codebook + slice arithmetic).  Same values — pq_index_frame
+    # re-proven row-identical at sf0.001 — cold-compile cost only.
+    "similarity_ann_ivfpq": 13,
+    "similarity_ann_ivf_pinned": 13,
+    "similarity_ann_ivfpq_incremental": 13,
+    "similarity_ann_ivfpq_tombstone": 13,
 }
 
 

@@ -138,7 +138,7 @@ def test_band_salt_guard_identical_results(spark, specs, monkeypatch):
     assert salted == plain
 
 
-def test_band_salt_guard_autotune_on_skewed_fixture(spark, tmp_path):
+def test_band_salt_guard_autotune_on_skewed_fixture(spark, tmp_path, monkeypatch):
     """A boilerplate-heavy fixture (one band bucket >= 100x the median)
     must drive the derived salt factor past 1 at the DEFAULT budget, and
     the salted candidate set must equal the plain-join candidate set."""
@@ -160,7 +160,7 @@ def test_band_salt_guard_autotune_on_skewed_fixture(spark, tmp_path):
         F.col("band_hash").alias("j_hash"),
     )
     probe = banded.filter(F.col("id") >= 4000)  # a "drop" probing the rest
-    os.environ.pop("DEBIAS_BAND_SALT_BUDGET", None)
+    monkeypatch.delenv("DEBIAS_BAND_SALT_BUDGET", raising=False)
     salted = mod.band_candidates(probe, idx)
     assert mod.LAST_SALT_R >= 2, mod.LAST_SALT_R  # autotuned, default budget
     # plan assertion: the remedy is IN the plan — probe side salted
@@ -168,13 +168,10 @@ def test_band_salt_guard_autotune_on_skewed_fixture(spark, tmp_path):
     plan = salted._jdf.queryExecution().toString()
     assert "pmod" in plan and ("explode" in plan or "Generate" in plan), plan[:1500]
     n_salted = salted.count()
-    os.environ["DEBIAS_BAND_SALT_BUDGET"] = "0"  # guard off -> plain join
-    try:
-        plain = mod.band_candidates(probe, idx)
-        assert mod.LAST_SALT_R == 1
-        assert n_salted == plain.count()
-    finally:
-        os.environ.pop("DEBIAS_BAND_SALT_BUDGET", None)
+    monkeypatch.setenv("DEBIAS_BAND_SALT_BUDGET", "0")  # guard off -> plain join
+    plain = mod.band_candidates(probe, idx)
+    assert mod.LAST_SALT_R == 1
+    assert n_salted == plain.count()
 
 
 def test_tombstone_search_excludes_deleted_and_matters(spark, specs):
