@@ -12,6 +12,7 @@ already have green CORRECTNESS_r01 rows, never on unproven ones.
 import debias_spark.queries.llm_ops36  # noqa: F401  Y5b pinned-centroid IVF, Y73 substring scrubber (round 10)
 import debias_spark.queries.llm_ops37  # noqa: F401  Y74 composed IVF-PQ ANN search (round 11)
 import debias_spark.queries.llm_ops38  # noqa: F401  Y75 incremental IVF-PQ index maintenance (round 12)
+import debias_spark.queries.llm_ops39  # noqa: F401  Y78 post-tombstone index compaction (round 13)
 import debias_spark.queries.pipeline_e2e6  # noqa: F401  Z76 incremental corpus build (round 11)
 import debias_spark.queries.pipeline_e2e4  # noqa: F401  Z73 state compaction, Z74 quarantine replay (round 10)
 import debias_spark.queries.pipeline_e2e5  # noqa: F401  Z75 corpus-build capstone (round 10)

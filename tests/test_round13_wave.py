@@ -1,0 +1,67 @@
+"""Round-13 wave tests (Y78 post-tombstone index compaction): the
+engine-side contracts the shared value oracle cannot see — equality
+with the merge-on-read (tombstone-masked) search, physical absence of
+tombstoned rows from the compacted files, and the compacted layout
+really being one-file-per-cell.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debias_spark.registry import load_all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all_queries()
+
+
+@pytest.fixture(scope="module")
+def compacted_rows(spark, specs):
+    return specs["similarity_ann_ivfpq_compacted"].fn(spark, SF).collect()
+
+
+def test_compacted_equals_tombstone_masked(spark, specs, compacted_rows):
+    """Searching the physically-compacted index must reproduce the
+    merge-on-read masked search bit-for-bit — the engine-side twin of
+    the shared Y77 oracle proof (compaction retires the deletion
+    vector; it must not change a single answer)."""
+    masked = sorted(
+        map(tuple, specs["similarity_ann_ivfpq_tombstone"].fn(spark, SF).collect())
+    )
+    assert sorted(map(tuple, compacted_rows)) == masked
+    assert compacted_rows  # and the search is not vacuously empty
+
+
+def test_compacted_state_layout_and_deletion(spark, specs, compacted_rows):
+    """The compacted dir (left on disk by the key) must hold at most one
+    parquet file per cell partition and zero tombstoned vec_ids — the
+    physical claims behind 'the deletion vector can be retired'."""
+    from debias_spark.queries.io_roundtrip import _WAREHOUSE
+    from debias_spark.queries.llm_ops37 import _PQ_CODES
+    from debias_spark.queries.llm_ops38 import _TOMB_MOD, _TOMB_REM
+
+    app = spark.sparkContext.applicationId
+    tag = os.path.basename(SF.rstrip("/"))
+    compact_dir = os.path.join(_WAREHOUSE, f"y78_compact_{tag}_{app}")
+    assert os.path.isdir(compact_dir), compact_dir
+    cell_dirs = glob.glob(os.path.join(compact_dir, "cell=*"))
+    assert cell_dirs
+    for d in cell_dirs:
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(parts) == 1, (d, parts)
+    comp = spark.read.parquet(compact_dir)
+    ghosts = comp.filter(
+        (F.col("vec_id") % _TOMB_MOD == _TOMB_REM) & (F.col("vec_id") >= _PQ_CODES)
+    ).count()
+    assert ghosts == 0
+    # the fixture really deleted something (otherwise the key proves nothing)
+    n_emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).count()
+    assert comp.count() < n_emb
