@@ -77,14 +77,30 @@ def stream_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    q = (
-        counts.writeStream.outputMode("update")
-        .format("noop")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    # narrow state width for the drain (the Z68/Z73/Y75 doctrine): the
+    # state-partition count is pinned at the FIRST batch from the
+    # session's shuffle setting, and every state partition costs a
+    # store file + commit per batch AND a reader task afterwards — a
+    # handful of event_type keys needs 8, not the session's 32 (r13:
+    # the only material r12 floor regression on this key was drain-side
+    # fixed cost; values are partition-count independent)
+    _SP = "spark.sql.shuffle.partitions"
+    prev_sp = spark.conf.get(_SP, None)
+    spark.conf.set(_SP, "8")
+    try:
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_sp is None:
+            spark.conf.unset(_SP)
+        else:
+            spark.conf.set(_SP, prev_sp)
 
     state = spark.read.format("statestore").load(ckpt)
     return (
