@@ -24,7 +24,9 @@ from debias_spark.catalog import table
 from debias_spark.registry import register
 from debias_spark.warehouse import prune_stale_siblings
 
-_WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse", "io_roundtrip")
+from debias_spark.warehouse import warehouse_root
+
+_WAREHOUSE = os.path.join(warehouse_root(), "io_roundtrip")
 
 
 def _sink_dir(spark: SparkSession, sf_dir: str, name: str) -> str:

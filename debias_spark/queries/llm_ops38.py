@@ -13,7 +13,7 @@ over the accumulated state.
 Because an index absorbs drops and is not rebuilt, static and
 incremental builds must agree bit-for-bit: this key registers the
 IDENTICAL oracle as Y74 (llm_ops37.IVFPQ_ORACLE) — the driver
-hash-proves that four per-drop state appends reproduce the one-shot
+hash-proves that the per-drop state appends reproduce the one-shot
 search exactly.
 
 Reference parity: the reference re-runs its whole program per
@@ -41,13 +41,17 @@ from debias_spark.queries.llm_ops37 import (
 )
 from debias_spark.registry import register
 
-_N_DROPS = 4
+# TWO drops, not four (r12 verdict item 1): incremental maintenance
+# needs state to exist when a later drop appends (>= 2); each extra
+# drop re-pays micro-batch scheduling + an append job without proving
+# anything two did not (the per-drop projection is state-independent)
+_N_DROPS = 2
 
 
 @register("similarity_ann_ivfpq_incremental", "Y75", oracle=IVFPQ_ORACLE)
 def similarity_ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search over an INCREMENTALLY-MAINTAINED index: the corpus
-    arrives as four vec_id-ordered drops (availableNow file stream, one
+    arrives as two vec_id-ordered drops (availableNow file stream, one
     file per micro-batch, oldest-first); each drop's refresh runs the
     pq_index_frame projection — norm, pinned-centroid cell, 8 PQ codes;
     a pure per-row expression, so a drop needs NO shuffle and NO look at

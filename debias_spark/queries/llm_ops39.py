@@ -49,7 +49,10 @@ from debias_spark.queries.llm_ops38 import _TOMB_DUCK, _TOMB_MOD, _TOMB_REM
 from debias_spark.queries.pipeline_e2e4 import _count_parquet_files
 from debias_spark.registry import register
 
-_N_DROPS = 4
+# two drops (the r13 family-wide drop-count discipline): fragmentation
+# for the strictly-fewer-files proof needs >= 2 appends per cell (8
+# narrow-shuffle tasks x 2 appends leave multiple files per cell)
+_N_DROPS = 2
 
 
 @register(

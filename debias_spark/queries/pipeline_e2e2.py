@@ -172,7 +172,7 @@ def band_candidates(b_banded: DataFrame, idx: DataFrame) -> DataFrame:
     """,
 )
 def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental NEAR-dup refresh: the corpus arrives as four
+    """Incremental NEAR-dup refresh: the corpus arrives as three
     doc_id-ordered drops (an availableNow file stream, one file per
     micro-batch, processed oldest-first); each batch's docs are
     MinHash-banded and joined against the ACCUMULATED band state — prior
@@ -245,18 +245,23 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         prune_stale_siblings(_WAREHOUSE, f"{stem}_{tag}_", os.path.basename(d))
         shutil.rmtree(d, ignore_errors=True)
 
-    # stage four doc_id-ordered drops with ascending mtimes so the file
+    # stage three doc_id-ordered drops with ascending mtimes so the file
     # stream replays the production arrival order (fixture prep: the
     # 1-row min/max only slices the staging files, it is not part of the
     # query).  Bounds come from the ID RANGE, not the row count — a
     # sparse/offset id space (the 4x stress replicas) would otherwise
-    # leave slices empty or drop ids beyond count+1 entirely
+    # leave slices empty or drop ids beyond count+1 entirely.  THREE
+    # drops, not four (r12 verdict item 1): >= 2 exercises the state
+    # probe, and the third keeps a post-compaction probe batch alive for
+    # the low-threshold test (compaction fires from batch 2 onward, so
+    # batch 3 probes the rewritten dir); a fourth only re-paid the
+    # per-batch fixed cost
     mm = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
     lo, hi = mm.lo, mm.hi + 1
     span = hi - lo
-    bounds = [lo, lo + span // 4, lo + span // 2, lo + (3 * span) // 4, hi]
+    bounds = [lo, lo + span // 3, lo + (2 * span) // 3, hi]
     t0 = time.time() - 3600
-    for i in range(4):
+    for i in range(3):
         stage_single_file_drop(
             docs.filter(
                 (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
@@ -427,7 +432,7 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint RESUME, exactly-once: the refresh pipeline is run as
     TWO separate availableNow drains against ONE streaming checkpoint —
-    first over three staged drops, then again after a fourth drop lands.
+    first over two staged drops, then again after a third drop lands.
     The second drain must process EXACTLY the new file (one non-empty
     micro-batch, its batch id continuing past the first drain's — the
     checkpoint carried over, nothing was reprocessed and nothing reset),
@@ -460,11 +465,15 @@ def pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         prune_stale_siblings(_WAREHOUSE, f"{stem}_{tag}_", os.path.basename(d))
         shutil.rmtree(d, ignore_errors=True)
 
-    # fixture staging only: id-RANGE quartiles (robust to sparse ids)
+    # fixture staging only: id-RANGE thirds (robust to sparse ids).
+    # 2+1 drops, not 3+1 (r12 verdict item 1): the first drain needs
+    # >= 2 batches to prove a real checkpoint sequence, the second needs
+    # exactly the one late file — a third first-drain drop re-paid the
+    # per-batch fixed cost without strengthening either half
     mm = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
     lo, hi = mm.lo, mm.hi + 1
     span = hi - lo
-    bounds = [lo, lo + span // 4, lo + span // 2, lo + (3 * span) // 4, hi]
+    bounds = [lo, lo + span // 3, lo + (2 * span) // 3, hi]
 
     def stage(i: int) -> None:
         stage_single_file_drop(
@@ -518,7 +527,7 @@ def pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_sp = spark.conf.get(_SP, None)
     spark.conf.set(_SP, "8")
     try:
-        for i in range(3):
+        for i in range(2):
             stage(i)
         drain()
         first = list(seen)
@@ -526,7 +535,7 @@ def pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"first drain took {len(first)} non-empty batches; need >= 2"
             )
-        stage(3)  # the late drop lands between refreshes
+        stage(2)  # the late drop lands between refreshes
         drain()
         second = seen[len(first):]
     finally:
@@ -541,7 +550,7 @@ def pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"resume drain ran {len(second)} non-empty batches, expected 1: {seen}"
         )
-    n_late = docs.filter(F.col("doc_id") >= bounds[3]).count()
+    n_late = docs.filter(F.col("doc_id") >= bounds[2]).count()
     if second[0][1] != n_late:
         raise RuntimeError(
             f"resume batch processed {second[0][1]} rows, expected {n_late}"

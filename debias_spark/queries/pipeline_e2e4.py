@@ -76,7 +76,7 @@ def _count_parquet_files(root: str) -> int:
 )
 def pipeline_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction of an append-only band-state dir, with an unchanged-
-    results proof: the Z68-shaped MinHash band state is built as FOUR
+    results proof: the Z68-shaped MinHash band state is built as TWO
     per-batch appends (hive-partitioned by band_id, several part files
     per partition per batch — the streaming small-file failure mode),
     then compacted by one repartition-on-band write into a fresh dir.
@@ -108,17 +108,20 @@ def pipeline_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (band_dir, compact_dir):
         shutil.rmtree(d, ignore_errors=True)
 
-    # fixture staging: 4 id-range batches appended separately, narrow
-    # shuffle width so each append leaves several files per band partition
+    # fixture staging: 2 id-range batches appended separately, narrow
+    # shuffle width so each append leaves several files per band
+    # partition (8 shuffle tasks x 2 appends = up to 16 files/band —
+    # ample fragmentation for the strictly-fewer-files proof; the extra
+    # two appends only re-paid banding jobs, r12 verdict item 1)
     mm = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
     lo, hi = mm.lo, mm.hi + 1
     span = hi - lo
-    bounds = [lo, lo + span // 4, lo + span // 2, lo + (3 * span) // 4, hi]
+    bounds = [lo, lo + span // 2, hi]
     _SP = "spark.sql.shuffle.partitions"
     prev_sp = spark.conf.get(_SP, None)
     spark.conf.set(_SP, "8")
     try:
-        for i in range(4):
+        for i in range(2):
             batch = docs.filter(
                 (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
             )

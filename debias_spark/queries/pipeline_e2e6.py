@@ -20,7 +20,7 @@ stages consult PERSISTED STATE instead of the whole corpus —
 
 Because corpora arrive and are not rebuilt, batch and incremental builds
 must agree bit-for-bit: this key registers the IDENTICAL oracle as Z75
-(pipeline_e2e5.CORPUS_BUILD_ORACLE) — the driver hash-proves that four
+(pipeline_e2e5.CORPUS_BUILD_ORACLE) — the driver hash-proves that the
 stateful incremental drops reproduce the one-shot manifest exactly.
 
 Reference parity: the reference re-runs its whole scan -> annotate ->
@@ -56,7 +56,7 @@ from debias_spark.registry import register
 
 @register("pipeline_corpus_build_incremental", "Z76", oracle=CORPUS_BUILD_ORACLE)
 def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental corpus build: the training pool arrives as four
+    """Incremental corpus build: the training pool arrives as two
     doc_id-ordered drops (availableNow file stream, one file per
     micro-batch, oldest-first); every drop runs the FULL Z75 chain with
     the dedup stages probing persisted state:
@@ -149,14 +149,19 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
         prune_stale_siblings(_WAREHOUSE, f"{stem}_{tag}_", os.path.basename(d))
         shutil.rmtree(d, ignore_errors=True)
 
-    # stage four doc_id-ordered drops whose INTERIOR boundaries are
-    # PACK_SHARD multiples: every pack shard then lies wholly inside one
+    # stage two doc_id-ordered drops whose INTERIOR boundary is a
+    # PACK_SHARD multiple: every pack shard then lies wholly inside one
     # drop (bounds from the ID RANGE, sparse/offset-id safe, the Z68
-    # staging doctrine)
+    # staging doctrine).  TWO drops, not four (r12 verdict item 1): the
+    # incremental semantics need >= 2 (state exists when the second drop
+    # probes it) and every extra drop re-pays the per-batch fixed cost —
+    # state re-list + union reads, five write jobs, micro-batch
+    # scheduling — without proving anything four did not; the
+    # batching-independence argument is count-free
     mm = pool.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
     lo, hi = mm.lo, mm.hi + 1
     span = hi - lo
-    raw = [lo + (span * i) // 4 for i in range(1, 4)]
+    raw = [lo + span // 2]
     interior = sorted({(b // PACK_SHARD) * PACK_SHARD for b in raw})
     bounds = [lo] + [b for b in interior if lo < b < hi] + [hi]
     t0 = time.time() - 3600

@@ -24,13 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.registry import register
-from debias_spark.warehouse import prune_stale_siblings
+from debias_spark.warehouse import prune_stale_siblings, warehouse_root
 
-_WAREHOUSE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-    "spark-warehouse",
-    "io_roundtrip",
-)
+_WAREHOUSE = os.path.join(warehouse_root(), "io_roundtrip")
 
 
 @register(

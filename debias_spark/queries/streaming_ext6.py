@@ -18,13 +18,9 @@ from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
 from debias_spark.registry import register
-from debias_spark.warehouse import prune_stale_siblings
+from debias_spark.warehouse import prune_stale_siblings, warehouse_root
 
-_WAREHOUSE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-    "spark-warehouse",
-    "io_roundtrip",
-)
+_WAREHOUSE = os.path.join(warehouse_root(), "io_roundtrip")
 
 _T0 = "2024-06-01 00:00:00"  # stream epoch; windows are 1h from here
 

@@ -205,6 +205,14 @@ CHANGED_SINCE_CHECK: dict[str, int] = {
     "similarity_ann_ivf_pinned": 13,
     "similarity_ann_ivfpq_incremental": 13,
     "similarity_ann_ivfpq_tombstone": 13,
+    # r13 verdict item 1: pipeline-capstone drop counts cut to the
+    # minimum their contracts need (Z76/Y75 2 drops, Z68 3, Z71 2+1,
+    # Z73 2 appends) — semantics are count-free by each key's declared
+    # batching-independence argument; oracles unchanged
+    "pipeline_corpus_build_incremental": 13,
+    "pipeline_incremental_neardup": 13,
+    "pipeline_checkpoint_resume": 13,
+    "pipeline_state_compaction": 13,
 }
 
 

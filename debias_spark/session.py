@@ -56,6 +56,13 @@ def get_spark(app_name: str = APP_NAME, extra_conf: dict | None = None) -> Spark
     for k, v in _BASE_CONF.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # shuffle/spill scratch: the bench band protocol points this at tmpfs
+    # (DEBIAS_LOCAL_DIR=/dev/shm/...) so spill IO stops timing co-tenant
+    # disk contention; default (unset) keeps Spark's own /tmp behavior
+    local_dir = os.environ.get("DEBIAS_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -20,6 +20,24 @@ import os
 import shutil
 import time
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def warehouse_root() -> str:
+    """Root for transient sink/state dirs.  Defaults to the in-repo
+    ``spark-warehouse/``; ``DEBIAS_WAREHOUSE_DIR`` points it elsewhere —
+    the bench band protocol sets it to a tmpfs path (e.g. under
+    /dev/shm) so file-staging keys stop timing the host's disk
+    contention instead of the engine (r12 verdict item 4: 24/368 keys
+    had band width > 2x floor, concentrated in staging keys).
+    Correctness is path-independent; the driver's own runs keep the
+    default."""
+    env = os.environ.get("DEBIAS_WAREHOUSE_DIR")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    return os.path.join(_REPO_ROOT, "spark-warehouse")
+
 
 def prune_stale_siblings(
     base: str, prefix: str, keep: str, max_age_s: float = 6 * 3600.0

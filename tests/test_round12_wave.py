@@ -29,7 +29,7 @@ def incr_rows(spark, specs):
 
 
 def test_incremental_ivfpq_equals_static(spark, specs, incr_rows):
-    """Four per-drop index appends must reproduce the one-shot search
+    """The per-drop index appends must reproduce the one-shot search
     bit-for-bit — the engine-side twin of the shared-oracle proof (an
     index absorbs drops; it is not rebuilt)."""
     static = sorted(
