@@ -174,3 +174,111 @@ def similarity_ann_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     return ivfpq_search(spark, emb, comp, book)
+
+
+# ---------------------------------------------------------------------------
+# Y79: duplicate-cluster token mass — the effective-dataset-size ledger
+# ---------------------------------------------------------------------------
+
+_TOK_DUCK = (
+    r"CAST(CASE WHEN length(trim(text)) = 0 THEN 0"
+    r" ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)"
+)
+
+
+def _cluster_token_mass_oracle() -> str:
+    from debias_spark.queries.llm_ops import _minhash_ctes
+
+    ctes, jac = _minhash_ctes(32, 4)
+    return f"""
+    WITH RECURSIVE {ctes}, verified AS MATERIALIZED (
+        SELECT c.id AS id, c.rep_id AS rep_id
+        FROM cand c JOIN sh a ON a.id = c.id JOIN sh b ON b.id = c.rep_id
+        WHERE {jac} >= 0.8
+    ), edges AS MATERIALIZED (
+        SELECT id AS src, rep_id AS dst FROM verified
+        UNION
+        SELECT rep_id AS src, id AS dst FROM verified
+    ), reach(node, r) AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+    ), labeled AS (
+        SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+    ), toks AS (
+        SELECT doc_id AS id, {_TOK_DUCK} AS n_tok FROM documents
+    )
+    SELECT s.cluster_size,
+           CAST(count(DISTINCT l.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_tok) AS BIGINT) AS raw_tokens,
+           CAST(sum(CASE WHEN l.id = l.cluster_id THEN t.n_tok ELSE 0 END)
+                AS BIGINT) AS effective_tokens
+    FROM labeled l JOIN sizes s USING (cluster_id) JOIN toks t ON t.id = l.id
+    GROUP BY s.cluster_size ORDER BY s.cluster_size
+    """
+
+
+# bench=False mirrors H9e dedup_clusters: the iterative closure's
+# driver-controlled rounds are the measured cost and H9e already benches
+# that machinery's family; correctness rides the sf0.01 value oracle
+@register(
+    "dedup_cluster_token_mass",
+    "Y79",
+    oracle=_cluster_token_mass_oracle(),
+    bench=False,
+)
+def dedup_cluster_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dataset-size ledger: raw vs DEDUPLICATED token mass per
+    duplicate-cluster size.  Scaling-law work (Hernandez et al. 2022,
+    "Scaling Laws and Interpretability of Learning from Repeated Data",
+    public) treats repeated data as worth far less than its raw token
+    count — the governance number a corpus owner needs is "how many of
+    my tokens are duplicate mass, and in what cluster sizes does it
+    hide".  This key joins the H9e connected-component labels (MinHash
+    banding -> verified pairs -> min-label closure) with the H10d
+    whitespace token counts and rolls up, per cluster size: cluster
+    count, doc count, raw token mass, and effective token mass (the
+    keep-one-per-cluster survivor policy, survivor = min-label doc).
+    cluster_size=1 rows are the unduplicated mass (raw == effective);
+    the gap at sizes >= 2 is exactly the token mass dedup reclaims.
+
+    Scale shape: the cluster labels come from banded candidates (never
+    all-pairs) and the iterative min-label closure (pointer jumping,
+    O(log diameter) rounds); the token count is a per-row projection on
+    the SAME documents scan pattern; the final rollup groups on
+    cluster_size — a domain bounded by the largest dup family, so the
+    aggregate is tiny.  At 100 TB this ledger is the per-ingest report
+    that decides whether a source's marginal tokens are worth storing.
+
+    Reference parity: none — the reference (SirHooke/debias-batch-
+    processor) has no dedup surface; north-star extension per SURVEY
+    §2.H9/H10."""
+    from debias_spark.operators.dedup import duplicate_clusters, minhash_dedup
+    from debias_spark.operators.text import whitespace_token_count
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", shingle_n=1, threshold=0.8)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    labeled = duplicate_clusters(ids, pairs, id_col="id", pair_cols=("id", "rep_id"))
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        whitespace_token_count(F.col("text")).alias("n_tok"),
+    )
+    return (
+        labeled.join(toks, "id")
+        .groupBy("cluster_size")
+        .agg(
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("raw_tokens"),
+            F.sum(
+                F.when(F.col("id") == F.col("cluster_id"), F.col("n_tok")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("effective_tokens"),
+        )
+        .orderBy("cluster_size")
+    )

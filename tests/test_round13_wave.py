@@ -65,3 +65,28 @@ def test_compacted_state_layout_and_deletion(spark, specs, compacted_rows):
     # the fixture really deleted something (otherwise the key proves nothing)
     n_emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).count()
     assert comp.count() < n_emb
+
+
+def test_cluster_token_mass_conserves_corpus(spark, specs):
+    """The ledger must CONSERVE the corpus: docs and raw tokens summed
+    over all cluster sizes equal the whole corpus's, effective <= raw
+    everywhere with equality exactly at cluster_size 1, and every
+    cluster contributes exactly one survivor."""
+    from debias_spark.operators.text import whitespace_token_count
+
+    rows = specs["dedup_cluster_token_mass"].fn(spark, SF).collect()
+    assert rows
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    n_docs = docs.count()
+    total_tok = docs.select(
+        F.sum(whitespace_token_count(F.col("text"))).alias("t")
+    ).first().t
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.raw_tokens for r in rows) == total_tok
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        if r.cluster_size == 1:
+            assert r.effective_tokens == r.raw_tokens
+        else:
+            assert r.effective_tokens <= r.raw_tokens
+    assert any(r.cluster_size >= 2 for r in rows)  # the fixture has dups
