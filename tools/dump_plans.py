@@ -113,6 +113,9 @@ REPRESENTATIVE = [
     ("pipeline_state_compaction", "probe rollup reads the COMPACTED band dir (partition-pruned parquet), banded equi self-join, two-level aggregate"),
     # round 11
     ("similarity_ann_ivfpq", "composed IVF-PQ: literal centroids + broadcast codebook/LUT, cell equi-join candidates scored from 8 codes, exact cosine on the 32-row shortlist only"),
+    # round 13
+    ("similarity_ann_ivfpq_compacted", "post-tombstone compaction: broadcast anti-join mask above the rewrite, one cell-key shuffle, search reads one file per cell"),
+    ("dedup_cluster_token_mass", "token-mass ledger: banded pair graph + pointer-jump labels joined to a projection-only token count; final aggregate on the bounded cluster-size domain"),
 ]
 
 
