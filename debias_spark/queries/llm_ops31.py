@@ -260,8 +260,20 @@ def docs_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gk"
         ),
     )
-    dup = grams.groupBy("gk").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
-    hit = grams.join(dup.select("gk"), "gk").select("doc_id", "L", "pos")
+    # ONE gram pass, not two (r13, guide §2.3/§2.4): the old
+    # groupBy(gk)+join spelling planned TWO Generate+md5 subtrees — the
+    # explode and per-position md5 ran once into the dup aggregate and
+    # again into the join probe (plans/r13/docs_substring_dup_spans_
+    # before.txt: Generate nodes 3 and 7).  A count window partitioned
+    # by gk computes the same occurrence count from a single pass; rows
+    # with count >= 2 ARE the hit set (identical semantics: both keep
+    # every occurrence row of every gram whose corpus-wide count >= 2).
+    w_gk = Window.partitionBy("gk")
+    hit = (
+        grams.withColumn("c", F.count("*").over(w_gk))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "L", "pos")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = hit.withColumn(
         "brk",
