@@ -90,3 +90,33 @@ def test_cluster_token_mass_conserves_corpus(spark, specs):
         else:
             assert r.effective_tokens <= r.raw_tokens
     assert any(r.cluster_size >= 2 for r in rows)  # the fixture has dups
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization: Arrow-vectorized PQ encode == the expression spec
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_vectorized_matches_expression_spec(spark):
+    """pq_index_frame's hot path encodes PQ codes via the Arrow/numpy
+    batch kernel (guide §4.2); pq_codes_expr is the Catalyst-expression
+    spec it must match VALUE-FOR-VALUE — the numpy kernel accumulates
+    the squared distance left-to-right over the 8 dims precisely so the
+    floor-e4 boundary behavior is bit-identical to the expression fold
+    (and to the DuckDB oracle)."""
+    from debias_spark.catalog import table
+    from debias_spark.queries.llm_ops37 import (
+        pq_codebook,
+        pq_codes_expr,
+        pq_codes_vectorized,
+    )
+
+    emb = table(spark, SF, "embeddings")
+    book = pq_codebook(emb)
+    old = emb.select("vec_id", pq_codes_expr(book).alias("codes"))
+    new = emb.select(
+        "vec_id", pq_codes_vectorized(book)("embedding").alias("codes")
+    )
+    j = old.alias("o").join(new.alias("n"), "vec_id")
+    assert j.count() == emb.count()
+    assert j.filter(F.expr("o.codes <> n.codes")).count() == 0
