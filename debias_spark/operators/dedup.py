@@ -231,6 +231,38 @@ def bands_from_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def bands_from_sig_keep_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, h0..h{n-1}, band_id, band_hash) rows: :func:`bands_from_sig`
+    with the SIGNATURE COLUMNS carried through the band explode.  This is
+    the band-row layout the r13 semi-join near-dup screen persists as
+    state: a band row that carries its own signature lets the bucket
+    collision and the >= m-of-n component verification evaluate inside
+    ONE join (an EXISTS/left-semi that stops at the first qualifying
+    earlier doc), so candidate PAIRS are never materialized, never
+    distinct-shuffled, and never joined back to a signature table —
+    the shuffle stays linear in band rows while the old chain's pair
+    distinct moved O(candidate pairs).  Band hashes are textually the
+    bands_from_sig spelling; values are unchanged."""
+    rows_per_band = num_hashes // bands
+    bands_sql = ", ".join(
+        H60_SQL.format(
+            x="concat_ws(',', {}, '{}')".format(
+                ", ".join(
+                    f"CAST(h{b * rows_per_band + r} AS STRING)"
+                    for r in range(rows_per_band)
+                ),
+                b,
+            )
+        )
+        for b in range(bands)
+    )
+    return sig.selectExpr(
+        "id",
+        *[f"h{k}" for k in range(num_hashes)],
+        f"posexplode(array({bands_sql})) AS (band_id, band_hash)",
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

@@ -32,9 +32,6 @@ _EST_MIN_MATCHES = 26
 _MATCH_TERMS_DUCK = " + ".join(
     f"(CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END)" for k in range(_NH)
 )
-_MATCH_TERMS_SPARK = " + ".join(
-    f"(CASE WHEN h{k} = g{k} THEN 1 ELSE 0 END)" for k in range(_NH)
-)
 
 _CTES, _ = _minhash_ctes(_NH, _NB)
 
@@ -87,18 +84,14 @@ _SALT_CAP = 32  # matches Z66's shuffle-width cap
 LAST_SALT_R = 0
 
 
-def band_candidates(b_banded: DataFrame, idx: DataFrame) -> DataFrame:
-    """Distinct (id, j) candidate pairs from band-bucket collisions of the
-    drop's band rows against the combined index (state union in-drop),
-    with the autotuned salt guard above.  ``b_banded`` carries (id,
-    band_id, band_hash); ``idx`` carries (j, j_band, j_hash)."""
+def _salt_factor(idx: DataFrame) -> int:
+    """Autotuned salt factor for the band-state probe joins (the r11
+    diagnose->remedy shape shared by :func:`band_candidates` and
+    :func:`band_dropped_ids`): measure the hottest (j_band, j_hash)
+    bucket, apply the quadratic work model, floor at the shuffle width
+    when triggered, cap at _SALT_CAP.  Sets LAST_SALT_R."""
     global LAST_SALT_R
     budget = int(os.environ.get(_SALT_ENV, _SALT_BUDGET_DEFAULT))
-    join_cond = (
-        (F.col("j_band") == F.col("band_id"))
-        & (F.col("j_hash") == F.col("band_hash"))
-        & (F.col("j") < F.col("id"))
-    )
     r = 1
     if budget > 0:
         mx_row = (
@@ -116,7 +109,7 @@ def band_candidates(b_banded: DataFrame, idx: DataFrame) -> DataFrame:
         est = -(-(mx * mx) // (budget * budget))
         if est >= 2:
             sp = int(
-                b_banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+                idx.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
             )
             # the 2x-shuffle-width floor assumes NARROW shuffle widths
             # (the Z68/Z76 drains run sp=8, floor 16 — the measured
@@ -131,6 +124,20 @@ def band_candidates(b_banded: DataFrame, idx: DataFrame) -> DataFrame:
             est = max(est, min(2 * sp, _SALT_CAP))
         r = int(min(_SALT_CAP, max(1, est)))
     LAST_SALT_R = r
+    return r
+
+
+def band_candidates(b_banded: DataFrame, idx: DataFrame) -> DataFrame:
+    """Distinct (id, j) candidate pairs from band-bucket collisions of the
+    drop's band rows against the combined index (state union in-drop),
+    with the autotuned salt guard above.  ``b_banded`` carries (id,
+    band_id, band_hash); ``idx`` carries (j, j_band, j_hash)."""
+    join_cond = (
+        (F.col("j_band") == F.col("band_id"))
+        & (F.col("j_hash") == F.col("band_hash"))
+        & (F.col("j") < F.col("id"))
+    )
+    r = _salt_factor(idx)
     if r <= 1:
         return b_banded.join(idx, join_cond).select("id", "j").distinct()
     probe = b_banded.withColumn("salt", F.pmod(F.hash("id"), F.lit(r)))
@@ -140,6 +147,58 @@ def band_candidates(b_banded: DataFrame, idx: DataFrame) -> DataFrame:
     return (
         probe.join(state, join_cond & (probe["salt"] == state["salt"]))
         .select("id", "j")
+        .distinct()
+    )
+
+
+def band_dropped_ids(b_banded: DataFrame, idx: DataFrame) -> DataFrame:
+    """Distinct ids of probe docs with an EARLIER near-duplicate — the
+    r13 single-join respell of the band_candidates -> sig-join ->
+    pair-distinct chain.  Both inputs carry sig-bearing band rows
+    (id, h0..h{n-1}, band_id, band_hash; :func:`bands_from_sig_keep_sig`),
+    ``idx`` = state union in-drop.  Because each band row carries its own
+    full signature, the bucket collision AND the >= 26/32 component
+    agreement evaluate inside ONE LEFT SEMI join that stops at the first
+    qualifying earlier doc: candidate PAIRS are never materialized,
+    never distinct-shuffled (the old chain's O(candidate pairs)
+    exchange — 3M rows from one 2k-doc boilerplate bucket at sf0.1),
+    and never joined back to signature state.  Values are identical:
+    the 26-of-32 predicate reads the SAME full signatures, just carried
+    on the band row instead of re-joined, and "dropped iff EXISTS a
+    qualifying earlier doc" is exactly the declared predicate.  The
+    trade is wider state rows (the signature replicated across a doc's
+    4 band rows); the win is shuffles LINEAR in band rows regardless of
+    bucket skew.  The autotuned salt guard is shared with
+    band_candidates (same diagnose, same env budget, same LAST_SALT_R
+    observability): probe rows salt by hash(id), index rows explode
+    across the r shards, so every (probe row, index row) pair still
+    meets exactly once and EXISTS is preserved bit-for-bit."""
+    num_hashes = sum(1 for c in b_banded.columns if c.startswith("h"))
+    match_terms = " + ".join(
+        f"(CASE WHEN h{k} = g{k} THEN 1 ELSE 0 END)" for k in range(num_hashes)
+    )
+    idx2 = idx.select(
+        F.col("id").alias("j"),
+        *[F.col(f"h{k}").alias(f"g{k}") for k in range(num_hashes)],
+        F.col("band_id").alias("j_band"),
+        F.col("band_hash").alias("j_hash"),
+    )
+    join_cond = (
+        (F.col("j_band") == F.col("band_id"))
+        & (F.col("j_hash") == F.col("band_hash"))
+        & (F.col("j") < F.col("id"))
+        & (F.expr(f"({match_terms}) >= {_EST_MIN_MATCHES}"))
+    )
+    r = _salt_factor(idx2)
+    if r <= 1:
+        return b_banded.join(idx2, join_cond, "left_semi").select("id").distinct()
+    probe = b_banded.withColumn("salt", F.pmod(F.hash("id"), F.lit(r)))
+    state = idx2.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(r - 1)))
+    )
+    return (
+        probe.join(state, join_cond & (probe["salt"] == state["salt"]), "left_semi")
+        .select("id")
         .distinct()
     )
 
@@ -193,8 +252,9 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The foreachBatch body asserts >= 2 non-empty batches ran.
 
     Scale shape: per batch the only wide work is its OWN rows' shingle
-    explode (history is signatures, 32 ints/doc, and band rows, 4
-    ints/doc — never text); the index join is banded (never all-pairs)
+    explode (history is signatures and sig-bearing band rows — 32 ints
+    per doc, replicated per band row, never text); the index probe is a
+    banded LEFT SEMI EXISTS (never all-pairs, never materialized pairs)
     and the state appends are hive-partitioned by band_id so a batch's
     probe reads prune to colliding bands.  The band state is COMPACTED
     mid-stream once any band partition exceeds a file-count threshold
@@ -210,7 +270,7 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; the verification stays a 32-column integer compare with no
     floats anywhere."""
     from debias_spark.operators.dedup import (
-        bands_from_sig,
+        bands_from_sig_keep_sig,
         minhash_sig_wide,
         word_shingles,
     )
@@ -285,31 +345,17 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # state append) and sits above a shuffle + crypto-hash pipeline:
         # checkpoint once (memory rule: checkpoint by reuse count)
         b_sig = minhash_sig_wide(b_sh, _NH).localCheckpoint(eager=True)
-        b_banded = bands_from_sig(b_sig, _NH, _NB)
+        # sig-bearing band rows (r13): the band state carries each row's
+        # full signature so the near-dup screen is ONE left-semi EXISTS
+        # (band_dropped_ids) instead of pair-materialize + sig re-join +
+        # pair distinct — no O(candidate pairs) exchange, shuffles stay
+        # linear in band rows under bucket skew
+        b_banded = bands_from_sig_keep_sig(b_sig, _NH, _NB)
 
         idx = b_banded
         if os.path.isdir(band_dir):
             idx = ss.read.parquet(band_dir).unionByName(idx)
-        idx = idx.select(
-            F.col("id").alias("j"),
-            F.col("band_id").alias("j_band"),
-            F.col("band_hash").alias("j_hash"),
-        )
-        cand = band_candidates(b_banded, idx)
-        sig_all = b_sig
-        if os.path.isdir(sig_dir):
-            sig_all = ss.read.parquet(sig_dir).unionByName(sig_all)
-        jside = sig_all.select(
-            F.col("id").alias("j"),
-            *[F.col(f"h{k}").alias(f"g{k}") for k in range(_NH)],
-        )
-        dropped = (
-            cand.join(b_sig, "id")
-            .join(jside, "j")
-            .filter(F.expr(f"({_MATCH_TERMS_SPARK}) >= {_EST_MIN_MATCHES}"))
-            .select("id")
-            .distinct()
-        )
+        dropped = band_dropped_ids(b_banded, idx)
         payload = (
             batch.select(
                 F.col("doc_id").alias("id"),

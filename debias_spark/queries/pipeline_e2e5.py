@@ -40,6 +40,7 @@ from debias_spark.queries.pipeline_e2e2 import (
     _MATCH_TERMS_DUCK,
     _NB,
     _NH,
+    band_dropped_ids,
 )
 from debias_spark.registry import register
 
@@ -205,7 +206,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> sink program (call-debias.py:177-196) at training-corpus
     semantics."""
     from debias_spark.operators.dedup import (
-        bands_from_sig,
+        bands_from_sig_keep_sig,
         minhash_sig_wide,
         word_shingles,
         word_tokens,
@@ -258,35 +259,12 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
     ).filter(F.size("sh") > 0)
     sig = minhash_sig_wide(sh, _NH).localCheckpoint(eager=True)
-    banded = bands_from_sig(sig, _NH, _NB)
-    idx = banded.select(
-        F.col("id").alias("j"),
-        F.col("band_id").alias("j_band"),
-        F.col("band_hash").alias("j_hash"),
-    )
-    cand = (
-        banded.join(
-            idx,
-            (F.col("j_band") == F.col("band_id"))
-            & (F.col("j_hash") == F.col("band_hash"))
-            & (F.col("j") < F.col("id")),
-        )
-        .select("id", "j")
-        .distinct()
-    )
-    jside = sig.select(
-        F.col("id").alias("j"), *[F.col(f"h{k}").alias(f"g{k}") for k in range(_NH)]
-    )
-    match_terms = " + ".join(
-        f"(CASE WHEN h{k} = g{k} THEN 1 ELSE 0 END)" for k in range(_NH)
-    )
-    dropped = (
-        cand.join(sig, "id")
-        .join(jside, "j")
-        .filter(F.expr(f"({match_terms}) >= {_EST_MIN_MATCHES}"))
-        .select("id")
-        .distinct()
-    )
+    # sig-bearing band rows (r13): the whole screen is ONE left-semi
+    # EXISTS against the sig-carrying band self-index
+    # (pipeline_e2e2.band_dropped_ids) — no pair materialization, no
+    # O(pairs) distinct, no sig re-join; same autotuned salt guard
+    banded = bands_from_sig_keep_sig(sig, _NH, _NB)
+    dropped = band_dropped_ids(banded, banded)
     s2 = s1.join(dropped.withColumnRenamed("id", "doc_id"), "doc_id", "anti")
 
     # 4. decontamination: bloom prefilter + exact confirm (Y72's plan);

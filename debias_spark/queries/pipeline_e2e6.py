@@ -42,10 +42,9 @@ from debias_spark.operators.packing import PACK_CAP, PACK_SHARD, nfd_pack
 from debias_spark.queries.io_roundtrip import _WAREHOUSE, _sink_dir
 from debias_spark.queries.llm_ops7 import _EVAL_MAX_ID
 from debias_spark.queries.pipeline_e2e2 import (
-    _EST_MIN_MATCHES,
     _NB,
     _NH,
-    band_candidates,
+    band_dropped_ids,
 )
 from debias_spark.queries.pipeline_e2e5 import (
     _GRAM_N,
@@ -89,13 +88,15 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
     Scale shape: per drop, text crosses a shuffle exactly twice (exact-
     dedup semi-join, pack shard exchange) — the Z75 discipline — while
     history moves only digests (16 bytes/doc), signatures (32 ints), and
-    band rows (4 ints); the band state is hive-partitioned by band_id so
-    probe reads prune to colliding bands.  State appends are parquet
+    sig-bearing band rows (the signature replicated per band row — the
+    r13 trade that makes the near-dup screen a single pair-free left-semi
+    join); the band state is hive-partitioned by band_id so probe reads
+    prune to colliding bands.  State appends are parquet
     appends here; at 100 TB they become MERGE INTO a transactional table
     keyed (band_id, band_hash) / digest, and the drop cadence amortizes
     the eval-bloom build to zero."""
     from debias_spark.operators.dedup import (
-        bands_from_sig,
+        bands_from_sig_keep_sig,
         minhash_sig_wide,
         word_shingles,
         word_tokens,
@@ -224,38 +225,19 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
             F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
         ).filter(F.size("sh") > 0)
         b_sig = minhash_sig_wide(b_sh, _NH).localCheckpoint(eager=True)
-        b_banded = bands_from_sig(b_sig, _NH, _NB)
+        # sig-bearing band rows (r13): the near-dup screen is ONE
+        # left-semi EXISTS against the sig-carrying band state
+        # (pipeline_e2e2.band_dropped_ids — no pair materialization, no
+        # O(pairs) distinct, no sig-state re-join; same autotuned salt
+        # guard)
+        b_banded = bands_from_sig_keep_sig(b_sig, _NH, _NB)
         idx = b_banded
         if os.path.isdir(band_dir):
             idx = ss.read.parquet(band_dir).unionByName(idx)
-        idx = idx.select(
-            F.col("id").alias("j"),
-            F.col("band_id").alias("j_band"),
-            F.col("band_hash").alias("j_hash"),
-        )
-        # the Z68 skew-guarded candidate join (salt autotuned from the
-        # measured hottest bucket; bit-identical candidate set)
-        cand = band_candidates(b_banded, idx)
-        sig_all = b_sig
-        if os.path.isdir(sig_dir):
-            sig_all = ss.read.parquet(sig_dir).unionByName(sig_all)
-        jside = sig_all.select(
-            F.col("id").alias("j"),
-            *[F.col(f"h{k}").alias(f"g{k}") for k in range(_NH)],
-        )
-        match_terms = " + ".join(
-            f"(CASE WHEN h{k} = g{k} THEN 1 ELSE 0 END)" for k in range(_NH)
-        )
-        dropped = (
-            cand.join(b_sig, "id")
-            .join(jside, "j")
-            .filter(F.expr(f"({match_terms}) >= {_EST_MIN_MATCHES}"))
-            .select("id")
-            .distinct()
-        )
+        dropped = band_dropped_ids(b_banded, idx)
         # s2 feeds both the contamination ngrams and the s3 anti-join;
-        # without the checkpoint the banded near-dup screen (cand join +
-        # 32-component compare) replays once per consumer
+        # without the checkpoint the banded near-dup screen (the semi
+        # EXISTS over sig-bearing band rows) replays once per consumer
         s2 = s1.join(
             dropped.withColumnRenamed("id", "doc_id"), "doc_id", "anti"
         ).localCheckpoint(eager=True)

@@ -120,3 +120,93 @@ def test_pq_codes_vectorized_matches_expression_spec(spark):
     j = old.alias("o").join(new.alias("n"), "vec_id")
     assert j.count() == emb.count()
     assert j.filter(F.expr("o.codes <> n.codes")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization: semi-join EXISTS near-dup screen == the pair-join chain
+# ---------------------------------------------------------------------------
+
+
+def test_band_dropped_ids_matches_pair_join_chain(spark):
+    """band_dropped_ids (ONE left-semi EXISTS over sig-bearing band rows)
+    must drop exactly the ids the old band_candidates -> sig-join ->
+    26-of-32 filter chain dropped — the predicate is identical ("exists
+    an earlier doc colliding in >= 1 band with >= 26/32 matching
+    signature components"), only the plan shape changed (no pair
+    materialization, no O(pairs) distinct, no sig re-join)."""
+    from debias_spark.catalog import table
+    from debias_spark.operators.dedup import (
+        bands_from_sig,
+        bands_from_sig_keep_sig,
+        minhash_sig_wide,
+        word_shingles,
+    )
+    from debias_spark.queries.pipeline_e2e2 import (
+        _EST_MIN_MATCHES,
+        _NB,
+        _NH,
+        band_candidates,
+        band_dropped_ids,
+    )
+
+    docs = table(spark, SF, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = minhash_sig_wide(sh, _NH).localCheckpoint(eager=True)
+
+    banded = bands_from_sig(sig, _NH, _NB)
+    idx = banded.select(
+        F.col("id").alias("j"),
+        F.col("band_id").alias("j_band"),
+        F.col("band_hash").alias("j_hash"),
+    )
+    cand = band_candidates(banded, idx)
+    jside = sig.select(
+        F.col("id").alias("j"), *[F.col(f"h{k}").alias(f"g{k}") for k in range(_NH)]
+    )
+    mt = " + ".join(
+        f"(CASE WHEN h{k} = g{k} THEN 1 ELSE 0 END)" for k in range(_NH)
+    )
+    old = {
+        r.id
+        for r in cand.join(sig, "id")
+        .join(jside, "j")
+        .filter(F.expr(f"({mt}) >= {_EST_MIN_MATCHES}"))
+        .select("id")
+        .distinct()
+        .collect()
+    }
+
+    kb = bands_from_sig_keep_sig(sig, _NH, _NB)
+    new = {r.id for r in band_dropped_ids(kb, kb).collect()}
+    assert new == old and new  # non-empty at test SF
+
+
+def test_band_dropped_ids_salted_identical(spark, monkeypatch):
+    """The salted semi path (budget 1 forces r >= 2) must equal the plain
+    semi path bit-for-bit: probe rows salt by hash(id), index rows
+    explode across the shards, every (probe, index) row pair still meets
+    exactly once so EXISTS is preserved."""
+    import debias_spark.queries.pipeline_e2e2 as mod
+    from debias_spark.catalog import table
+    from debias_spark.operators.dedup import (
+        bands_from_sig_keep_sig,
+        minhash_sig_wide,
+        word_shingles,
+    )
+
+    docs = table(spark, SF, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
+    ).filter(F.size("sh") > 0)
+    kb = bands_from_sig_keep_sig(
+        minhash_sig_wide(sh, mod._NH), mod._NH, mod._NB
+    ).localCheckpoint(eager=True)
+    monkeypatch.delenv("DEBIAS_BAND_SALT_BUDGET", raising=False)
+    plain = {r.id for r in mod.band_dropped_ids(kb, kb).collect()}
+    assert mod.LAST_SALT_R == 1
+    monkeypatch.setenv("DEBIAS_BAND_SALT_BUDGET", "1")
+    salted = {r.id for r in mod.band_dropped_ids(kb, kb).collect()}
+    assert mod.LAST_SALT_R >= 2
+    assert salted == plain
