@@ -125,7 +125,7 @@ def dedup_band_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup-rich full corpus is the one cost this key exists to avoid
     paying blind."""
     from debias_spark.operators.dedup import (
-        bands_from_sig,
+        bands_from_sig_keep_sig,
         minhash_sig_wide,
         word_shingles,
     )
@@ -139,71 +139,94 @@ def dedup_band_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=True)  # reused by sig build + 2 jaccard joins
     )
-    sig = minhash_sig_wide(sh, _NH).localCheckpoint(eager=True)  # reused 3x
+    sig = minhash_sig_wide(sh, _NH).localCheckpoint(eager=True)
 
+    # r13 single-pass layout sweep.  The layouts are NESTED: a 2-band
+    # collision (16 consecutive components equal) implies the two 4-band
+    # sub-bands collide, which implies the four 8-band sub-bands collide
+    # — so cand2 (subset) cand4 (subset) cand8, and every layout's
+    # candidate set is derivable from ONE loosest-layout bucket join by
+    # flagging, per pair, which coarser bands also agree (a pure
+    # expression over the signatures the band rows carry).  Consequences
+    # measured per the oracle's own algebra: ver{nb} (subset) ver8 means
+    # n_hit == n_verified, so the three truth-intersection joins are
+    # arithmetic, and the three jaccard verify joins collapse to ONE
+    # over cand8.  Old plan: 3 bucket joins + 3 pair distincts + 3
+    # shingle-array verify joins + 3 intersection joins; new plan: 1
+    # bucket join + 1 pair aggregate + 1 verify join + 1 global
+    # aggregate.  Values unchanged (the flags test the same component
+    # equalities the per-layout band hashes encode).
+    loosest = _BAND_CHOICES[-1]
+    banded = bands_from_sig_keep_sig(sig, _NH, loosest)
+    y = banded.select(
+        F.col("id").alias("y_id"),
+        *[F.col(f"h{k}").alias(f"g{k}") for k in range(_NH)],
+        F.col("band_id").alias("y_band"),
+        F.col("band_hash").alias("y_hash"),
+    )
+
+    def layout_flag(nb: int) -> str:
+        per = _NH // nb
+        ors = []
+        for b in range(nb):
+            ands = " AND ".join(
+                f"h{b * per + r} = g{b * per + r}" for r in range(per)
+            )
+            ors.append(f"({ands})")
+        return "CAST((" + " OR ".join(ors) + ") AS INT)"
+
+    pairs = (
+        banded.join(
+            y,
+            (F.col("band_id") == F.col("y_band"))
+            & (F.col("band_hash") == F.col("y_hash"))
+            & (F.col("id") < F.col("y_id")),
+        )
+        .select(
+            F.col("id").alias("i"),
+            F.col("y_id").alias("j"),
+            F.expr(layout_flag(_BAND_CHOICES[0])).alias("c2"),
+            F.expr(layout_flag(_BAND_CHOICES[1])).alias("c4"),
+        )
+        .groupBy("i", "j")  # the pair distinct; flags are per-pair constants
+        .agg(F.max("c2").alias("c2"), F.max("c4").alias("c4"))
+    )
     a_sh = sh.select(F.col("id").alias("i"), F.col("sh").alias("a_sh"))
     b_sh = sh.select(F.col("id").alias("j"), F.col("sh").alias("b_sh"))
-    rep = None
-    vers: dict[int, DataFrame] = {}
-    for nb in _BAND_CHOICES:
-        banded = bands_from_sig(sig, _NH, nb)
-        x = banded.select("id", "band_id", "band_hash")
-        y = banded.select(
-            F.col("id").alias("y_id"),
-            F.col("band_id").alias("y_band"),
-            F.col("band_hash").alias("y_hash"),
-        )
-        cand = (
-            x.join(
-                y,
-                (F.col("band_id") == F.col("y_band"))
-                & (F.col("band_hash") == F.col("y_hash"))
-                & (F.col("id") < F.col("y_id")),
-            )
-            .select(F.col("id").alias("i"), F.col("y_id").alias("j"))
-            .distinct()
-        )
-        ver = (
-            cand.join(a_sh, "i")
-            .join(b_sh, "j")
-            .filter(F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 4) >= _JACC_MIN)
-            .select("i", "j")
-            .localCheckpoint(eager=True)  # reused: count + truth intersection
-        )
-        vers[nb] = ver
-        row = (
-            cand.agg(F.count("*").alias("n_cand"))
-            .crossJoin(ver.agg(F.count("*").alias("n_verified")))
-            .select(F.lit(nb).alias("bands"), "n_cand", "n_verified")
-        )
-        rep = row if rep is None else rep.unionByName(row)
-
-    truth = vers[_BAND_CHOICES[-1]]
-    hits = None
-    for nb in _BAND_CHOICES:
-        h = (
-            vers[nb]
-            .join(
-                truth.select(F.col("i").alias("t_i"), F.col("j").alias("t_j")),
-                (F.col("i") == F.col("t_i")) & (F.col("j") == F.col("t_j")),
-            )
-            .agg(F.lit(nb).alias("h_bands"), F.count("*").alias("n_hit"))
-        )
-        hits = h if hits is None else hits.unionByName(h)
-
-    n_true = truth.agg(F.count("*").alias("n_true"))
-    rep2 = (
-        rep.join(hits, F.col("bands") == F.col("h_bands"))
-        .crossJoin(F.broadcast(n_true))
+    flags = (
+        pairs.join(a_sh, "i")
+        .join(b_sh, "j")
         .select(
-            "bands",
-            "n_cand",
-            "n_verified",
-            F.expr("n_verified * 10000 div nullif(n_cand, 0)").alias(
-                "precision_bp"
-            ),
-            F.expr("n_hit * 10000 div nullif(n_true, 0)").alias("recall_bp"),
+            "c2",
+            "c4",
+            (F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 4) >= _JACC_MIN)
+            .cast("int")
+            .alias("v"),
         )
+    )
+    agg = flags.agg(
+        F.count("*").alias("cand8"),
+        F.sum("c4").alias("cand4"),
+        F.sum("c2").alias("cand2"),
+        F.sum("v").alias("ver8"),
+        F.sum(F.col("v") * F.col("c4")).alias("ver4"),
+        F.sum(F.col("v") * F.col("c2")).alias("ver2"),
+    ).select(
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("cand8", "cand4", "cand2", "ver8", "ver4", "ver2")]
+    )
+    rep2 = agg.selectExpr(
+        f"stack(3, {_BAND_CHOICES[0]}, cand2, ver2,"
+        f" {_BAND_CHOICES[1]}, cand4, ver4,"
+        f" {_BAND_CHOICES[2]}, cand8, ver8)"
+        " AS (bands, n_cand, n_verified)",
+        "ver8 AS n_true",
+    ).select(
+        "bands",
+        "n_cand",
+        "n_verified",
+        F.expr("n_verified * 10000 div nullif(n_cand, 0)").alias("precision_bp"),
+        F.expr("n_verified * 10000 div nullif(n_true, 0)").alias("recall_bp"),
     )
     meets = F.col("recall_bp") >= _RECALL_FLOOR_BP
     picked = rep2.agg(
