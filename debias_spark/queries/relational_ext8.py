@@ -291,9 +291,9 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent."""
     from debias_spark.operators.dedup import (
         MINHASH_P,
+        bands_from_sig_keep_sig,
         h60,
         jaccard,
-        minhash_banded,
         minhash_params,
         word_shingles,
     )
@@ -321,33 +321,43 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h, (a, b) in enumerate(minhash_params(num_hashes))
         ]
     )
-    banded = minhash_banded(sh, num_hashes, bands)
+    # r13 single-build pass: band rows CARRY their signatures
+    # (bands_from_sig_keep_sig over the one sig frame — minhash_banded
+    # would rebuild the whole explode + h60 + min-agg pipeline a second
+    # time), and the bucket representative's signature rides the same
+    # window as rep_id via a struct-min (lexicographic, id leading — the
+    # min-id row exactly).  Both signatures are then IN the candidate
+    # row, so the estimate computes inline and the two sig joins
+    # disappear; only the two exact-shingle sides still join.  Values
+    # unchanged: same pairs, same slot-agreement count.
     w = Window.partitionBy("band_id", "band_hash")
+    rep = F.min(
+        F.struct(F.col("id"), *[F.col(f"h{h}") for h in range(num_hashes)])
+    ).over(w)
+    matches = sum(
+        (F.col(f"h{h}") == F.col(f"rep.h{h}")).cast("int")
+        for h in range(num_hashes)
+    )
     cand = (
-        banded.withColumn("rep_id", F.min("id").over(w))
-        .filter(F.col("id") > F.col("rep_id"))
-        .select("id", "rep_id")
-        .dropDuplicates(["id", "rep_id"])
-    )
-    sa = sig.select(
-        F.col("id").alias("ia"), *[F.col(f"h{h}").alias(f"a{h}") for h in range(num_hashes)]
-    )
-    sb = sig.select(
-        F.col("id").alias("ib"), *[F.col(f"h{h}").alias(f"b{h}") for h in range(num_hashes)]
+        bands_from_sig_keep_sig(sig, num_hashes, bands)
+        .withColumn("rep", rep)
+        .filter(F.col("id") > F.col("rep.id"))
+        .select(
+            "id",
+            F.col("rep.id").alias("rep_id"),
+            matches.alias("matches"),
+        )
+        .groupBy("id", "rep_id")  # the pair dedup; matches is per-pair
+        .agg(F.max("matches").alias("matches"))
     )
     xa = sh.select(F.col("id").alias("xa"), F.col("sh").alias("sh_a"))
     xb = sh.select(F.col("id").alias("xb"), F.col("sh").alias("sh_b"))
-    matches = sum(
-        (F.col(f"a{h}") == F.col(f"b{h}")).cast("int") for h in range(num_hashes)
-    )
-    est = matches * 1.0 / num_hashes
+    est = F.col("matches") * 1.0 / num_hashes
     err_micro = F.floor(
         F.abs(est - jaccard(F.col("sh_a"), F.col("sh_b"))) * 1000000 + 0.5
     ).cast("long")
     scored = (
-        cand.join(sa, F.col("ia") == F.col("id"))
-        .join(sb, F.col("ib") == F.col("rep_id"))
-        .join(xa, F.col("xa") == F.col("id"))
+        cand.join(xa, F.col("xa") == F.col("id"))
         .join(xb, F.col("xb") == F.col("rep_id"))
         .select(err_micro.alias("err_micro"))
     )
