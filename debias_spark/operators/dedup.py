@@ -283,7 +283,13 @@ def minhash_dedup(
     """
     from pyspark.sql.window import Window
 
-    sh = df.select(
+    from debias_spark.operators.skew import fan_out
+
+    # fan_out BELOW the shingle projection (r13): the tokenize + shingle
+    # + h60 chain is the map cost and often sits above a single-row-group
+    # scan; spreading the base rows first parallelizes it (and is a no-op
+    # on already-split input)
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     ).filter(F.size("sh") > 0)
     banded = minhash_banded(sh, num_hashes, bands)

@@ -69,3 +69,30 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
         .orderBy(F.desc("n"), F.asc(key))
         .limit(top)
     )
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Scale-adaptive MAP-STAGE fan-out (guide §2: make partitioning
+    scale-adaptive, not a constant tuned for local mode or the cluster).
+
+    Small corpora arrive as single-row-group parquet files, so a scan
+    yields ONE input partition and every pre-exchange map chain above it
+    (char-gram md5 explodes, tokenization, shingle/signature builds, PQ
+    encodes) runs on one core of the whole machine — byte-range splits
+    cannot parallelize below a row-group boundary.  When the frame has
+    fewer partitions than the session's default parallelism, ONE
+    round-robin exchange of the narrow base rows spreads the map work
+    across the executor; when the input is already split (any
+    production-size table under the stock 128 MB maxPartitionBytes),
+    the condition is false and NO exchange is added — the helper
+    disappears from the plan at scale.
+
+    Values are unaffected: repartition() is deterministic under retries
+    (sortBeforeRepartition) and every caller aggregates or joins on
+    keys independent of physical row placement.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -171,25 +171,36 @@ def word_ngrams_frame(docs, n: int, id_col: str = "doc_id", text_col: str = "tex
     """DISTINCT (id, gram) rows of n-token windows per document — the
     contamination-audit gram build (Y12), factored out so the bloom
     prefilter variant (Y72) provably screens the IDENTICAL gram set.
-    Windows come from lead() over token positions (codegen; the trailing
-    lead(n-1) null filter drops windows that run off the document)."""
+
+    r13 spelling: grams are built as a pure ARRAY expression (slice over
+    the token array per window position, de-duplicated per doc with
+    array_distinct before the explode) — ZERO exchanges, where the old
+    lead()-window build paid a per-doc sort shuffle plus a global
+    distinct shuffle over the full gram stream.  Values identical:
+    windows are consecutive tokens of the same array, and per-doc
+    distinct IS global distinct because the doc id is part of the key."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from debias_spark.operators.dedup import word_tokens
 
-    ex = docs.select(
-        id_col, F.posexplode(word_tokens(F.col(text_col))).alias("pos", "t")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
-    return (
-        ex.select(
-            id_col,
-            F.concat_ws(" ", *parts).alias("gram"),
-            F.lead("t", n - 1).over(w).alias("_tl"),
-        )
-        .filter(F.col("_tl").isNotNull())
-        .drop("_tl")
-        .distinct()
-    )
+    # the token array is projected ONCE per row before the window
+    # transform: a lambda that captured the tokenization expression
+    # would re-tokenize the document per window position (measured 5x
+    # slower than the window build; CollapseProject keeps the split out
+    # of the lambda because it is non-cheap and multiply-referenced).
+    # NO fan_out here: callers with scan-shaped input apply it themselves
+    # (fan_out's partition probe compiles the physical plan, which is
+    # cheap on a scan but measurably expensive on deep mid-pipeline
+    # frames like the corpus builds' s2 — A/B'd at sf0.1).
+    ex = docs.select(id_col, word_tokens(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    grams = F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return ex.select(id_col, F.explode(grams).alias("gram"))

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from debias_spark.catalog import table
+from debias_spark.operators.skew import fan_out
 from debias_spark.operators.text import NORMALIZE_STRICT_DUCK, normalize_strict
 from debias_spark.registry import register
 
@@ -244,7 +245,9 @@ def docs_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions hit both engines identically — the key IS the md5); the
     island merge is a per-doc window.  All counts exact integers."""
     docs = table(spark, sf_dir, "documents")
-    pos = docs.filter(F.length("text") >= _SPAN_K).select(
+    # fan_out: the char-gram md5 explode is the whole cost and runs
+    # above a single-row-group scan — spread the base rows first (r13)
+    pos = fan_out(docs).filter(F.length("text") >= _SPAN_K).select(
         "doc_id",
         F.length("text").cast("long").alias("L"),
         "text",
@@ -573,7 +576,8 @@ def docs_substring_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFr
     re-scan, no join shuffle); the final matrix aggregate is
     |sources|^2 rows at most.  All counts exact integers."""
     docs = table(spark, sf_dir, "documents")
-    pos = docs.filter(F.length("text") >= _SPAN_K).select(
+    # fan_out: see docs_substring_dup_spans (r13)
+    pos = fan_out(docs).filter(F.length("text") >= _SPAN_K).select(
         "doc_id",
         "source",
         "text",

@@ -131,8 +131,10 @@ def dedup_band_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
+    from debias_spark.operators.skew import fan_out
+
     sh = (
-        docs.filter(F.col("doc_id") % _PROBE_MOD == 0)
+        fan_out(docs).filter(F.col("doc_id") % _PROBE_MOD == 0)
         .select(
             F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
         )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
+from debias_spark.operators.skew import fan_out
 from debias_spark.operators.dedup import H60_SQL
 from debias_spark.queries.llm_ops7 import _EVAL_MAX_ID, NGRAM_AUDIT_ORACLE
 from debias_spark.registry import register
@@ -79,9 +80,11 @@ def docs_decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     from debias_spark.operators.text import word_ngrams_frame
 
     docs = table(spark, sf_dir, "documents")
-    # the gram frame feeds three consumers (eval collect, train stats,
-    # final join) above a window + shuffle chain: checkpoint once
-    grams = word_ngrams_frame(docs, _GRAM_N).localCheckpoint(eager=True)
+    # NOT checkpointed (r13): the gram build is a zero-exchange array
+    # expression now (word_ngrams_frame respell), so recomputing the
+    # map-only explode per consumer beats materializing the full gram
+    # string stream (interleaved A/B at sf0.1: ~3.0 s vs ~3.3 s)
+    grams = word_ngrams_frame(fan_out(docs), _GRAM_N)  # scan-level fan_out
     # bounded driver-side collect: the eval set DEFINES the filter (same
     # class as the BPE merge-table collects); capped loudly
     eset = [

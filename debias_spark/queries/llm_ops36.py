@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from debias_spark.catalog import table
+from debias_spark.operators.skew import fan_out
 from debias_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -242,7 +243,11 @@ def docs_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies rewrite to the empty string (digest of '' — distinct from
     the untouched-doc branch, which keeps its original digest)."""
     docs = table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text", F.length("text").cast("long").alias("L"))
+    # fan_out: the char-gram md5 explode runs above a single-row-group
+    # scan — spread the base rows first (r13, no-op on split inputs)
+    base = fan_out(docs).select(
+        "doc_id", "text", F.length("text").cast("long").alias("L")
+    )
     pos = base.filter(F.col("L") >= _K).select(
         "doc_id",
         "L",

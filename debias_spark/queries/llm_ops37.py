@@ -200,10 +200,11 @@ def pq_index_frame(emb: DataFrame, book: dict[int, list[float]]) -> DataFrame:
     never the 64 doubles; at 100 TB this narrow frame IS the RAM-resident
     index, and it is what the incremental variant appends per drop."""
     from debias_spark.operators.similarity import assign_cell, ivf_pinned_centroids, l2_norm
+    from debias_spark.operators.skew import fan_out
 
     cents = ivf_pinned_centroids(_IVF_K, _IVF_DIM)
     encode = pq_codes_vectorized(book)
-    return emb.select(
+    return fan_out(emb).select(
         "vec_id",
         l2_norm(F.col("embedding")).alias("nrm"),
         assign_cell(F.col("embedding"), cents, score_round=_SCORE_ROUND).alias("cell"),

@@ -85,10 +85,11 @@ def docs_contamination_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql import functions as F
 
     from debias_spark.catalog import table as _table
+    from debias_spark.operators.skew import fan_out
     from debias_spark.operators.text import word_ngrams_frame
 
     d = _table(spark, sf_dir, "documents")
-    grams = word_ngrams_frame(d, 8)
+    grams = word_ngrams_frame(fan_out(d), 8)  # scan-level fan_out (r13)
     eval_grams = (
         grams.filter(F.col("doc_id") < _EVAL_MAX_ID).select("gram").distinct()
     )

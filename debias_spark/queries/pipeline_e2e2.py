@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
 from debias_spark.operators.text import NORMALIZE_STRICT_DUCK
+from debias_spark.operators.skew import fan_out
 from debias_spark.queries.io_roundtrip import _WAREHOUSE, _sink_dir
 from debias_spark.queries.llm_ops import _minhash_ctes
 from debias_spark.registry import register
@@ -338,6 +339,7 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         batches.append(batch_id)
         ss = batch.sparkSession
+        batch = fan_out(batch)  # a staged drop scans as ONE partition (r13)
         b_sh = batch.select(
             F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
         ).filter(F.size("sh") > 0)

@@ -33,6 +33,7 @@ from debias_spark.operators.text import (
     QUALITY_VERDICT_DUCK,
 )
 from debias_spark.queries.io_roundtrip import _sink_dir
+from debias_spark.operators.skew import fan_out
 from debias_spark.queries.llm_ops import _minhash_ctes
 from debias_spark.queries.llm_ops7 import _DUCK_ALL_TOKENS, _EVAL_MAX_ID
 from debias_spark.queries.pipeline_e2e2 import (
@@ -78,7 +79,9 @@ def eval_gram_artifacts(spark: SparkSession, sf_dir: str) -> tuple[list[str], st
         return hit
     docs = table(spark, sf_dir, "documents")
     eval_grams = (
-        word_ngrams_frame(docs.filter(F.col("doc_id") < _EVAL_MAX_ID), _GRAM_N)
+        word_ngrams_frame(
+            fan_out(docs.filter(F.col("doc_id") < _EVAL_MAX_ID)), _GRAM_N
+        )
         .select("gram")
         .distinct()
     )
@@ -227,7 +230,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1. quality gate (pure projection)
     n_tokens, n_punct = quality_features(F.col("text"))
     q = (
-        pool.select(
+        fan_out(pool).select(
             "doc_id",
             "text",
             quality_verdict(

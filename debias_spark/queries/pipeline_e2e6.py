@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
 from debias_spark.operators.packing import PACK_CAP, PACK_SHARD, nfd_pack
+from debias_spark.operators.skew import fan_out
 from debias_spark.queries.io_roundtrip import _WAREHOUSE, _sink_dir
 from debias_spark.queries.llm_ops7 import _EVAL_MAX_ID
 from debias_spark.queries.pipeline_e2e2 import (
@@ -186,6 +187,7 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
             return
         batches.append(batch_id)
         ss = batch.sparkSession
+        batch = fan_out(batch)  # a staged drop scans as ONE partition (r13)
 
         # 1. quality gate
         n_tokens, n_punct = quality_features(F.col("text"))

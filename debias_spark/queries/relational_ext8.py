@@ -309,7 +309,9 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-consumer frame, 1.16 vs 1.29).  Checkpoint-by-reuse-count applies
     # when the recomputed stage is a shuffle or a crypto-hash pipeline
     # (q21's join, winnowing's md5 grams), not a map-side projection.
-    sh = docs.select(
+    from debias_spark.operators.skew import fan_out
+
+    sh = fan_out(docs).select(
         F.col("doc_id").alias("id"), word_shingles(F.col("text"), 1).alias("sh")
     ).filter(F.size("sh") > 0)
     ex = sh.select("id", F.explode("sh").alias("s")).withColumn(

@@ -210,3 +210,28 @@ def test_band_dropped_ids_salted_identical(spark, monkeypatch):
     salted = {r.id for r in mod.band_dropped_ids(kb, kb).collect()}
     assert mod.LAST_SALT_R >= 2
     assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization: scale-adaptive map-stage fan-out
+# ---------------------------------------------------------------------------
+
+
+def test_fan_out_spreads_and_noops(spark):
+    """fan_out must repartition a narrow-scan frame up to the session's
+    default parallelism (single-row-group test files scan as ONE
+    partition, serializing every map chain above them) and must be a
+    NO-OP — no added exchange — when the frame is already at least that
+    wide (the production case).  Row multiset unchanged either way."""
+    from debias_spark.catalog import table
+    from debias_spark.operators.skew import fan_out
+
+    docs = table(spark, SF, "documents").select("doc_id", "lang")
+    assert docs.rdd.getNumPartitions() == 1  # the fixture premise
+    fanned = fan_out(docs)
+    dp = spark.sparkContext.defaultParallelism
+    assert fanned.rdd.getNumPartitions() == dp
+    assert fanned.count() == docs.count()
+    assert sorted(map(tuple, fanned.collect())) == sorted(map(tuple, docs.collect()))
+    wide = docs.repartition(dp + 3)
+    assert fan_out(wide) is wide  # no-op: the same frame, no new exchange
