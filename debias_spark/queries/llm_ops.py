@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from debias_spark.catalog import table
+from debias_spark.operators.skew import fan_out
 from debias_spark.operators import multimodal, similarity
 from debias_spark.operators.dedup import minhash_dedup, simhash_pairs
 from debias_spark.operators.text import (
@@ -267,7 +268,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 3-gram Jaccard near-dup pairs over a bounded probe window
     (doc_id < 60 keeps the demo pairwise; the scale path for unbounded
     corpora is the LSH variant above)."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    docs = fan_out(table(spark, sf_dir, "documents")).filter(F.col("doc_id") < 60)
     norm = F.lower("text")
     idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
     grams = F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, 3)))
@@ -472,7 +473,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics: token count, punctuation ratio, stopword
     ratio, and a composite [0,1] score with explicit weights."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
+from debias_spark.operators.skew import fan_out
 from debias_spark.operators.dedup import bind_once
 from debias_spark.registry import register
 
@@ -101,7 +102,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam.  Relational shape — explode + two-level aggregate —
     because per-doc in-array counting is O(distinct x n) interpreted,
     measured 5x slower; the shuffle key (doc_id, gram) scales linearly."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     w = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     d = docs.select("doc_id", w.alias("w"))
 

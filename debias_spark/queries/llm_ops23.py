@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
+from debias_spark.operators.skew import fan_out
 from debias_spark.registry import register
 
 _BUDGET = 100_000  # total sampled-doc budget the mixture distributes
@@ -134,7 +135,7 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined — the hash IS the shuffle key, uniform by construction);
     the verdict joins back on the same hash.  Nothing is quadratic and
     the only wide rows are chunk hashes, never chunk text."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     w = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     d = docs.select("doc_id", w.alias("w")).filter(F.size("w") > 0)
     starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(_CHUNK))

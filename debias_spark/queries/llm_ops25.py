@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
+from debias_spark.operators.skew import fan_out
 from debias_spark.registry import register
 
 _EPS = 0.5 + 1e-9
@@ -63,7 +64,7 @@ def docs_trigram_renyi_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     string shuffle saves — and per-row HOF folds are the interpreted
     path, rule 1), so the spelled form IS the fast form; at 100 TB the
     explode parallelizes with the scan and nothing here is a barrier."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     # quality signals need a bounded sample, not the whole document: the
     # 512-char prefix bounds per-doc work on arbitrarily long real-world
     # documents (this corpus averages ~300 chars, so it is a no-op here)

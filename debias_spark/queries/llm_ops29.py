@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
+from debias_spark.operators.skew import fan_out
 from debias_spark.operators.similarity import dot, l2_norm
 from debias_spark.registry import register
 
@@ -82,7 +83,7 @@ def docs_train_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFra
     an EXISTS (max-sim >= threshold) aggregate, not a pair emission, so
     the shuffle after the screen carries one boolean per train doc; the
     final rollup groups a (split, lang)-bounded frame."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     emb = table(spark, sf_dir, "embeddings")
     split = (
         F.when(F.col("doc_id") % 100 < _TRAIN_LT, "train")

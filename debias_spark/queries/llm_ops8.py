@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
+from debias_spark.operators.skew import fan_out
 from debias_spark.registry import register
 
 
@@ -250,7 +251,7 @@ def docs_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside whole-stage codegen)."""
     from debias_spark.operators.dedup import word_shingles
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("g")
     )
