@@ -200,11 +200,16 @@ def pq_index_frame(emb: DataFrame, book: dict[int, list[float]]) -> DataFrame:
     never the 64 doubles; at 100 TB this narrow frame IS the RAM-resident
     index, and it is what the incremental variant appends per drop."""
     from debias_spark.operators.similarity import assign_cell, ivf_pinned_centroids, l2_norm
-    from debias_spark.operators.skew import fan_out
 
+    # NO fan_out here (r13, measured): the callers feed small embedding
+    # frames whose encode is already a fast Arrow batch kernel, and the
+    # incremental/compaction callers append this frame partitionBy(cell)
+    # — fanning multiplies the per-cell file count (32 tasks x cells),
+    # inflating the very state the compaction keys then pay to rewrite
+    # (similarity_ann_ivfpq_compacted regressed 5.75 -> 6.97 s fanned)
     cents = ivf_pinned_centroids(_IVF_K, _IVF_DIM)
     encode = pq_codes_vectorized(book)
-    return fan_out(emb).select(
+    return emb.select(
         "vec_id",
         l2_norm(F.col("embedding")).alias("nrm"),
         assign_cell(F.col("embedding"), cents, score_round=_SCORE_ROUND).alias("cell"),
