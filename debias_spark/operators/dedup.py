@@ -283,13 +283,13 @@ def minhash_dedup(
     """
     from pyspark.sql.window import Window
 
-    from debias_spark.operators.skew import fan_out
-
-    # fan_out BELOW the shingle projection (r13): the tokenize + shingle
-    # + h60 chain is the map cost and often sits above a single-row-group
-    # scan; spreading the base rows first parallelizes it (and is a no-op
-    # on already-split input)
-    sh = fan_out(df).select(
+    # NO fan_out here (r13, measured): the signature groupBy exchange
+    # arrives early enough that spreading the scan first LOSES on all
+    # four hottest callers (interleaved A/B at sf0.1: dedup_minhash_lsh
+    # 0.99 plain vs 1.27 fanned, dedup_clusters 2.38 vs 2.76,
+    # dedup_keep_best_quality 2.55 vs 3.00, jaccard_histogram 1.13 vs
+    # 1.21) — the extra exchange costs more than the serial map saves
+    sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     ).filter(F.size("sh") > 0)
     banded = minhash_banded(sh, num_hashes, bands)
