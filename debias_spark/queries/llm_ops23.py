@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debias_spark.catalog import table
-from debias_spark.operators.skew import fan_out
 from debias_spark.registry import register
 
 _BUDGET = 100_000  # total sampled-doc budget the mixture distributes
