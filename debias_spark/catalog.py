@@ -60,11 +60,43 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
             pass  # non-settable in this deployment: keep going
 
 
+# Metadata-only schema cache (r14, guide §6): every spark.read.parquet()
+# without an explicit schema re-infers the schema by reading parquet
+# footers on the driver — measured ~75-130 ms per table() call at sf0.1
+# vs ~13 ms with the schema supplied.  A real deployment reads the schema
+# from the metastore (external catalog tables, TESTDATA.md's 100 TB
+# posture); this cache is that metastore behavior for the path-based
+# fixtures.  Keyed by (path, mtime_ns, size) so a regenerated testdata
+# file invalidates its entry; non-plain-file paths (directories, remote
+# URIs) fall back to normal inference.  The cache holds SCHEMAS ONLY —
+# each call still builds a fresh DataFrame over a fresh scan, so no plan
+# or data is ever reused across queries or runs.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _cached_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        if not os.path.isfile(path):
+            return None
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _cached_schema(spark, path)
+    reader = spark.read.schema(sch) if sch is not None else spark.read
+    df = reader.parquet(path)
     if name == "events":
         df = _normalize_events_ts(df)
     return df

@@ -29,10 +29,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp, and is normalized to TimestampType either way)."""
     from pyspark.sql.types import LongType
 
-    from debias_spark.catalog import ensure_runtime_confs
+    from debias_spark.catalog import _cached_schema, ensure_runtime_confs
 
     ensure_runtime_confs(spark)  # nanosAsLong before touching events.parquet
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # r14: schema from the session cache (catalog._cached_schema) — the
+    # streaming read needs the schema object anyway; inferring it fresh
+    # per call re-read the footer (~0.1 s) on every streaming key
+    raw_schema = _cached_schema(spark, f"{sf_dir}/events.parquet")
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file stream sources take a directory; glob-filter to the events table
     raw = (
         spark.readStream.schema(raw_schema)

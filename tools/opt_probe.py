@@ -1,10 +1,10 @@
-"""Round-13 optimization probe: isolate one or more keys, time them with
-the noop sink (guide §1.4) in a fresh tuned session, and dump their
-.explain("formatted") plans to plans/r13/<key>_<tag>.txt.
+"""Optimization probe (r13, reused r14): isolate one or more keys, time
+them with the noop sink (guide §1.4) in a fresh tuned session, and dump
+their .explain("formatted") plans to plans/<round>/<key>_<tag>.txt.
 
 Usage:
     python tools/opt_probe.py key1,key2 [--tag before|after] [--reps 3]
-        [--sf /root/testdata/sf0.1] [--no-plan]
+        [--sf /root/testdata/sf0.1] [--round r14] [--no-plan]
 
 Prints one line per key: min/median of reps after one warmup run.
 """
@@ -24,13 +24,14 @@ def main() -> None:
     tag = sys.argv[sys.argv.index("--tag") + 1] if "--tag" in sys.argv else None
     reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 3
     sf = sys.argv[sys.argv.index("--sf") + 1] if "--sf" in sys.argv else "/root/testdata/sf0.1"
+    rnd = sys.argv[sys.argv.index("--round") + 1] if "--round" in sys.argv else "r14"
 
     from debias_spark.registry import load_all_queries
     from debias_spark.session import get_spark
 
     spark = get_spark("opt-probe")
     specs = load_all_queries()
-    plan_dir = pathlib.Path(__file__).resolve().parent.parent / "plans" / "r13"
+    plan_dir = pathlib.Path(__file__).resolve().parent.parent / "plans" / rnd
     plan_dir.mkdir(parents=True, exist_ok=True)
 
     for key in keys:
