@@ -240,8 +240,9 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EARLIER doc collides in >= 1 band with signature agreement >= 26/32
     components (estimated Jaccard >= 0.8, the Y17 policy evaluated from
     persisted signatures instead of re-shingled history).  Survivor
-    payloads, band rows, and signatures append to state; history text is
-    NEVER re-read or re-hashed.
+    payloads and sig-carrying band rows append to state (the band rows
+    ARE the signature state since r13); history text is NEVER re-read
+    or re-hashed.
 
     Batching-independence (what makes the chain value-oracled): "exists
     an earlier colliding doc with >= 26 matching components" is a pure
@@ -292,14 +293,18 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stale siblings would then never prune (r9 advice)
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     band_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_bands"))
-    sig_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_sigs"))
     pay_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_payload"))
     ckpt_dir = os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_ckpt"))
     shutil.rmtree(src_dir, ignore_errors=True)
     os.makedirs(src_dir)
+    # z68_sigs is gone (r14): since r13 the band rows CARRY their full
+    # signatures, so the standalone signature state was written every
+    # batch and read by nothing — one dead parquet write job per
+    # micro-batch.  The prune entry stays so dirs from older sessions
+    # still get cleaned up.
     for stem, d in (
         ("z68_bands", band_dir),
-        ("z68_sigs", sig_dir),
+        ("z68_sigs", os.path.join(_WAREHOUSE, base.replace("z68_src", "z68_sigs"))),
         ("z68_payload", pay_dir),
         ("z68_ckpt", ckpt_dir),
     ):
@@ -370,9 +375,9 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # append-only state: band rows partitioned by band_id (probe
-        # reads prune to colliding bands), signatures and payloads flat
+        # reads prune to colliding bands; they carry the signatures),
+        # payloads flat
         b_banded.write.mode("append").partitionBy("band_id").parquet(band_dir)
-        b_sig.write.mode("append").parquet(sig_dir)
         payload.write.mode("append").parquet(pay_dir)
         # MID-STREAM COMPACTION (the r9 watch item: per-batch appends
         # accumulate small files per band partition without bound):

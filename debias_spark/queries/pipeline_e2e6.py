@@ -68,9 +68,9 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
        append to state.  Equivalent to global keep-first because arrival
        order follows doc_id (the drops are ascending id ranges).
     3. NEAR-DUP (Z68's screen, verbatim semantics): the drop's exact
-       survivors band and probe the accumulated band/sig state UNION
-       in-drop earlier ids; >= 26/32 matching components drops the doc.
-       ALL of the drop's exact survivors append to band/sig state —
+       survivors band and probe the accumulated sig-carrying band state
+       UNION in-drop earlier ids; >= 26/32 matching components drops the
+       doc.  ALL of the drop's exact survivors append to the band state —
        near-dup-dropped docs keep suppressing later copies, exactly the
        pure predicate Z75 evaluates globally.
     4. DECONTAMINATION (Y72+Y12): the eval set (doc_id < eval cutoff) is
@@ -136,15 +136,18 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     dg_dir = os.path.join(_WAREHOUSE, base.replace("z76_src", "z76_digests"))
     band_dir = os.path.join(_WAREHOUSE, base.replace("z76_src", "z76_bands"))
-    sig_dir = os.path.join(_WAREHOUSE, base.replace("z76_src", "z76_sigs"))
     man_dir = os.path.join(_WAREHOUSE, base.replace("z76_src", "z76_manifest"))
     ckpt_dir = os.path.join(_WAREHOUSE, base.replace("z76_src", "z76_ckpt"))
     shutil.rmtree(src_dir, ignore_errors=True)
     os.makedirs(src_dir)
+    # z76_sigs is gone (r14): the sig-carrying band rows ARE the
+    # signature state since r13, so the standalone signature append was
+    # one dead parquet write job per micro-batch.  Prune entry retained
+    # for dirs left by older sessions.
     for stem, d in (
         ("z76_digests", dg_dir),
         ("z76_bands", band_dir),
-        ("z76_sigs", sig_dir),
+        ("z76_sigs", os.path.join(_WAREHOUSE, base.replace("z76_src", "z76_sigs"))),
         ("z76_manifest", man_dir),
         ("z76_ckpt", ckpt_dir),
     ):
@@ -243,9 +246,9 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
         s2 = s1.join(
             dropped.withColumnRenamed("id", "doc_id"), "doc_id", "anti"
         ).localCheckpoint(eager=True)
-        # ALL exact survivors enter state (dropped docs keep suppressing)
+        # ALL exact survivors enter state (dropped docs keep suppressing);
+        # the band rows carry the signatures — no standalone sig state
         b_banded.write.mode("append").partitionBy("band_id").parquet(band_dir)
-        b_sig.write.mode("append").parquet(sig_dir)
 
         # 4. decontamination: static bloom prefilter + exact confirm
         # (eval_df built once before the drain — static by contract)

@@ -155,16 +155,18 @@ def test_incremental_corpus_build_state_layout(spark, specs):
     tag = os.path.basename(SF) + "_" + spark.sparkContext.applicationId
     band_dir = os.path.join(_WAREHOUSE, f"z76_bands_{tag}")
     dg_dir = os.path.join(_WAREHOUSE, f"z76_digests_{tag}")
-    sig_dir = os.path.join(_WAREHOUSE, f"z76_sigs_{tag}")
     # band state is hive-partitioned by band_id (probe reads prune)
     bands = {os.path.basename(p) for p in glob.glob(band_dir + "/band_id=*")}
     assert bands == {f"band_id={b}" for b in range(4)}
     # digest state covers every exact-KEPT doc exactly once
     dgs = spark.read.parquet(dg_dir)
     assert dgs.count() == dgs.distinct().count()
-    # signature state holds kept AND near-dup-dropped exact survivors:
-    # at least as many rows as distinct digests with non-empty shingles
-    assert spark.read.parquet(sig_dir).count() > 0
+    # signature evidence lives ON the band rows (kept AND near-dup-
+    # dropped exact survivors); the standalone z76_sigs state was a dead
+    # write, removed in r14
+    band_rows = spark.read.parquet(band_dir)
+    assert "h0" in band_rows.columns and band_rows.count() > 0
+    assert not os.path.isdir(os.path.join(_WAREHOUSE, f"z76_sigs_{tag}"))
 
 
 def test_incremental_corpus_build_shares_batch_oracle(specs):

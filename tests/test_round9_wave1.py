@@ -111,27 +111,31 @@ def test_incremental_neardup_state_layout(spark, specs):
     assert out, "empty rollup"
     tag = os.path.basename(SF) + "_" + spark.sparkContext.applicationId
     band_dir = os.path.join(_WAREHOUSE, f"z68_bands_{tag}")
-    sig_dir = os.path.join(_WAREHOUSE, f"z68_sigs_{tag}")
     pay_dir = os.path.join(_WAREHOUSE, f"z68_payload_{tag}")
     # band state is hive-partitioned by band_id, all 4 bands present
     bands = {os.path.basename(p) for p in glob.glob(band_dir + "/band_id=*")}
     assert bands == {f"band_id={b}" for b in range(4)}
-    # DROPPED docs stay in the band/sig state (they keep suppressing),
-    # so the signature state covers every doc with a non-empty shingle
-    # set — kept or dropped
-    sigs = spark.read.parquet(sig_dir)
-    n_sig = sigs.count()
-    assert sigs.select("id").distinct().count() == n_sig
+    # since r13 the band rows CARRY the signatures (r14 removed the
+    # standalone z68_sigs state as a dead write): every doc with a
+    # non-empty shingle set — kept or dropped — has sig-bearing band
+    # rows, exactly one per band
+    band_rows = spark.read.parquet(band_dir)
+    assert "h0" in band_rows.columns and "h31" in band_rows.columns
+    sig_ids_df = band_rows.select("id").distinct()
+    n_sig = sig_ids_df.count()
+    assert band_rows.count() == n_sig * 4  # one row per (doc, band)
     pay = spark.read.parquet(pay_dir)
     n_pay = pay.count()
     n_dropped = pay.filter("dropped").count()
     assert n_sig <= n_pay  # empty-shingle docs have payload but no signature
     assert n_dropped == sum(r.n_dropped for r in out)
     assert n_pay - n_dropped == sum(r.n_docs for r in out)
-    # dropped docs' signatures are still present in state
+    # DROPPED docs' signatures stay in the band state (keep suppressing)
     dropped_ids = {r.id for r in pay.filter("dropped").select("id").collect()}
-    sig_ids = {r.id for r in sigs.select("id").collect()}
+    sig_ids = {r.id for r in sig_ids_df.collect()}
     assert dropped_ids <= sig_ids
+    # and the dead standalone signature dir is no longer written
+    assert not os.path.isdir(os.path.join(_WAREHOUSE, f"z68_sigs_{tag}"))
 
 
 def test_incremental_neardup_restores_shuffle_conf(spark, specs):
