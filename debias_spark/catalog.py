@@ -89,6 +89,31 @@ def _cached_schema(spark: SparkSession, path: str):
     return sch
 
 
+# ANALYZE-TABLE-style statistics cache (r14): planning statistics a real
+# deployment reads from the metastore (row counts, column sums) are
+# computed once per input-file version and memoized under the same
+# (path, mtime_ns, size) identity as the schema cache.  Statistics gate
+# PLAN SHAPE only (e.g. the hot-gram window-vs-salted-pack choice); the
+# gated spellings are value-identical, so a stale statistic can never
+# change a result — only which equally-correct plan runs.
+_STAT_CACHE: dict[tuple, object] = {}
+
+
+def cached_input_stat(path: str, stat_key: str, compute):
+    """Return compute() memoized per (input-file version, stat_key);
+    uncacheable paths (directories, remote URIs) just call compute()."""
+    try:
+        st = os.stat(path)
+        if not os.path.isfile(path):
+            return compute()
+        key = (path, st.st_mtime_ns, st.st_size, stat_key)
+    except OSError:
+        return compute()
+    if key not in _STAT_CACHE:
+        _STAT_CACHE[key] = compute()
+    return _STAT_CACHE[key]
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

@@ -12,6 +12,8 @@ planning surface a 100 TB corpus pipeline needs AROUND that refresh loop.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -185,6 +187,17 @@ def pipeline_survivor_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFra
 
 _SPAN_K = 20  # char k-gram width; spans merge overlapping duplicated grams
 
+# Hot-gram skew gate for the occurrence-count spelling (r14; see
+# docs_substring_dup_spans body): while the corpus's TOTAL gram count is
+# at most this many rows, even a pathological single-gram corpus keeps
+# the per-gk count window's one hot task at a bounded, spill-backed size
+# (tools/hotgram_stress.py: a 24M-row hot partition stays robust and
+# still beats the alternatives); past it, the two-pass agg + left-semi
+# spelling bounds every task via map-side partial counts and AQE's
+# skew-splittable join.  Env-overridable (read at import) so stress runs
+# can force the two-pass path on small fixtures.
+_GRAM_WINDOW_MAX = int(os.environ.get("DEBIAS_GRAM_WINDOW_MAX", 32_000_000))
+
 
 @register(
     "docs_substring_dup_spans",
@@ -266,17 +279,65 @@ def docs_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE gram pass, not two (r13, guide §2.3/§2.4): the old
     # groupBy(gk)+join spelling planned TWO Generate+md5 subtrees — the
     # explode and per-position md5 ran once into the dup aggregate and
-    # again into the join probe (plans/r13/docs_substring_dup_spans_
-    # before.txt: Generate nodes 3 and 7).  A count window partitioned
-    # by gk computes the same occurrence count from a single pass; rows
-    # with count >= 2 ARE the hit set (identical semantics: both keep
-    # every occurrence row of every gram whose corpus-wide count >= 2).
-    w_gk = Window.partitionBy("gk")
-    hit = (
-        grams.withColumn("c", F.count("*").over(w_gk))
-        .filter(F.col("c") >= 2)
-        .select("doc_id", "L", "pos")
+    # again into the join probe.  r13 replaced that with a count window
+    # partitioned by gk — the single-pass spelling — whose one weakness
+    # is hot-gram skew: count().over(Window.partitionBy("gk")) buffers
+    # EVERY occurrence of a viral boilerplate gram in ONE window task,
+    # and AQE's skew split applies to joins only, never to Window
+    # (r13 verdict item 1, guide §2.5).
+    #
+    # r14 hardening, diagnose-then-choose (the fan_out / _salt_factor
+    # doctrine — derive the shape from the input, never a constant
+    # tuned for one scale).  Measured (OPTIMIZATION_r14.md, tools/
+    # hotgram_stress.py): every skew-safe spelling LOSES at sf0.1
+    # (salted collect_list pack +80%, two-pass agg+semi +~15% flat and
+    # 2x the md5 work), the salted pack additionally GC-thrashes under
+    # the very skew it targets (object arrays), and the spill-backed
+    # WindowExec stays robust to a 24M-row hot gram — the agg+semi
+    # two-pass only wins once ONE gram owns >~half the stream.  So the
+    # plain window stays while the WORST-CASE single window partition —
+    # bounded above by the total gram count, known from the n_chars
+    # table statistic without touching text — fits one task's budget;
+    # past the bound the two-pass spelling takes over: per-gk counts
+    # via hash aggregate (a hot gram collapses MAP-SIDE to one partial
+    # row per task — partial_count/merge in the plan) and a LEFT SEMI
+    # probe join that AQE's skew split CAN divide, paying the gram
+    # stream twice but bounding every task.  Rows kept are identical
+    # under both spellings: every occurrence of every gram with
+    # corpus-wide count >= 2 (pinned by a forced-path equivalence test
+    # + the oracle).
+    # gate statistic from the catalog's stat cache (ANALYZE-TABLE
+    # semantics: computed once per input-file version; the ~0.4 s
+    # n_chars aggregation otherwise re-ran on every call and blew the
+    # flat-bench budget — catalog.cached_input_stat)
+    from debias_spark.catalog import cached_input_stat
+
+    n_grams_est = cached_input_stat(
+        f"{sf_dir}/documents.parquet",
+        f"sum_grams_k{_SPAN_K}",
+        lambda: docs.agg(
+            F.sum(
+                F.greatest(
+                    F.col("n_chars").cast("long") - (_SPAN_K - 1), F.lit(0)
+                )
+            )
+        ).first()[0],
     )
+    if n_grams_est is not None and n_grams_est <= _GRAM_WINDOW_MAX:
+        w_gk = Window.partitionBy("gk")
+        hit = (
+            grams.withColumn("c", F.count("*").over(w_gk))
+            .filter(F.col("c") >= 2)
+            .select("doc_id", "L", "pos")
+        )
+    else:
+        dup = (
+            grams.groupBy("gk")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("gk")
+        )
+        hit = grams.join(dup, "gk", "left_semi").select("doc_id", "L", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = hit.withColumn(
         "brk",
