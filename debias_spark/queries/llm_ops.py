@@ -268,7 +268,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 3-gram Jaccard near-dup pairs over a bounded probe window
     (doc_id < 60 keeps the demo pairwise; the scale path for unbounded
     corpora is the LSH variant above)."""
-    docs = fan_out(table(spark, sf_dir, "documents")).filter(F.col("doc_id") < 60)
+    # filter BEFORE fan_out (r13 advice): the doc_id < 60 probe window is
+    # highly selective, so the round-robin exchange moves only survivors
+    docs = fan_out(table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60))
     norm = F.lower("text")
     idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
     grams = F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, 3)))
