@@ -39,6 +39,7 @@ from debias_spark.queries.llm_ops37 import (
     pq_codebook,
     pq_index_frame,
 )
+from debias_spark.streaming import narrow_shuffle
 from debias_spark.registry import register
 
 # TWO drops, not four (r12 verdict item 1): incremental maintenance
@@ -122,10 +123,7 @@ def similarity_ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFr
             "cell"
         ).parquet(idx_dir)
 
-    _SP = "spark.sql.shuffle.partitions"
-    prev_sp = spark.conf.get(_SP, None)
-    spark.conf.set(_SP, "8")
-    try:
+    with narrow_shuffle(spark, 8):
         q = (
             spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", 1)
@@ -143,11 +141,6 @@ def similarity_ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFr
                 )
         finally:
             q.stop()
-    finally:
-        if prev_sp is None:
-            spark.conf.unset(_SP)
-        else:
-            spark.conf.set(_SP, prev_sp)
     if len(batches) < 2:
         raise RuntimeError(
             f"similarity_ann_ivfpq_incremental drained in {len(batches)} "

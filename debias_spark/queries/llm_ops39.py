@@ -47,6 +47,7 @@ from debias_spark.queries.llm_ops37 import (
 )
 from debias_spark.queries.llm_ops38 import _TOMB_DUCK, _TOMB_MOD, _TOMB_REM
 from debias_spark.queries.pipeline_e2e4 import _count_parquet_files
+from debias_spark.streaming import narrow_shuffle
 from debias_spark.registry import register
 
 # two drops (the r13 family-wide drop-count discipline): fragmentation
@@ -113,10 +114,7 @@ def similarity_ann_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFram
             f"vec_id-range staging produced {len(bounds) - 1} drop(s); the "
             "corpus is too small to exercise post-append compaction"
         )
-    _SP = "spark.sql.shuffle.partitions"
-    prev_sp = spark.conf.get(_SP, None)
-    spark.conf.set(_SP, "8")
-    try:
+    with narrow_shuffle(spark, 8):
         for i in range(len(bounds) - 1):
             batch = emb.filter(
                 (F.col("vec_id") >= bounds[i]) & (F.col("vec_id") < bounds[i + 1])
@@ -125,11 +123,6 @@ def similarity_ann_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFram
             pq_index_frame(batch, book).write.mode("append").partitionBy(
                 "cell"
             ).parquet(idx_dir)
-    finally:
-        if prev_sp is None:
-            spark.conf.unset(_SP)
-        else:
-            spark.conf.set(_SP, prev_sp)
 
     files_before = _count_parquet_files(idx_dir)
     state = spark.read.parquet(idx_dir)

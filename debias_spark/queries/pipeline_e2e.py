@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from debias_spark.catalog import table
 from debias_spark.operators.text import NORMALIZE_STRICT_DUCK, normalize_strict
 from debias_spark.queries.io_roundtrip import _WAREHOUSE, _sink_dir
+from debias_spark.streaming import narrow_shuffle
 from debias_spark.registry import register
 
 _SHORT_LT = 100  # annotate: docs under this many chars flagged short
@@ -138,10 +139,7 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FRACTION of an already-small state frame, and 200-partition batch
     # plans pay pure task-launch overhead 4x over (rule-9 cousin); the
     # finally restores the never-set case with unset, not skip (rule 20)
-    _SP = "spark.sql.shuffle.partitions"
-    prev_sp = spark.conf.get(_SP, None)
-    spark.conf.set(_SP, "8")
-    try:
+    with narrow_shuffle(spark, 8):
         q = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -162,11 +160,6 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         finally:
             q.stop()
-    finally:
-        if prev_sp is None:
-            spark.conf.unset(_SP)
-        else:
-            spark.conf.set(_SP, prev_sp)
     if len(batches) < 2:
         raise RuntimeError(
             f"pipeline_incremental_refresh drained in {len(batches)} "

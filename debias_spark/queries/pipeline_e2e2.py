@@ -23,6 +23,7 @@ from debias_spark.operators.text import NORMALIZE_STRICT_DUCK
 from debias_spark.operators.skew import fan_out
 from debias_spark.queries.io_roundtrip import _WAREHOUSE, _sink_dir
 from debias_spark.queries.llm_ops import _minhash_ctes
+from debias_spark.streaming import narrow_shuffle
 from debias_spark.registry import register
 
 _NH, _NB = 32, 4  # minhash hashes / bands (the H9 family constants)
@@ -410,10 +411,7 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             global LAST_COMPACTIONS
             LAST_COMPACTIONS += 1
 
-    _SP = "spark.sql.shuffle.partitions"
-    prev_sp = spark.conf.get(_SP, None)
-    spark.conf.set(_SP, "8")
-    try:
+    with narrow_shuffle(spark, 8):
         q = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -431,11 +429,6 @@ def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         finally:
             q.stop()
-    finally:
-        if prev_sp is None:
-            spark.conf.unset(_SP)
-        else:
-            spark.conf.set(_SP, prev_sp)
     if len(batches) < 2:
         raise RuntimeError(
             f"pipeline_incremental_neardup drained in {len(batches)} "
@@ -576,10 +569,7 @@ def pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
-    _SP = "spark.sql.shuffle.partitions"
-    prev_sp = spark.conf.get(_SP, None)
-    spark.conf.set(_SP, "8")
-    try:
+    with narrow_shuffle(spark, 8):
         for i in range(2):
             stage(i)
         drain()
@@ -591,11 +581,6 @@ def pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage(2)  # the late drop lands between refreshes
         drain()
         second = seen[len(first):]
-    finally:
-        if prev_sp is None:
-            spark.conf.unset(_SP)
-        else:
-            spark.conf.set(_SP, prev_sp)
 
     # exactly-once, both halves: ONE new batch, with exactly the new
     # file's rows, and its batch id CONTINUES the checkpoint's sequence

@@ -33,6 +33,7 @@ from debias_spark.catalog import table
 from debias_spark.queries.io_roundtrip import _WAREHOUSE, _sink_dir
 from debias_spark.queries.llm_ops import _minhash_ctes
 from debias_spark.queries.pipeline_e2e3 import _REASON_DUCK, _REASON_SPARK
+from debias_spark.streaming import narrow_shuffle
 from debias_spark.registry import register
 from debias_spark.warehouse import prune_stale_siblings
 
@@ -117,10 +118,7 @@ def pipeline_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = mm.lo, mm.hi + 1
     span = hi - lo
     bounds = [lo, lo + span // 2, hi]
-    _SP = "spark.sql.shuffle.partitions"
-    prev_sp = spark.conf.get(_SP, None)
-    spark.conf.set(_SP, "8")
-    try:
+    with narrow_shuffle(spark, 8):
         for i in range(2):
             batch = docs.filter(
                 (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
@@ -132,11 +130,6 @@ def pipeline_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             minhash_banded(sh, _NH, _NB).write.mode("append").partitionBy(
                 "band_id"
             ).parquet(band_dir)
-    finally:
-        if prev_sp is None:
-            spark.conf.unset(_SP)
-        else:
-            spark.conf.set(_SP, prev_sp)
 
     files_before = _count_parquet_files(band_dir)
     orig = spark.read.parquet(band_dir).select("id", "band_hash", "band_id")

@@ -51,6 +51,7 @@ from debias_spark.queries.pipeline_e2e5 import (
     _GRAM_N,
     CORPUS_BUILD_ORACLE,
 )
+from debias_spark.streaming import narrow_shuffle
 from debias_spark.registry import register
 
 
@@ -285,10 +286,7 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
         )
         manifest.write.mode("append").parquet(man_dir)
 
-    _SP = "spark.sql.shuffle.partitions"
-    prev_sp = spark.conf.get(_SP, None)
-    spark.conf.set(_SP, "8")
-    try:
+    with narrow_shuffle(spark, 8):
         q = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -306,11 +304,6 @@ def pipeline_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataF
                 )
         finally:
             q.stop()
-    finally:
-        if prev_sp is None:
-            spark.conf.unset(_SP)
-        else:
-            spark.conf.set(_SP, prev_sp)
     if len(batches) < 2:
         raise RuntimeError(
             f"pipeline_corpus_build_incremental drained in {len(batches)} "

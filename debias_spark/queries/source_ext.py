@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from debias_spark.streaming import narrow_shuffle
 from debias_spark.registry import register
 from debias_spark.sources.synthetic import _LANGS, _WORDS
 
@@ -154,31 +155,22 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
     # fixed sink name: each run's memory query replaces the view instead
     # of accumulating one leaked uuid-named table per invocation
     name = "z42_stream_sink"
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     q = None
-    try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
-        )
-        q.processAllAvailable()
-    finally:
-        # stop INSIDE the finally so an interrupted drain can't leak a
-        # live background stream into the shared session
-        if q is not None:
-            q.stop()
-            q.awaitTermination()
-        # ALWAYS restore: on a plain session conf.get(key, None) is None
-        # (nothing was ever set), and skipping the restore would pin the
-        # whole session — every later key in the driver window — to 4
-        # shuffle partitions.  unset() returns the session to defaults.
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        else:
-            spark.conf.unset("spark.sql.shuffle.partitions")
+    with narrow_shuffle(spark, 4):
+        try:
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+        finally:
+            # stop INSIDE the finally so an interrupted drain can't leak a
+            # live background stream into the shared session
+            if q is not None:
+                q.stop()
+                q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("batch", "lang")

@@ -128,13 +128,19 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(tmp, state_dir)
         shutil.rmtree(old, ignore_errors=True)
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .start()
-    )
-    q.awaitTermination()
+    # narrow drain (r14, the shared doctrine — see streaming.narrow_shuffle):
+    # the per-batch partial aggregate and state-merge join move a handful
+    # of event_type keys; 32-task batch plans were pure scheduling overhead
+    from debias_spark.streaming import narrow_shuffle
+
+    with narrow_shuffle(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.read.parquet(state_dir).select(
         "event_type", "n_events", "n_users_lb", "value_cents"

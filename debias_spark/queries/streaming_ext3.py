@@ -21,6 +21,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from debias_spark.streaming import narrow_shuffle
 from debias_spark.registry import register
 from debias_spark.warehouse import prune_stale_siblings, warehouse_root
 
@@ -119,9 +120,7 @@ def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions vs 2.5s at 4; 2 is no better — the residual is engine
     # fixed cost: batch scheduling, checkpoint fsyncs, capture IO); a
     # long-lived production stream keeps the session default
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with narrow_shuffle(spark, 4):
         q = (
             joined.writeStream.foreachBatch(capture)
             .trigger(availableNow=True)
@@ -129,9 +128,6 @@ def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.read.parquet(out_dir).select(
         "user_id", "purchase_time", "click_time", "value_cents"

@@ -23,6 +23,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from debias_spark.streaming import narrow_shuffle
 from debias_spark.registry import register
 from debias_spark.warehouse import prune_stale_siblings, warehouse_root
 
@@ -80,10 +81,7 @@ def stream_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     # handful of event_type keys needs 8, not the session's 32 (r13:
     # the only material r12 floor regression on this key was drain-side
     # fixed cost; values are partition-count independent)
-    _SP = "spark.sql.shuffle.partitions"
-    prev_sp = spark.conf.get(_SP, None)
-    spark.conf.set(_SP, "8")
-    try:
+    with narrow_shuffle(spark, 8):
         q = (
             counts.writeStream.outputMode("update")
             .format("noop")
@@ -92,11 +90,6 @@ def stream_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev_sp is None:
-            spark.conf.unset(_SP)
-        else:
-            spark.conf.set(_SP, prev_sp)
 
     state = spark.read.format("statestore").load(ckpt)
     return (

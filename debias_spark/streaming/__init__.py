@@ -1,4 +1,5 @@
 from debias_spark.streaming.incremental import (
+    narrow_shuffle,
     run_available_now,
     session_window_counts,
     stream_events,
@@ -6,6 +7,7 @@ from debias_spark.streaming.incremental import (
 )
 
 __all__ = [
+    "narrow_shuffle",
     "run_available_now",
     "session_window_counts",
     "stream_events",

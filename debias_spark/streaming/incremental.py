@@ -17,9 +17,37 @@ batch tables.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def narrow_shuffle(spark: SparkSession, n: int = 8):
+    """Pin spark.sql.shuffle.partitions to ``n`` for the duration of a
+    drain-and-stop block, restoring the previous value (or unsetting)
+    on exit — the one shared spelling of the narrow-drain doctrine
+    (state-store instances are one per shuffle partition, fixed at the
+    first micro-batch; a 2-batch local drain pays per-partition state
+    setup that dwarfs its data work at the session's full width).
+
+    SERIAL-SESSION ASSUMPTION (r13 verdict item 7): mutating session
+    conf is only safe because the bench and the driver run keys
+    SERIALLY in one session.  Any future concurrent execution of keys
+    in a shared session must replace this with per-write repartition(n)
+    or per-query conf, not share the session-level pin.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,9 +152,7 @@ def run_available_now(
     monotonically less setup) and restored after.  A long-lived production
     stream keeps the session default and an explicit checkpointLocation."""
     name = f"snap_{uuid.uuid4().hex[:12]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with narrow_shuffle(spark, 4):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -135,9 +161,6 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
