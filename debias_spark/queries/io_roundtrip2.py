@@ -170,7 +170,14 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinary partial+final hash aggregate.  XML is the interchange
     surface here, not the analytics store — the key proves the bridge is
     lossless, the docstring's advice remains 'land it in parquet'."""
-    src = table(spark, sf_dir, "orders").select(
+    # fan_out (r14): the write is one task per INPUT partition, and the
+    # single-row-group source scanned as ONE — the whole XML serialize
+    # ran serial and the read-back parsed one file on one core.  Spread
+    # the base rows first: 32 write tasks, 32 files, splittable parallel
+    # re-parse; the aggregate result is file-layout independent.
+    from debias_spark.operators.skew import fan_out
+
+    src = fan_out(table(spark, sf_dir, "orders")).select(
         "o_orderkey",
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),

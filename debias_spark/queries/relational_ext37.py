@@ -44,8 +44,13 @@ def sql_from_xml_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source table, so types and nesting both survived.
 
     Scale shape: serialize + parse are per-row codegen'd expressions; the
-    aggregate is the only shuffle."""
-    o = table(spark, sf_dir, "orders")
+    aggregate is the only shuffle.  fan_out (r14): the serialize+parse
+    chain is the whole cost and runs above a single-row-group scan —
+    spread the base rows first (no join ever reshuffles this key, so the
+    r13 relational-cohort counterexample does not apply)."""
+    from debias_spark.operators.skew import fan_out
+
+    o = fan_out(table(spark, sf_dir, "orders"))
     xml = F.concat(
         F.lit("<order><k>"),
         F.col("o_custkey"),
