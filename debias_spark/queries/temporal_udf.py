@@ -23,6 +23,13 @@ from pyspark.sql.window import Window
 from debias_spark.catalog import table
 from debias_spark.registry import register
 
+# cogroup_asof_attribution's per-bucket row budget (r14): one cogroup
+# bucket's purchases+clicks live in executor memory as pandas frames, so
+# buckets grow with the events row count past this many rows per bucket;
+# below that, fewer/fatter buckets amortize the ~15ms-per-group pandas
+# fixed cost (the measured sf0.1 optimum is dp/2 groups).
+_COGROUP_BUCKET_ROWS = 2_000_000
+
 
 @register(
     "join_asof_last_click",
@@ -597,16 +604,36 @@ def cogroup_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     a left join + row_number argmax with the identical (ts, event_id)
     tie order; gaps are exact integer microseconds.
 
-    Scale shape: the cogroup key is a 64-way user BUCKET, not the raw
-    user_id — per-user groups pay ~15ms of pandas fixed cost each
-    (measured 23.8s at sf0.1 with ~1.5k user groups vs 1.0s bucketed),
-    so the Arrow boundary sees 64 groups and merge_asof's by= argument
-    does the per-user matching vectorized inside each.  ONE hash
-    exchange per side; per-group memory is a bucket's worth of events
-    (tune bucket count to executor memory at 100 TB)."""
+    Scale shape: the cogroup key is a user BUCKET, not the raw user_id —
+    per-user groups pay ~15ms of pandas fixed cost each (measured 23.8s
+    at sf0.1 with ~1.5k user groups vs 1.0s bucketed), so the Arrow
+    boundary sees few fat groups and merge_asof's by= argument does the
+    per-user matching vectorized inside each.  The bucket count is
+    SCALE-ADAPTIVE (r14): every group still pays the per-group pandas
+    fixed cost, so the count is the max of (a) enough buckets to keep
+    each group under a per-executor row budget — derived from the
+    events row count, a footer-read statistic cached per file version —
+    and (b) half the session parallelism, the measured local optimum
+    (64 fixed buckets cost 2.19s vs 1.11s at sf0.1: group fixed cost
+    dominates until groups approach the memory budget).  ONE hash
+    exchange per side; bucket membership never changes per-user
+    matching, so the result is bucket-count independent (oracle-pinned)."""
+    from debias_spark.catalog import cached_input_stat
+
+    def _footer_rows() -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+
+    try:
+        n_events = int(cached_input_stat(f"{sf_dir}/events.parquet", "n_rows", _footer_rows))
+    except Exception:
+        n_events = 0  # non-local source: parallelism floor decides
+    dp = int(spark.sparkContext.defaultParallelism)
+    n_buckets = max(dp // 2, -(-n_events // _COGROUP_BUCKET_ROWS), 1)
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type",
-        (F.col("user_id") % 64).alias("bucket"),
+        (F.col("user_id") % n_buckets).alias("bucket"),
     )
     purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
     clicks = ev.where(F.col("event_type") == "click").drop("event_type")
